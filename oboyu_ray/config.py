@@ -1,0 +1,53 @@
+"""Engine configuration.
+
+Defaults mirror the reference's live BM25 indexing configuration
+(``/root/reference/src/oboyu/indexer/algorithm/bm25_indexer.py:32-37`` and
+``config/indexer.py:52-61``): k1=1.2, b=0.75, min_token_length=2,
+use_stopwords=False, min_doc_frequency=1 (stored but unenforced in the
+reference — kept off here for rank-identity).
+
+Scale knobs (ours; no reference equivalent — the reference is a
+single-process in-memory engine):
+
+* ``docs_per_partition`` — documents per index partition.  A partition is
+  the unit of checkpointing, of shard-actor assignment, and of the Phase-A/C
+  build tasks.  At 10^12 turns with the default 262144 docs/partition the
+  build is ~4M independent partition tasks; each partition's postings stay
+  partition-local (document-partitioned index → no all-to-all shuffle of
+  posting rows, see ``pipelines/build_index.py``).
+* ``window_docs`` — width (in dense doc ordinals) of an aligned posting
+  block/window.  All terms' blocks share window boundaries, which makes
+  block-max pruning a vectorized per-window bound instead of per-cursor
+  pointer chasing, and doubles as the skip structure (a query seeks directly
+  to surviving windows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.2
+    b: float = 0.75
+    min_token_length: int = 2
+    use_stopwords: bool = False
+    language: str = "ja"
+    # enforced only if > 1; reference stores it but never enforces
+    min_doc_frequency: int = 1
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    docs_per_partition: int = 262_144
+    window_docs: int = 8_192
+    # tokenize stage sizing: stateless tasks, whole-block batches
+    tokenize_batch_size: int | None = None
+    # hot-term threshold for reporting (skew is handled structurally by
+    # document partitioning; this only drives the skew report in metrics)
+    hot_term_df_ratio: float = 0.25
+
+
+DEFAULT_BUILD_CONFIG = BuildConfig()

@@ -1,0 +1,110 @@
+"""Load the reference implementation (read-only, /root/reference) as a
+conformance oracle via importlib, with a minimal fake package tree so none of
+the reference's heavy dependencies are needed.
+
+Without fugashi (true in this sandbox) both the reference and our engine
+select the regex FallbackTokenizer (reference tokenizer.py:327-359), so all
+oracle comparisons are apples-to-apples.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from datetime import datetime
+from functools import lru_cache
+
+REF = "/root/reference/src/oboyu"
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=1)
+def load_reference():
+    """Returns a namespace with BM25Indexer, TokenizerService, create_tokenizer,
+    Chunk, and a make_chunk helper."""
+    for pkg in (
+        "oboyu",
+        "oboyu.common",
+        "oboyu.common.services",
+        "oboyu.common.types",
+        "oboyu.indexer",
+        "oboyu.indexer.algorithm",
+    ):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = []
+            sys.modules[pkg] = m
+
+    _load("oboyu.common.stop_words", f"{REF}/common/stop_words.py")
+    tok = _load("oboyu.common.services.tokenizer", f"{REF}/common/services/tokenizer.py")
+    sys.modules["oboyu.common.services"].TokenizerService = tok.TokenizerService
+    sys.modules["oboyu.common.services"].create_tokenizer = tok.create_tokenizer
+    chunk_mod = _load("oboyu.common.types.chunk", f"{REF}/common/types/chunk.py")
+    sys.modules["oboyu.common.types"].Chunk = chunk_mod.Chunk
+    _load(
+        "oboyu.indexer.algorithm.bm25_statistics_calculator",
+        f"{REF}/indexer/algorithm/bm25_statistics_calculator.py",
+    )
+    _load(
+        "oboyu.indexer.algorithm.inverted_index_builder",
+        f"{REF}/indexer/algorithm/inverted_index_builder.py",
+    )
+    _load(
+        "oboyu.indexer.algorithm.term_frequency_analyzer",
+        f"{REF}/indexer/algorithm/term_frequency_analyzer.py",
+    )
+    bm = _load("oboyu.indexer.algorithm.bm25_indexer", f"{REF}/indexer/algorithm/bm25_indexer.py")
+
+    ns = types.SimpleNamespace()
+    ns.BM25Indexer = bm.BM25Indexer
+    ns.TokenizerService = tok.TokenizerService
+    ns.create_tokenizer = tok.create_tokenizer
+    ns.FallbackTokenizer = tok.FallbackTokenizer
+    ns.HAS_JAPANESE_TOKENIZER = tok.HAS_JAPANESE_TOKENIZER
+    ns.Chunk = chunk_mod.Chunk
+
+    def make_chunk(id: str, content: str):
+        return chunk_mod.Chunk(
+            id=id,
+            path="/p",
+            title="t",
+            content=content,
+            chunk_index=0,
+            language="ja",
+            created_at=datetime(2020, 1, 1),
+            modified_at=datetime(2020, 1, 1),
+            metadata={},
+        )
+
+    ns.make_chunk = make_chunk
+    return ns
+
+
+def reference_topk(indexer, query_terms, k):
+    """Score every indexed document with the reference's own score() method and
+    return the top-k as [(doc_id, score)] ordered by (score DESC, doc_id ASC).
+
+    The reference itself has no batch top-k API (its live search path is a
+    degenerate LIKE filter — database_search_service.py:105-161); ranking its
+    exact per-document scores is the semantics the north rule pins.
+    """
+    # rebuild per-doc term frequencies from the reference's own inverted index
+    tf_by_doc: dict[str, dict[str, int]] = {}
+    for term, postings in indexer.inverted_index.items():
+        for entry in postings:
+            doc_id, tf = entry[0], entry[1]
+            tf_by_doc.setdefault(doc_id, {})[term] = tf
+    scored = []
+    for doc_id in indexer.document_lengths:
+        s = indexer.score(query_terms, doc_id, tf_by_doc.get(doc_id, {}))
+        scored.append((doc_id, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
