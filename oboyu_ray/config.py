@@ -3,8 +3,20 @@
 Defaults mirror the reference's live BM25 indexing configuration
 (``/root/reference/src/oboyu/indexer/algorithm/bm25_indexer.py:32-37`` and
 ``config/indexer.py:52-61``): k1=1.2, b=0.75, min_token_length=2,
-use_stopwords=False, min_doc_frequency=1 (stored but unenforced in the
-reference — kept off here for rank-identity).
+min_doc_frequency=1 (stored but unenforced in the reference — kept off here
+for rank-identity).
+
+``use_stopwords=True`` is a deliberate correction of SURVEY §2-M13:
+although ``BM25Indexer(use_stopwords=False)`` is the constructor default
+(bm25_indexer.py:36), the statistics/index path never uses that tokenizer —
+``index_chunks`` tokenizes through ``TermFrequencyAnalyzer`` built from
+``TokenizerService(language, {"min_token_length": ...})``
+(bm25_indexer.py:82), whose ``_create_tokenizer`` defaults
+``use_stopwords=True`` (tokenizer.py:333,337-338).  The query path does the
+same (retriever/orchestrators/service_registry.py:75-80).  So the LIVE
+conformance semantics filter DEFAULT_JAPANESE_STOP_WORDS on both sides;
+verified empirically against the reference oracle in
+tests/test_bm25_conformance.py.
 
 Scale knobs (ours; no reference equivalent — the reference is a
 single-process in-memory engine):
@@ -32,7 +44,7 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     min_token_length: int = 2
-    use_stopwords: bool = False
+    use_stopwords: bool = True
     language: str = "ja"
     # enforced only if > 1; reference stores it but never enforces
     min_doc_frequency: int = 1

@@ -276,7 +276,14 @@ def create_tokenizer(
 
 
 def default_tokenizer():
-    """The conformance-default tokenizer used by the BM25 index build:
-    language="ja", min_token_length=2, use_stopwords=False
-    (reference bm25_indexer.py:36,64,72)."""
-    return create_tokenizer(language="ja", min_token_length=2, use_stopwords=False)
+    """The conformance-default tokenizer of the reference's LIVE indexing and
+    query paths: language="ja", min_token_length=2, use_stopwords=True.
+
+    Note: this is stopwords-ON.  ``BM25Indexer``'s own ``self.tokenizer``
+    defaults to stopwords-off (bm25_indexer.py:36) but is never used for
+    statistics — ``index_chunks`` tokenizes through
+    ``TokenizerService(language, {"min_token_length": ...})``
+    (bm25_indexer.py:82) which defaults ``use_stopwords=True``
+    (tokenizer.py:333); the retriever's query tokenizer is built the same way
+    (service_registry.py:75-80)."""
+    return create_tokenizer(language="ja", min_token_length=2, use_stopwords=True)

@@ -41,10 +41,21 @@ def test_reference_uses_fallback_in_sandbox():
     ],
 )
 def test_token_stream_matches_reference(text):
-    ref_tok = REF.create_tokenizer(language="ja", min_token_length=2, use_stopwords=False)
+    # the LIVE indexing tokenizer: TokenizerService(language, {min_token_length})
+    # → use_stopwords defaults True (bm25_indexer.py:82, tokenizer.py:333)
+    ref_svc = REF.TokenizerService("ja", {"min_token_length": 2})
     ours = default_tokenizer()
-    assert ours.tokenize(text) == ref_tok.tokenize(text)
-    assert ours.get_term_frequencies(text) == ref_tok.get_term_frequencies(text)
+    assert ours.tokenize(text) == ref_svc.tokenize(text)
+    assert ours.get_term_frequencies(text) == ref_svc.get_term_frequencies(text)
+
+
+@pytest.mark.parametrize("use_stopwords", [False, True])
+def test_token_stream_matches_reference_both_modes(use_stopwords):
+    ref_tok = REF.create_tokenizer(language="ja", min_token_length=2, use_stopwords=use_stopwords)
+    ours = create_tokenizer(language="ja", min_token_length=2, use_stopwords=use_stopwords)
+    for text in ["Python の programming です", "これはテストです the and of",
+                 "検索 インデックス 構築 します"]:
+        assert ours.tokenize(text) == ref_tok.tokenize(text)
 
 
 def test_token_stream_matches_reference_with_stopwords():
@@ -81,7 +92,7 @@ def test_contiguous_japanese_runs_are_single_tokens():
 
 def test_synth_corpus_token_streams_match_reference():
     tbl = synth_transcripts_table(seed=42, conv_start=0, conv_end=120)
-    ref_tok = REF.create_tokenizer(language="ja", min_token_length=2, use_stopwords=False)
+    ref_tok = REF.TokenizerService("ja", {"min_token_length": 2})
     ours = default_tokenizer()
     texts = tbl.column("text").to_pylist()
     assert len(texts) > 400
