@@ -1,0 +1,213 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+Each public ``q_*`` function takes ``sf_dir`` (a directory of the driver's
+parquet tables) and returns a Ray Dataset / pandas DataFrame; ``ORACLE_SQL``
+holds the ANSI-SQL equivalent DuckDB runs over the same tables.  Column
+names/types match exactly (the driver sorts columns by name and value-hashes).
+
+Substrate: the ``documents`` table (doc_id:int64, text:string, …).  Each row
+is one document; the tokenizer is the conformance tokenizer (stopwords ON,
+min length 2 — see functions/tokenize.py).  The SQL reproduces it with
+``regexp_extract_all(lower(text), …)`` — the same alternation of disjoint
+character classes, identical match semantics.
+
+Float-valued results are returned as ``*_micros = floor(x*1e6 + 0.5)`` int64
+computed by the same expression on both sides, so value-hashes are stable
+across summation orders.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from oboyu_ray.config import BM25Config
+from oboyu_ray.functions.tokenize import DEFAULT_JAPANESE_STOP_WORDS, TOKEN_PATTERN_SQL
+from oboyu_ray.pipelines.bm25_batch import brute_force_topk, tokenize_queries
+from oboyu_ray.stages.postings import doc_stats_batch, postings_batch
+from oboyu_ray.stages.stats import collection_stats, vocabulary
+
+CFG = BM25Config()
+
+# Fixed benchmark/oracle query set over the documents vocabulary: multi-term,
+# single-term, hot-term, and no-hit queries; all distinct-term (the SQL
+# oracle assumes multiplicity 1; duplicate-term semantics are pinned by
+# tests/test_bm25_conformance.py instead).
+BM25_QUERIES: List[str] = [
+    "table join",
+    "spark merge sort",
+    "customer vector",
+    "window",
+    "scan stream batch",
+    "zzznohit",
+]
+TOPK = 10
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- SQL pieces
+
+_SW = ", ".join("'" + w + "'" for w in sorted(DEFAULT_JAPANESE_STOP_WORDS))
+
+SQL_POSTINGS_CTE = f"""
+tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}')) AS term
+    FROM documents
+),
+tok_f AS (
+    SELECT doc_id, term FROM tok
+    WHERE length(term) >= {CFG.min_token_length} AND term NOT IN ({_SW})
+),
+postings AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM tok_f GROUP BY doc_id, term
+),
+postings_dl AS (
+    SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM postings
+)"""
+
+
+# ---------------------------------------------------------------- queries
+
+def q_postings(sf_dir: str) -> "ray.data.Dataset":
+    """Posting rows (doc_id, term, tf, dl) over the documents table."""
+    return _docs(sf_dir).map_batches(
+        lambda b: postings_batch(b, CFG), batch_format="pyarrow"
+    )
+
+
+SQL_POSTINGS = f"""
+WITH {SQL_POSTINGS_CTE}
+SELECT doc_id, term, tf, dl FROM postings_dl
+"""
+
+
+def q_doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, dl, unique_terms) for every document, empty docs included."""
+    return _docs(sf_dir).map_batches(
+        lambda b: doc_stats_batch(b, CFG), batch_format="pyarrow"
+    )
+
+
+SQL_DOC_STATS = f"""
+WITH {SQL_POSTINGS_CTE},
+agg AS (
+    SELECT doc_id, sum(tf)::BIGINT AS dl, count(*)::BIGINT AS unique_terms
+    FROM postings GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.dl, 0)::BIGINT AS dl,
+       coalesce(a.unique_terms, 0)::BIGINT AS unique_terms
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def q_vocabulary(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, cf) — document and collection frequencies."""
+    return vocabulary(q_postings(sf_dir))
+
+
+SQL_VOCABULARY = f"""
+WITH {SQL_POSTINGS_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM postings GROUP BY term
+"""
+
+
+def q_collection_stats(sf_dir: str) -> pd.DataFrame:
+    """Single row (n_docs, total_dl, avgdl_micros)."""
+    s = collection_stats(_docs(sf_dir), CFG)
+    avgdl_micros = int(np.floor(np.float64(s["avgdl"]) * 1e6 + 0.5))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([s["N"]], dtype="int64"),
+            "total_dl": pd.array([s["total_dl"]], dtype="int64"),
+            "avgdl_micros": pd.array([avgdl_micros], dtype="int64"),
+        }
+    )
+
+
+SQL_COLLECTION_STATS = f"""
+WITH {SQL_POSTINGS_CTE},
+tot AS (SELECT coalesce(sum(tf), 0)::BIGINT AS total_dl FROM postings),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT n.n_docs, tot.total_dl,
+       CAST(floor((tot.total_dl::DOUBLE / n.n_docs) * 1e6 + 0.5) AS BIGINT) AS avgdl_micros
+FROM n, tot
+"""
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-10 BM25 per fixed query: (query_id, doc_id, score_micros, rank),
+    ranked by (score_micros DESC, doc_id ASC) — identical on both sides."""
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return brute_force_topk(docs, queries, k=TOPK, cfg=CFG)
+
+
+def _sql_bm25_topk() -> str:
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qid, terms in queries.items():
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def core_queries() -> dict:
+    return {
+        "postings": q_postings,
+        "doc_stats": q_doc_stats,
+        "vocabulary": q_vocabulary,
+        "collection_stats": q_collection_stats,
+        "bm25_topk": q_bm25_topk,
+    }
+
+
+def core_oracle_sql() -> dict:
+    return {
+        "postings": SQL_POSTINGS,
+        "doc_stats": SQL_DOC_STATS,
+        "vocabulary": SQL_VOCABULARY,
+        "collection_stats": SQL_COLLECTION_STATS,
+        "bm25_topk": _sql_bm25_topk(),
+    }
