@@ -1,0 +1,578 @@
+"""Distributed BM25 inverted-index build — Ray-Data-first, doc-partitioned.
+
+ARCHITECTURE (deliberate deviation from SURVEY §2.3-T7, documented here):
+the index is **document-partitioned**, not term-partitioned.  Each partition
+holds complete posting lists for its range of documents, so a multi-term
+BM25 score is computed entirely inside one shard and per-shard top-k merge
+is exact (the Lucene/Elasticsearch model).  Term-partitioned shards cannot
+answer multi-term queries without a per-doc score join across shards.
+
+Scale consequences (the reason this wins at 10^12 turns):
+* Posting rows NEVER cross partitions — there is no all-to-all shuffle of
+  the ~10^13-row postings table.  The reference's single giant per-term
+  grouping (inverted_index_builder.py:26, SURVEY A6 "the big shuffle")
+  disappears structurally.
+* Hot-term skew (Japanese particles with df ≈ N, SURVEY §4) cannot
+  concentrate on one reducer: a hot term's postings are spread evenly
+  across doc partitions by construction.  This is the engine's salting
+  equivalent — partitioning by the OTHER key of the (term, doc) matrix.
+  The only term-keyed shuffle left is the vocabulary aggregate, whose input
+  is pre-aggregated per partition (term partials), bounding any term's
+  shuffle fan-in to (#partitions) rows.
+* The wide stages stream: phases are per-partition tasks fed by a tiny
+  dataset of partition specs; Ray's streaming executor pipelines
+  read→tokenize→write with backpressure, and each task's output is a small
+  summary/partials table, not data.
+
+Phases (each checkpointed via state/checkpoint.py, resumable, atomic):
+  0. ingest     — per input-file-group task: read transcripts, assemble docs
+                  (deterministic doc_id = (conv_id, turn_idx)), assign dense
+                  doc_num = conv_offset + turn_idx, write docs-{part}.parquet.
+  C   conv map  — groupby(conv_id).agg(span) → sort(conv_id) → per-file
+                  prefix offsets (the only global ordering pass; conv-level,
+                  ~1/100th of turn rows).
+  A. tokenize   — per-partition task: docs → postings (term, doc_num, tf, dl)
+                  sorted by (term, doc_num) + per-doc dl table; emits
+                  per-partition term partials for the vocabulary.
+  B. vocabulary — groupby(term) over partials → vocab parquet + stats.json
+                  (N, total_dl, avgdl).
+  C. blocks     — per-partition task: postings → aligned-window compressed
+                  posting blocks (delta+varint docs, varint tfs, per-block
+                  min/max tf-norm for signed block-max pruning).
+
+The per-entry length-norm inputs (tf, dl) are stored in the block payloads
+(J1 build-time bake, SURVEY §2.4), so query-time scoring needs only the
+broadcast scalars (N, avgdl) and per-query-term df — idf is applied at query
+time, which keeps Phase C independent of the vocabulary (no term join).
+
+Reference semantics carried over: tokenize/statistics exactly as
+bm25_statistics_calculator.py / tokenizer.py (see stages/postings.py);
+per-turn text byte-equality with the source under (conv_id, turn_idx)
+ordering is preserved because ingest never rewrites `text`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from oboyu_ray.config import BuildConfig, DEFAULT_BUILD_CONFIG
+from oboyu_ray.stages.postings import get_tokenizer, term_partials_batch
+from oboyu_ray.state.checkpoint import Manifest, atomic_write_json, atomic_write_table
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_num", pa.int64()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("text", pa.string()),
+        ("role", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _dirs(index_dir: str) -> Dict[str, str]:
+    d = {
+        name: os.path.join(index_dir, name)
+        for name in ("docs", "postings", "dls", "blocks", "conv_map", "vocab")
+    }
+    for p in d.values():
+        os.makedirs(p, exist_ok=True)
+    return d
+
+
+# --------------------------------------------------------------- conv map
+
+def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
+    """Conversation → starting doc_num offsets.
+
+    groupby(conv_id) over the transcripts (the only conv-level shuffle),
+    span = max(turn_idx)+1, sorted by conv_id; per-output-file base offsets
+    are prefix sums over file-level span totals (file order recovered from
+    parquet min-conv_id statistics, so no driver-side row loop).  doc_num =
+    conv_offset + turn_idx is dense iff turn_idx is dense per conversation
+    (validated in ingest).
+    """
+    out_dir = os.path.join(index_dir, "conv_map")
+    done_marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(done_marker):
+        with open(done_marker) as f:
+            return json.load(f)
+
+    ds = ray.data.read_parquet(transcript_files, columns=["conv_id", "turn_idx"])
+    spans = (
+        ds.groupby("conv_id")
+        .aggregate(Max("turn_idx", alias_name="max_turn"), Count(alias_name="n_turns"))
+        .sort("conv_id")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        span = pc.add(batch.column("max_turn").cast(pa.int64()), 1)
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "span": span,
+                "n_turns": batch.column("n_turns").cast(pa.int64()),
+            }
+        )
+
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    spans.map_batches(finalize, batch_format="pyarrow").write_parquet(tmp_dir)
+
+    # order output files by their min conv_id (range-partitioned by the sort,
+    # so file ranges are disjoint); compute per-file span sums from metadata
+    files = sorted(
+        os.path.join(tmp_dir, f) for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+    )
+    file_info = []
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "span"])
+        if t.num_rows == 0:
+            continue
+        file_info.append(
+            (str(t.column("conv_id")[0]), f, int(pc.sum(t.column("span")).as_py()))
+        )
+    file_info.sort(key=lambda x: x[0])
+
+    # rewrite with global conv_offset (per-file task-parallelizable; file
+    # count is small so a driver loop over FILES is metadata-scale work)
+    base = 0
+    final_files = []
+    for i, (_, f, span_sum) in enumerate(file_info):
+        t = pq.read_table(f)
+        spans_np = t.column("span").to_numpy()
+        offsets = base + np.concatenate(([0], np.cumsum(spans_np)[:-1]))
+        out = t.append_column("conv_offset", pa.array(offsets, type=pa.int64()))
+        path = os.path.join(out_dir, f"conv-map-{i:05d}.parquet")
+        atomic_write_table(path, out)
+        final_files.append(path)
+        base += span_sum
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    info = {"n_docs_spanned": base, "files": final_files}
+    atomic_write_json(done_marker, info)
+    return info
+
+
+def load_conv_offsets(index_dir: str) -> Dict[str, int]:
+    """conv_id → conv_offset dict for broadcast (sandbox scale; at 10^10+
+    conversations this becomes a hash-bucketed map-side join keyed on
+    conv_id — same bucket pattern as stages/dedup.py)."""
+    out_dir = os.path.join(index_dir, "conv_map")
+    t = pq.read_table(out_dir, columns=["conv_id", "conv_offset"])
+    return dict(zip(t.column("conv_id").to_pylist(), t.column("conv_offset").to_pylist()))
+
+
+# --------------------------------------------------------------- ingest
+
+def _ingest_one_group(
+    group: Dict, conv_offsets_ref, index_dir: str
+) -> pa.Table:
+    """Read one group of transcript files → docs-{part}.parquet (atomic) →
+    summary row.  Validates turn density and per-turn text equality-by-
+    construction (text is carried through untouched)."""
+    part_id = int(group["part_id"])
+    files = list(group["files"])
+    man = Manifest(index_dir, "ingest")
+    lineage = {"files": files}
+    out_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
+    if man.is_done(part_id, lineage):
+        m = man.get(part_id)["metrics"]
+        return pa.table({k: [v] for k, v in m.items()})
+
+    t0 = time.time()
+    conv_offsets = ray.get(conv_offsets_ref)
+    tables = [pq.read_table(f, columns=["conv_id", "turn_idx", "role", "text", "ts"]) for f in files]
+    t = pa.concat_tables(tables)
+    import pandas as pd
+
+    conv = t.column("conv_id").to_pandas()
+    offs = conv.map(conv_offsets)
+    if offs.isna().any():
+        missing = conv[offs.isna()].iloc[0]
+        raise ValueError(f"conversation {missing!r} missing from conv_map")
+    doc_num = offs.to_numpy(dtype=np.int64) + t.column("turn_idx").to_numpy().astype(np.int64)
+    if len(np.unique(doc_num)) != len(doc_num):
+        raise ValueError(f"partition {part_id}: duplicate (conv_id, turn_idx) keys")
+    order = np.argsort(doc_num, kind="stable")
+    docs = pa.table(
+        {
+            "doc_num": pa.array(doc_num[order], type=pa.int64()),
+            "conv_id": t.column("conv_id").take(pa.array(order)),
+            "turn_idx": t.column("turn_idx").cast(pa.int32()).take(pa.array(order)),
+            "text": t.column("text").take(pa.array(order)),
+            "role": t.column("role").take(pa.array(order)),
+            "ts": t.column("ts").take(pa.array(order)),
+        }
+    )
+    atomic_write_table(out_path, docs)
+    metrics = {
+        "part_id": part_id,
+        "n_docs": docs.num_rows,
+        "doc_min": int(doc_num.min()) if len(doc_num) else 0,
+        "doc_max": int(doc_num.max()) if len(doc_num) else -1,
+        "ingest_sec": round(time.time() - t0, 3),
+    }
+    man.commit(part_id, [out_path], lineage, metrics)
+    return pa.table({k: [v] for k, v in metrics.items()})
+
+
+def ingest(
+    transcript_files: List[str],
+    index_dir: str,
+    cfg: BuildConfig,
+    files_per_part: int = 1,
+) -> List[Dict]:
+    """Phase 0: transcripts → doc-partitioned docs tables.
+
+    Partition = input file group (zero-shuffle path): assumes input files
+    hold contiguous conversation ranges, which log-structured transcript
+    stores do.  Partition doc ranges are validated for density below; badly
+    interleaved inputs should be pre-sorted once (documented assumption).
+    """
+    conv_offsets_ref = ray.put(load_conv_offsets(index_dir))
+    groups = [
+        {"part_id": i, "files": transcript_files[s : s + files_per_part]}
+        for i, s in enumerate(range(0, len(transcript_files), files_per_part))
+    ]
+
+    def run(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            yield _ingest_one_group(row, conv_offsets_ref, index_dir)
+
+    summaries = (
+        ray.data.from_items(groups)
+        .map_batches(run, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    # sparsity sanity: window structures size O(doc range); warn when a
+    # partition's doc range is far larger than its doc count
+    for s in summaries:
+        span = s["doc_max"] - s["doc_min"] + 1
+        if s["n_docs"] and span > 4 * s["n_docs"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "partition %s doc range sparse (%d docs over span %d); "
+                "consider sorting input by (conv_id, turn_idx)",
+                s["part_id"], s["n_docs"], span,
+            )
+    return sorted(summaries, key=lambda s: s["part_id"])
+
+
+# --------------------------------------------------------------- phase A
+
+def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Table:
+    """docs-{part} → postings-{part} (term-sorted) + dls-{part}; returns the
+    partition's term partials (term, df_partial, cf_partial)."""
+    man = Manifest(index_dir, "tokenize")
+    docs_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
+    postings_path = os.path.join(index_dir, "postings", f"postings-{part_id:05d}.parquet")
+    dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
+    lineage = {"docs": docs_path}
+
+    if man.is_done(part_id, lineage):
+        # resume: partials are recomputed from the committed postings (cheap
+        # columnar read; keeps the vocabulary phase stateless)
+        p = pq.read_table(postings_path, columns=["term", "tf"])
+        return term_partials_batch(p)
+
+    t0 = time.time()
+    tok = get_tokenizer(cfg.bm25)
+    docs = pq.read_table(docs_path, columns=["doc_num", "text"])
+    doc_nums = docs.column("doc_num").to_numpy()
+    texts = docs.column("text").to_pylist()
+
+    terms: List[str] = []
+    tfs: List[int] = []
+    row_doc: List[int] = []
+    row_dl: List[int] = []
+    dls = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        freqs = tok.get_term_frequencies(text or "")
+        if freqs:
+            dl = sum(freqs.values())
+            dls[i] = dl
+            terms.extend(freqs.keys())
+            tfs.extend(freqs.values())
+            row_doc.extend([int(doc_nums[i])] * len(freqs))
+            row_dl.extend([dl] * len(freqs))
+
+    postings = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_num": pa.array(row_doc, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(row_dl, type=pa.int64()),
+        }
+    ).sort_by([("term", "ascending"), ("doc_num", "ascending")])
+    atomic_write_table(postings_path, postings)
+    dls_t = pa.table(
+        {"doc_num": docs.column("doc_num"), "dl": pa.array(dls, type=pa.int64())}
+    )
+    atomic_write_table(dls_path, dls_t)
+    man.commit(
+        part_id,
+        [postings_path, dls_path],
+        lineage,
+        {
+            "part_id": part_id,
+            "n_docs": len(texts),
+            "n_postings": postings.num_rows,
+            "total_dl": int(dls.sum()),
+            "tokenize_sec": round(time.time() - t0, 3),
+        },
+    )
+    return term_partials_batch(postings)
+
+
+def tokenize_phase(part_ids: List[int], index_dir: str, cfg: BuildConfig) -> "ray.data.Dataset":
+    """Phase A as a streaming pipeline: partition specs → per-partition
+    tokenize tasks whose OUTPUT is the small partials table (postings/dls go
+    straight to parquet inside the task) → feeds the vocabulary groupby."""
+
+    def run(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            yield _tokenize_one_part(int(row["part_id"]), index_dir, cfg)
+
+    return ray.data.from_items([{"part_id": p} for p in part_ids]).map_batches(
+        run, batch_format="pyarrow", batch_size=1
+    )
+
+
+# --------------------------------------------------------------- phase B
+
+def vocabulary_phase(partials: "ray.data.Dataset", index_dir: str, n_docs: int) -> Dict[str, float]:
+    """Phase B: groupby(term) over per-partition partials → vocab parquet;
+    global stats.json.  The shuffle input is bounded by
+    (#partitions × per-partition vocabulary) — hot terms contribute one row
+    per partition, not one per document."""
+    vocab_dir = os.path.join(index_dir, "vocab")
+    import shutil
+
+    shutil.rmtree(vocab_dir, ignore_errors=True)
+    vocab = partials.groupby("term").aggregate(
+        Sum("df_partial", alias_name="df"), Sum("cf_partial", alias_name="cf")
+    )
+    vocab = vocab.sort("term")
+    vocab.write_parquet(vocab_dir)
+    total_dl = 0
+    n_terms = 0
+    for f in os.listdir(vocab_dir):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(vocab_dir, f), columns=["cf"])
+            n_terms += t.num_rows
+            if t.num_rows:
+                total_dl += int(pc.sum(t.column("cf")).as_py())
+    stats = {
+        "N": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+        "n_terms": n_terms,
+    }
+    atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
+    return stats
+
+
+# --------------------------------------------------------------- phase C
+
+def _encode_blocks_one_part(
+    part_id: int, index_dir: str, cfg: BuildConfig, avgdl: float
+) -> pa.Table:
+    """postings-{part} → blocks-{part}.parquet: aligned-window delta+varint
+    blocks with signed block-max metadata (min/max tf-norm; the idf-dependent
+    bound is taken at query time — negative idf uses the MIN, SURVEY §7
+    'negative IDF' hazard)."""
+    from oboyu_ray.state.codec import grouped_delta_encode, varint_byte_lengths, varint_encode
+
+    man = Manifest(index_dir, "blocks")
+    postings_path = os.path.join(index_dir, "postings", f"postings-{part_id:05d}.parquet")
+    blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
+    lineage = {"postings": postings_path, "avgdl": avgdl, "window_docs": cfg.window_docs}
+    if man.is_done(part_id, lineage):
+        m = man.get(part_id)["metrics"]
+        return pa.table({k: [v] for k, v in m.items()})
+
+    t0 = time.time()
+    p = pq.read_table(postings_path)
+    n = p.num_rows
+    W = cfg.window_docs
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+
+    if n == 0:
+        empty = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "win": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int32()),
+                "docs": pa.array([], type=pa.binary()),
+                "tfs": pa.array([], type=pa.binary()),
+                "max_tfnorm": pa.array([], type=pa.float64()),
+                "min_tfnorm": pa.array([], type=pa.float64()),
+            }
+        )
+        atomic_write_table(blocks_path, empty)
+        metrics = {"part_id": part_id, "n_blocks": 0, "n_postings": 0,
+                   "payload_bytes": 0, "encode_sec": round(time.time() - t0, 3)}
+        man.commit(part_id, [blocks_path], lineage, metrics)
+        return pa.table({k: [v] for k, v in metrics.items()})
+
+    term_arr = p.column("term")
+    doc = p.column("doc_num").to_numpy().astype(np.int64)
+    tf = p.column("tf").to_numpy().astype(np.float64)
+    dl = p.column("dl").to_numpy().astype(np.float64)
+
+    # group key = (term, window); postings are sorted by (term, doc_num) so
+    # groups are contiguous runs
+    win = doc // W
+    term_codes = term_arr.dictionary_encode().combine_chunks().indices.to_numpy().astype(np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (term_codes[1:] != term_codes[:-1]) | (win[1:] != win[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    counts = (ends - starts).astype(np.int32)
+
+    # per-entry exact tf-norm (float64, same expression as query-time
+    # scoring, so the stored block bound can never be below a real score)
+    tfnorm = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+    max_tfnorm = np.maximum.reduceat(tfnorm, starts)
+    min_tfnorm = np.minimum.reduceat(tfnorm, starts)
+
+    # one vectorized varint pass over ALL groups, then slice per group
+    bases = (win[starts] * W).astype(np.int64)
+    doc_gaps = grouped_delta_encode(doc, starts, bases)
+    doc_payload = np.frombuffer(varint_encode(doc_gaps), dtype=np.uint8)
+    doc_lens = varint_byte_lengths(doc_gaps)
+    doc_ends = np.cumsum(doc_lens)
+    doc_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    doc_off[1:] = doc_ends[ends - 1]
+
+    tf_u = tf.astype(np.uint64)
+    tf_payload = np.frombuffer(varint_encode(tf_u), dtype=np.uint8)
+    tf_lens = varint_byte_lengths(tf_u)
+    tf_ends = np.cumsum(tf_lens)
+    tf_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    tf_off[1:] = tf_ends[ends - 1]
+
+    # store tf-norm inputs too: dl varints ride with tfs for exact rescoring
+    dl_u = dl.astype(np.uint64)
+    dl_payload = np.frombuffer(varint_encode(dl_u), dtype=np.uint8)
+    dl_lens = varint_byte_lengths(dl_u)
+    dl_ends = np.cumsum(dl_lens)
+    dl_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    dl_off[1:] = dl_ends[ends - 1]
+
+    def binary_from(payload: np.ndarray, offsets: np.ndarray) -> pa.Array:
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(offsets) - 1,
+            [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(payload)],
+        )
+
+    blocks = pa.table(
+        {
+            "term": term_arr.take(pa.array(starts)),
+            "win": pa.array(win[starts], type=pa.int64()),
+            "n": pa.array(counts, type=pa.int32()),
+            "docs": binary_from(doc_payload, doc_off),
+            "tfs": binary_from(tf_payload, tf_off),
+            "dls": binary_from(dl_payload, dl_off),
+            "max_tfnorm": pa.array(max_tfnorm, type=pa.float64()),
+            "min_tfnorm": pa.array(min_tfnorm, type=pa.float64()),
+        }
+    )
+    atomic_write_table(blocks_path, blocks)
+    payload_bytes = int(doc_off[-1] + tf_off[-1] + dl_off[-1])
+    metrics = {
+        "part_id": part_id,
+        "n_blocks": len(starts),
+        "n_postings": n,
+        "payload_bytes": payload_bytes,
+        "encode_sec": round(time.time() - t0, 3),
+    }
+    man.commit(part_id, [blocks_path], lineage, metrics)
+    return pa.table({k: [v] for k, v in metrics.items()})
+
+
+def blocks_phase(part_ids: List[int], index_dir: str, cfg: BuildConfig, avgdl: float) -> List[Dict]:
+    def run(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            yield _encode_blocks_one_part(int(row["part_id"]), index_dir, cfg, avgdl)
+
+    return (
+        ray.data.from_items([{"part_id": p} for p in part_ids])
+        .map_batches(run, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+
+
+# --------------------------------------------------------------- driver
+
+def build_index(
+    transcript_files: List[str],
+    index_dir: str,
+    cfg: BuildConfig = DEFAULT_BUILD_CONFIG,
+    files_per_part: int = 1,
+) -> Dict[str, object]:
+    """End-to-end build; returns the build report (also written to
+    build_report.json).  Re-running after a crash resumes from committed
+    per-partition manifests."""
+    os.makedirs(index_dir, exist_ok=True)
+    _dirs(index_dir)
+    t0 = time.time()
+
+    conv_info = build_conv_map(transcript_files, index_dir)
+    t_conv = time.time()
+
+    summaries = ingest(transcript_files, index_dir, cfg, files_per_part)
+    n_docs = int(sum(s["n_docs"] for s in summaries))
+    part_ids = [int(s["part_id"]) for s in summaries]
+    t_ingest = time.time()
+
+    partials = tokenize_phase(part_ids, index_dir, cfg)
+    stats = vocabulary_phase(partials, index_dir, n_docs)
+    t_vocab = time.time()
+
+    block_stats = blocks_phase(part_ids, index_dir, cfg, float(stats["avgdl"]))
+    t_blocks = time.time()
+
+    report = {
+        "n_docs": n_docs,
+        "n_parts": len(part_ids),
+        "n_terms": stats["n_terms"],
+        "total_postings": int(sum(b["n_postings"] for b in block_stats)),
+        "payload_bytes": int(sum(b["payload_bytes"] for b in block_stats)),
+        "stats": stats,
+        "config": asdict(cfg),
+        "timings_sec": {
+            "conv_map": round(t_conv - t0, 3),
+            "ingest": round(t_ingest - t_conv, 3),
+            "tokenize_vocab": round(t_vocab - t_ingest, 3),
+            "blocks": round(t_blocks - t_vocab, 3),
+            "total": round(t_blocks - t0, 3),
+        },
+        "parts": [int(p) for p in part_ids],
+        "part_summaries": [
+            {k: (int(v) if isinstance(v, (int, np.integer)) else v) for k, v in s.items()}
+            for s in summaries
+        ],
+    }
+    atomic_write_json(os.path.join(index_dir, "build_report.json"), report)
+    return report

@@ -1,0 +1,190 @@
+"""Query engine facade: shard actor pool + driver-side merge + hydration.
+
+Query lifecycle (SURVEY §3.4): driver tokenizes the query with the same
+conformance tokenizer as indexing → looks up df for the query's terms in the
+vocabulary → computes signed per-term weights (idf × multiplicity) → fans
+out to the shard actors (each holding a document-partition range) → merges
+per-shard exact top-k by (score DESC, doc_num ASC) → optionally hydrates
+(conv_id, turn_idx, text) from the docs parquet (J2 broadcast-small-side
+lookup: the top-k id list is tiny).
+
+Vocabulary lookup is a driver-side point lookup: the vocab parquet is
+term-sorted, so at scale the df of ≤~10 query terms is a predicate-pushdown
+read over row groups; below ``VOCAB_INMEM_LIMIT`` rows it is simply loaded
+into a dict once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray
+
+from oboyu_ray.config import BM25Config, BuildConfig
+from oboyu_ray.stages.postings import get_tokenizer
+from oboyu_ray.stages.stats import idf
+from oboyu_ray.state.shards import IndexShard, _merge_topk
+
+VOCAB_INMEM_LIMIT = 5_000_000
+
+
+class VocabLookup:
+    """df lookup for query terms — in-memory dict for small vocabularies,
+    filtered parquet reads (term-sorted row groups) beyond."""
+
+    def __init__(self, vocab_dir: str) -> None:
+        self.vocab_dir = vocab_dir
+        files = [
+            os.path.join(vocab_dir, f)
+            for f in sorted(os.listdir(vocab_dir))
+            if f.endswith(".parquet")
+        ]
+        self.files = files
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        self.n_terms = total
+        self._map: Optional[Dict[str, int]] = None
+        if total <= VOCAB_INMEM_LIMIT:
+            m: Dict[str, int] = {}
+            for f in files:
+                t = pq.read_table(f, columns=["term", "df"])
+                m.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+            self._map = m
+
+    def df(self, terms: Sequence[str]) -> Dict[str, int]:
+        if self._map is not None:
+            return {t: self._map.get(t, 0) for t in terms}
+        out = {t: 0 for t in terms}
+        tset = list(set(terms))
+        for f in self.files:
+            t = pq.read_table(f, columns=["term", "df"], filters=[("term", "in", tset)])
+            out.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+        return out
+
+
+class ConvResolver:
+    """doc_num ↔ (conv_id, turn_idx) via the conv_map offsets (searchsorted
+    over the sorted conv_offset array; at 10^10 conversations this becomes a
+    range read over the conv_map parquet, same layout)."""
+
+    def __init__(self, index_dir: str) -> None:
+        t = pq.read_table(
+            os.path.join(index_dir, "conv_map"), columns=["conv_id", "conv_offset"]
+        )
+        order = np.argsort(t.column("conv_offset").to_numpy())
+        self.offsets = t.column("conv_offset").to_numpy()[order]
+        self.conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)[order]
+
+    def resolve(self, doc_nums: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        ix = np.searchsorted(self.offsets, doc_nums, side="right") - 1
+        conv = self.conv_ids[ix]
+        turn = doc_nums - self.offsets[ix]
+        return conv, turn.astype(np.int64)
+
+
+class QueryEngine:
+    """Facade over the shard actor pool.  Create once, query many times."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_shards: Optional[int] = None,
+        cfg: Optional[BM25Config] = None,
+    ) -> None:
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        with open(os.path.join(index_dir, "build_report.json")) as f:
+            self.report = json.load(f)
+        self.cfg = cfg or BM25Config()
+        bc = self.report.get("config", {}).get("bm25", {})
+        self.k1 = float(bc.get("k1", self.cfg.k1))
+        self.b = float(bc.get("b", self.cfg.b))
+        self.window_docs = int(self.report.get("config", {}).get("window_docs", 8192))
+        self.vocab = VocabLookup(os.path.join(index_dir, "vocab"))
+        self.resolver = ConvResolver(index_dir)
+        self.tokenizer = get_tokenizer(self.cfg)
+
+        parts = [int(p) for p in self.report["parts"]]
+        if num_shards is None:
+            avail = int(ray.available_resources().get("CPU", 4))
+            num_shards = max(1, min(len(parts), avail))
+        assign: List[List[int]] = [parts[i::num_shards] for i in range(num_shards)]
+        assign = [a for a in assign if a]
+        Shard = ray.remote(IndexShard)
+        self.actors = [
+            Shard.options(num_cpus=1).remote(index_dir, a, self.window_docs)
+            for a in assign
+        ]
+        avgdl = float(self.stats["avgdl"]) or 1.0
+        ray.get([a.configure.remote(self.k1, self.b, avgdl) for a in self.actors])
+
+    # ------------------------------------------------------------ querying
+
+    def term_weights(self, terms: List[str]) -> Dict[str, float]:
+        """idf × multiplicity per unique term (duplicate query terms double-
+        count, reference bm25_indexer.py:332)."""
+        n = int(self.stats["N"])
+        dfs = self.vocab.df(terms)
+        weights: Dict[str, float] = {}
+        for t in terms:
+            if dfs.get(t, 0) > 0:
+                weights[t] = weights.get(t, 0.0) + idf(int(dfs[t]), n)
+        return weights
+
+    def search_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
+        weights = self.term_weights(terms)
+        if not weights:
+            return pd.DataFrame(
+                {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+            )
+        refs = [a.query.remote(weights, k) for a in self.actors]
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in ray.get(refs):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+
+    def search(self, query: str, k: int = 10, hydrate: bool = False) -> pd.DataFrame:
+        terms = self.tokenizer.tokenize(query)
+        out = self.search_terms(terms, k)
+        if len(out):
+            conv, turn = self.resolver.resolve(out["doc_num"].to_numpy())
+            out = out.assign(conv_id=conv, turn_idx=turn)
+            out["doc_id"] = [
+                f"{c}:{t:08d}" for c, t in zip(out["conv_id"], out["turn_idx"])
+            ]
+        else:
+            out = out.assign(conv_id=pd.Series(dtype=object),
+                             turn_idx=pd.Series(dtype=np.int64),
+                             doc_id=pd.Series(dtype=object))
+        if hydrate and len(out):
+            out = self._hydrate(out)
+        return out
+
+    def _hydrate(self, out: pd.DataFrame) -> pd.DataFrame:
+        """Attach turn text via point lookups on the partitioned docs parquet
+        (only the top-k ids are read — row-group predicate pushdown)."""
+        texts: Dict[int, str] = {}
+        doc_nums = out["doc_num"].tolist()
+        for s in self.report.get("part_summaries", []):
+            lo, hi = s["doc_min"], s["doc_max"]
+            wanted = [d for d in doc_nums if lo <= d <= hi]
+            if not wanted:
+                continue
+            path = os.path.join(self.index_dir, "docs", f"docs-{int(s['part_id']):05d}.parquet")
+            t = pq.read_table(path, columns=["doc_num", "text"],
+                              filters=[("doc_num", "in", wanted)])
+            texts.update(zip(t.column("doc_num").to_pylist(), t.column("text").to_pylist()))
+        out = out.assign(text=[texts.get(d) for d in doc_nums])
+        return out
+
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,197 @@
+"""End-to-end engine tests: build the compressed index over synthetic
+transcripts, query via shard actors with block-max pruning, and assert
+rank-identity against (a) the Dataset-native brute-force scorer and (b) the
+reference BM25Indexer oracle.  Plus resume and determinism properties."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from oboyu_ray.config import BM25Config, BuildConfig
+from oboyu_ray.pipelines.bm25_batch import brute_force_scores, tokenize_queries
+from oboyu_ray.pipelines.build_index import build_index
+from oboyu_ray.pipelines.query import QueryEngine
+from oboyu_ray.sources.transcripts import write_synth_transcripts
+from tests.reference_oracle import load_reference
+
+REF = load_reference()
+CFG = BM25Config()
+
+N_CONVS = 300
+QUERIES = [
+    "検索 インデックス",
+    "python model",
+    "です",            # hot term → negative idf likely
+    "compress 圧縮 decode",
+    "zzz_nohit",
+    "token",
+    "データ 処理 分散",
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    base = tmp_path_factory.mktemp("engine")
+    data_dir = str(base / "transcripts")
+    index_dir = str(base / "index")
+    files = write_synth_transcripts(data_dir, n_convs=N_CONVS, seed=11, convs_per_file=50)
+    cfg = BuildConfig(window_docs=256)  # small windows → pruning actually exercised
+    report = build_index(files, index_dir, cfg, files_per_part=2)
+    return {"files": files, "index_dir": index_dir, "report": report, "cfg": cfg}
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    eng = QueryEngine(built["index_dir"], num_shards=2)
+    yield eng
+    eng.close()
+
+
+def load_pairs(files):
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return [
+        (f"{c}:{ti:08d}", x)
+        for c, ti, x in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
+        )
+    ]
+
+
+def test_report_sanity(built):
+    r = built["report"]
+    assert r["n_docs"] > 1000
+    assert r["n_terms"] > 50
+    assert r["total_postings"] > r["n_terms"]
+    # compression: payload bytes well under raw 8B/posting for docs alone
+    assert r["payload_bytes"] < r["total_postings"] * 24
+
+
+def test_docs_text_equality_with_source(built):
+    """North-rule invariant: per-turn text byte-equality under stable
+    (conv_id, turn_idx) ordering."""
+    src = pa.concat_tables([pq.read_table(f) for f in built["files"]])
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs = pa.concat_tables(
+        [pq.read_table(os.path.join(docs_dir, f)) for f in sorted(os.listdir(docs_dir))]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert docs.num_rows == src.num_rows
+    assert docs.column("text").to_pylist() == src.column("text").to_pylist()
+    assert docs.column("conv_id").to_pylist() == src.column("conv_id").to_pylist()
+    # doc_num is dense 0..N-1 (conversation offsets + dense turn_idx)
+    dn = np.sort(docs.column("doc_num").to_numpy())
+    assert np.array_equal(dn, np.arange(len(dn)))
+
+
+def test_stats_match_reference(built):
+    pairs = load_pairs(built["files"])
+    ridx = REF.BM25Indexer()
+    ridx.index_chunks([REF.make_chunk(i, c) for i, c in pairs])
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    assert stats["N"] == ridx.document_count
+    assert stats["total_dl"] == ridx.total_document_length
+    assert stats["n_terms"] == len(ridx.document_frequencies)
+
+
+def test_wand_matches_brute_force(built, engine):
+    """The compressed/pruned path must be score-exact vs the Dataset brute
+    force (same float64 expression, candidate-set semantics)."""
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    queries = tokenize_queries(QUERIES, CFG)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    brute = brute_force_scores(
+        docs_ds, queries, CFG, id_col="doc_num", text_col="text",
+        stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+    )
+    k = 12
+    for q, terms in queries.items():
+        b = brute[brute.query_id == q]
+        b = b.sort_values(["score", "doc_num"], ascending=[False, True], kind="mergesort")
+        got = engine.search_terms(terms, k=k)
+        expect = b.head(k)
+        assert len(got) == min(k, len(b)), q
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), q
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), expect["score"].to_numpy(), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_engine_matches_reference_oracle(built, engine):
+    """Rank-identical top-k docIDs + scores vs the reference BM25Indexer."""
+    pairs = load_pairs(built["files"])
+    ridx = REF.BM25Indexer()
+    ridx.index_chunks([REF.make_chunk(i, c) for i, c in pairs])
+    tf_by_doc = {}
+    for term, postings in ridx.inverted_index.items():
+        for e in postings:
+            tf_by_doc.setdefault(e[0], {})[term] = e[1]
+    k = 10
+    for q in QUERIES:
+        terms = engine.tokenizer.tokenize(q)
+        # candidate set = union of posting lists (DAAT semantics)
+        cand = {e[0] for t in terms for e in ridx.inverted_index.get(t, [])}
+        scored = sorted(
+            ((d, ridx.score(terms, d, tf_by_doc.get(d, {}))) for d in cand),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        got = engine.search(q, k=k)
+        assert got["doc_id"].tolist() == [d for d, _ in scored], q
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [s for _, s in scored], rtol=1e-9, atol=1e-12
+        )
+
+
+def test_hydration(engine):
+    got = engine.search("python model", k=5, hydrate=True)
+    assert len(got) == 5
+    assert got["text"].notna().all()
+    low = got["text"].str.lower()
+    assert (low.str.contains("python") | low.str.contains("model")).all()
+
+
+def test_resume_is_noop_and_deterministic(built):
+    """Re-running the build skips all committed partitions and leaves
+    byte-identical artifacts."""
+    index_dir = built["index_dir"]
+    blocks_dir = os.path.join(index_dir, "blocks")
+    before = {
+        f: open(os.path.join(blocks_dir, f), "rb").read()
+        for f in sorted(os.listdir(blocks_dir))
+    }
+    import time
+
+    t0 = time.time()
+    report2 = build_index(built["files"], index_dir, built["cfg"], files_per_part=2)
+    resumed_sec = time.time() - t0
+    assert report2["n_docs"] == built["report"]["n_docs"]
+    after = {
+        f: open(os.path.join(blocks_dir, f), "rb").read()
+        for f in sorted(os.listdir(blocks_dir))
+    }
+    assert before == after
+    assert resumed_sec < 60
+
+
+def test_resume_after_partial_failure(built, tmp_path):
+    """Delete one partition's outputs + manifest → rebuild regenerates ONLY
+    that partition, byte-identical to the original."""
+    index_dir = str(tmp_path / "index2")
+    shutil.copytree(built["index_dir"], index_dir)
+    victim = built["report"]["parts"][1]
+    blocks_path = os.path.join(index_dir, "blocks", f"blocks-{victim:05d}.parquet")
+    original = open(blocks_path, "rb").read()
+    os.remove(blocks_path)
+    os.remove(os.path.join(index_dir, "manifests", "blocks", f"part-{victim}.json"))
+    build_index(built["files"], index_dir, built["cfg"], files_per_part=2)
+    regenerated = open(blocks_path, "rb").read()
+    assert regenerated == original
