@@ -57,6 +57,14 @@ class BuildConfig:
     window_docs: int = 8_192
     # tokenize stage sizing: stateless tasks, whole-block batches
     tokenize_batch_size: int | None = None
+    # vocabulary aggregation: term partials are hash-bucketed (stable crc32)
+    # into this many disjoint buckets at tokenize time; one task per bucket
+    # then does a C++ (pyarrow) group_by — a deterministic file-based
+    # two-phase aggregation instead of a Ray Data groupby shuffle (measured
+    # ~30x faster at sandbox scale, and each bucket is an independent,
+    # checkpointable unit).  At 10^6+ partitions add a combiner tree level
+    # (partials-of-partials per partition range) to bound files per bucket.
+    vocab_buckets: int = 32
     # hot-term threshold for reporting (skew is handled structurally by
     # document partitioning; this only drives the skew report in metrics)
     hot_term_df_ratio: float = 0.25

@@ -66,7 +66,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max
 
 from oboyu_ray.config import BuildConfig, DEFAULT_BUILD_CONFIG
 from oboyu_ray.stages.postings import get_tokenizer, term_partials_batch
@@ -87,7 +87,7 @@ DOCS_SCHEMA = pa.schema(
 def _dirs(index_dir: str) -> Dict[str, str]:
     d = {
         name: os.path.join(index_dir, name)
-        for name in ("docs", "postings", "dls", "blocks", "conv_map", "vocab")
+        for name in ("docs", "postings", "dls", "blocks", "conv_map", "vocab", "vocab_partials")
     }
     for p in d.values():
         os.makedirs(p, exist_ok=True)
@@ -99,12 +99,16 @@ def _dirs(index_dir: str) -> Dict[str, str]:
 def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
     """Conversation → starting doc_num offsets.
 
-    groupby(conv_id) over the transcripts (the only conv-level shuffle),
-    span = max(turn_idx)+1, sorted by conv_id; per-output-file base offsets
-    are prefix sums over file-level span totals (file order recovered from
-    parquet min-conv_id statistics, so no driver-side row loop).  doc_num =
-    conv_offset + turn_idx is dense iff turn_idx is dense per conversation
-    (validated in ingest).
+    Fast path (zero-shuffle): input files hold disjoint conversation ranges
+    (the same assumption ingest documents for log-structured transcript
+    stores).  Per-file map tasks compute local (conv_id, span) tables +
+    prefix offsets in parallel; the driver prefix-sums the tiny per-file
+    span totals and a second parallel pass stamps the global base offset.
+    Cost: two streaming passes over conv-level metadata, no all-to-all.
+
+    Fallback (files interleave conversations, detected by overlapping
+    per-file conv_id ranges): global groupby(conv_id) + sort — the only
+    conv-level shuffle in the engine, over ~1/100th of turn rows.
     """
     out_dir = os.path.join(index_dir, "conv_map")
     done_marker = os.path.join(out_dir, "_DONE.json")
@@ -112,6 +116,104 @@ def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, obj
         with open(done_marker) as f:
             return json.load(f)
 
+    fast = _build_conv_map_disjoint(transcript_files, index_dir)
+    if fast is not None:
+        atomic_write_json(done_marker, fast)
+        return fast
+    return _build_conv_map_shuffle(transcript_files, index_dir)
+
+
+def _build_conv_map_disjoint(
+    transcript_files: List[str], index_dir: str
+) -> Optional[Dict[str, object]]:
+    """Per-file spans + driver prefix-sum; returns None when per-file
+    conversation ranges overlap (caller falls back to the shuffle path)."""
+    out_dir = os.path.join(index_dir, "conv_map")
+    local_dir = out_dir + ".local"
+    os.makedirs(local_dir, exist_ok=True)
+
+    def spans_one_file(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            i, f = int(row["i"]), row["file"]
+            t = pq.read_table(f, columns=["conv_id", "turn_idx"])
+            g = (
+                t.group_by("conv_id")
+                .aggregate([("turn_idx", "max"), ("turn_idx", "count")])
+                .sort_by("conv_id")
+            )
+            span = pc.add(g.column("turn_idx_max").cast(pa.int64()), 1)
+            local = pa.table(
+                {
+                    "conv_id": g.column("conv_id"),
+                    "span": span,
+                    "n_turns": g.column("turn_idx_count").cast(pa.int64()),
+                }
+            )
+            spans_np = local.column("span").to_numpy().astype(np.int64)
+            offsets = (
+                np.concatenate(([0], np.cumsum(spans_np)[:-1]))
+                if len(spans_np)
+                else np.zeros(0, dtype=np.int64)
+            )
+            local = local.append_column("local_offset", pa.array(offsets, type=pa.int64()))
+            path = os.path.join(local_dir, f"local-{i:05d}.parquet")
+            atomic_write_table(path, local)
+            yield pa.table(
+                {
+                    "i": [i],
+                    "path": [path],
+                    "min_conv": [str(local.column("conv_id")[0]) if local.num_rows else ""],
+                    "max_conv": [str(local.column("conv_id")[-1]) if local.num_rows else ""],
+                    "span_sum": [int(spans_np.sum()) if len(spans_np) else 0],
+                    "n_convs": [local.num_rows],
+                }
+            )
+
+    items = [{"i": i, "file": f} for i, f in enumerate(transcript_files)]
+    summaries = (
+        ray.data.from_items(items)
+        .map_batches(spans_one_file, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    summaries = [s for s in summaries if s["n_convs"] > 0]
+    summaries.sort(key=lambda s: s["min_conv"])
+    for a, b in zip(summaries, summaries[1:]):
+        if b["min_conv"] <= a["max_conv"]:  # overlapping conv ranges
+            import shutil
+
+            shutil.rmtree(local_dir, ignore_errors=True)
+            return None
+
+    base = 0
+    stamped = []
+    for rank, s in enumerate(summaries):
+        stamped.append({"rank": rank, "path": s["path"], "base": base})
+        base += int(s["span_sum"])
+
+    def stamp(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"])
+            off = pc.add(t.column("local_offset"), int(row["base"]))
+            out = t.drop_columns(["local_offset"]).append_column("conv_offset", off)
+            path = os.path.join(out_dir, f"conv-map-{int(row['rank']):05d}.parquet")
+            atomic_write_table(path, out)
+            yield pa.table({"path": [path]})
+
+    final_files = [
+        r["path"]
+        for r in ray.data.from_items(stamped)
+        .map_batches(stamp, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    ]
+    import shutil
+
+    shutil.rmtree(local_dir, ignore_errors=True)
+    return {"n_docs_spanned": base, "files": sorted(final_files)}
+
+
+def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
+    out_dir = os.path.join(index_dir, "conv_map")
+    done_marker = os.path.join(out_dir, "_DONE.json")
     ds = ray.data.read_parquet(transcript_files, columns=["conv_id", "turn_idx"])
     spans = (
         ds.groupby("conv_id")
@@ -278,20 +380,54 @@ def ingest(
 
 # --------------------------------------------------------------- phase A
 
+def _vocab_bucket_ids(terms: List[str], n_buckets: int) -> np.ndarray:
+    """Stable (cross-run, cross-version) term → bucket assignment."""
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+def _write_bucketed_partials(
+    partials: pa.Table, part_id: int, index_dir: str, n_buckets: int
+) -> List[str]:
+    """Split a partition's term partials by stable term hash and write one
+    file per non-empty bucket (the map side of the two-phase vocabulary
+    aggregation — disjoint buckets replace the groupby shuffle)."""
+    out_dir = os.path.join(index_dir, "vocab_partials")
+    os.makedirs(out_dir, exist_ok=True)
+    if partials.num_rows == 0:
+        return []
+    buckets = _vocab_bucket_ids(partials.column("term").to_pylist(), n_buckets)
+    order = np.argsort(buckets, kind="stable")
+    sorted_t = partials.take(pa.array(order))
+    sb = buckets[order]
+    starts = np.flatnonzero(np.concatenate(([True], sb[1:] != sb[:-1])))
+    ends = np.concatenate((starts[1:], [len(sb)]))
+    paths = []
+    for s, e in zip(starts, ends):
+        b = int(sb[s])
+        path = os.path.join(out_dir, f"b{b:04d}-p{part_id:05d}.parquet")
+        atomic_write_table(path, sorted_t.slice(s, e - s))
+        paths.append(path)
+    return paths
+
+
 def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Table:
-    """docs-{part} → postings-{part} (term-sorted) + dls-{part}; returns the
-    partition's term partials (term, df_partial, cf_partial)."""
+    """docs-{part} → postings-{part} (term-sorted) + dls-{part} + bucketed
+    term partials; returns the partition summary row."""
     man = Manifest(index_dir, "tokenize")
     docs_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
     postings_path = os.path.join(index_dir, "postings", f"postings-{part_id:05d}.parquet")
     dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
-    lineage = {"docs": docs_path}
+    lineage = {"docs": docs_path, "vocab_buckets": cfg.vocab_buckets}
 
     if man.is_done(part_id, lineage):
-        # resume: partials are recomputed from the committed postings (cheap
-        # columnar read; keeps the vocabulary phase stateless)
-        p = pq.read_table(postings_path, columns=["term", "tf"])
-        return term_partials_batch(p)
+        m = man.get(part_id)["metrics"]
+        return pa.table({k: [v] for k, v in m.items()})
 
     t0 = time.time()
     tok = get_tokenizer(cfg.bm25)
@@ -327,64 +463,109 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
         {"doc_num": docs.column("doc_num"), "dl": pa.array(dls, type=pa.int64())}
     )
     atomic_write_table(dls_path, dls_t)
-    man.commit(
-        part_id,
-        [postings_path, dls_path],
-        lineage,
-        {
-            "part_id": part_id,
-            "n_docs": len(texts),
-            "n_postings": postings.num_rows,
-            "total_dl": int(dls.sum()),
-            "tokenize_sec": round(time.time() - t0, 3),
-        },
+    partial_paths = _write_bucketed_partials(
+        term_partials_batch(postings), part_id, index_dir, cfg.vocab_buckets
     )
-    return term_partials_batch(postings)
+    metrics = {
+        "part_id": part_id,
+        "n_docs": len(texts),
+        "n_postings": postings.num_rows,
+        "total_dl": int(dls.sum()),
+        "tokenize_sec": round(time.time() - t0, 3),
+    }
+    man.commit(part_id, [postings_path, dls_path] + partial_paths, lineage, metrics)
+    return pa.table({k: [v] for k, v in metrics.items()})
 
 
-def tokenize_phase(part_ids: List[int], index_dir: str, cfg: BuildConfig) -> "ray.data.Dataset":
-    """Phase A as a streaming pipeline: partition specs → per-partition
-    tokenize tasks whose OUTPUT is the small partials table (postings/dls go
-    straight to parquet inside the task) → feeds the vocabulary groupby."""
+def tokenize_phase(part_ids: List[int], index_dir: str, cfg: BuildConfig) -> List[Dict]:
+    """Phase A: partition specs → per-partition tokenize tasks.  Postings,
+    dls and hash-bucketed term partials go straight to parquet inside the
+    task; only the small summary rows come back."""
 
     def run(batch: pa.Table) -> Iterator[pa.Table]:
         for row in batch.to_pylist():
             yield _tokenize_one_part(int(row["part_id"]), index_dir, cfg)
 
-    return ray.data.from_items([{"part_id": p} for p in part_ids]).map_batches(
-        run, batch_format="pyarrow", batch_size=1
+    return (
+        ray.data.from_items([{"part_id": p} for p in part_ids])
+        .map_batches(run, batch_format="pyarrow", batch_size=1)
+        .take_all()
     )
 
 
 # --------------------------------------------------------------- phase B
 
-def vocabulary_phase(partials: "ray.data.Dataset", index_dir: str, n_docs: int) -> Dict[str, float]:
-    """Phase B: groupby(term) over per-partition partials → vocab parquet;
-    global stats.json.  The shuffle input is bounded by
-    (#partitions × per-partition vocabulary) — hot terms contribute one row
-    per partition, not one per document."""
-    vocab_dir = os.path.join(index_dir, "vocab")
-    import shutil
-
-    shutil.rmtree(vocab_dir, ignore_errors=True)
-    vocab = partials.groupby("term").aggregate(
-        Sum("df_partial", alias_name="df"), Sum("cf_partial", alias_name="cf")
+def _vocab_one_bucket(bucket: int, index_dir: str) -> pa.Table:
+    """Reduce side of the vocabulary aggregation: merge one disjoint term
+    bucket's partials with a C++ group_by, term-sorted output."""
+    man = Manifest(index_dir, "vocab")
+    pdir = os.path.join(index_dir, "vocab_partials")
+    files = sorted(
+        os.path.join(pdir, f)
+        for f in os.listdir(pdir)
+        if f.startswith(f"b{bucket:04d}-") and f.endswith(".parquet")
     )
-    vocab = vocab.sort("term")
-    vocab.write_parquet(vocab_dir)
-    total_dl = 0
-    n_terms = 0
-    for f in os.listdir(vocab_dir):
-        if f.endswith(".parquet"):
-            t = pq.read_table(os.path.join(vocab_dir, f), columns=["cf"])
-            n_terms += t.num_rows
-            if t.num_rows:
-                total_dl += int(pc.sum(t.column("cf")).as_py())
+    out_path = os.path.join(index_dir, "vocab", f"vocab-{bucket:05d}.parquet")
+    lineage = {"files": files}
+    key = f"bucket-{bucket}"
+    if man.is_done(key, lineage):
+        m = man.get(key)["metrics"]
+        return pa.table({k: [v] for k, v in m.items()})
+
+    if files:
+        parts = pa.concat_tables(pq.read_table(f) for f in files)
+        g = (
+            parts.group_by("term")
+            .aggregate([("df_partial", "sum"), ("cf_partial", "sum")])
+            .sort_by("term")
+        )
+        vocab = pa.table(
+            {
+                "term": g.column("term"),
+                "df": g.column("df_partial_sum").cast(pa.int64()),
+                "cf": g.column("cf_partial_sum").cast(pa.int64()),
+            }
+        )
+    else:
+        vocab = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "cf": pa.array([], type=pa.int64()),
+            }
+        )
+    atomic_write_table(out_path, vocab)
+    metrics = {
+        "bucket": bucket,
+        "n_terms": vocab.num_rows,
+        "cf_sum": int(pc.sum(vocab.column("cf")).as_py() or 0) if vocab.num_rows else 0,
+    }
+    man.commit(key, [out_path], lineage, metrics)
+    return pa.table({k: [v] for k, v in metrics.items()})
+
+
+def vocabulary_phase(
+    index_dir: str, cfg: BuildConfig, n_docs: int, total_dl: int
+) -> Dict[str, float]:
+    """Phase B: per-bucket C++ group_by over the tokenize phase's bucketed
+    partials (disjoint term sets → embarrassingly parallel, no shuffle).
+    Any term's reduce fan-in is bounded by #partitions rows (partials are
+    pre-aggregated per partition), so hot terms cannot skew a bucket."""
+
+    def run(batch: pa.Table) -> Iterator[pa.Table]:
+        for row in batch.to_pylist():
+            yield _vocab_one_bucket(int(row["bucket"]), index_dir)
+
+    results = (
+        ray.data.from_items([{"bucket": b} for b in range(cfg.vocab_buckets)])
+        .map_batches(run, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
     stats = {
         "N": n_docs,
         "total_dl": total_dl,
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
-        "n_terms": n_terms,
+        "n_terms": int(sum(r["n_terms"] for r in results)),
     }
     atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     return stats
@@ -546,8 +727,9 @@ def build_index(
     part_ids = [int(s["part_id"]) for s in summaries]
     t_ingest = time.time()
 
-    partials = tokenize_phase(part_ids, index_dir, cfg)
-    stats = vocabulary_phase(partials, index_dir, n_docs)
+    tok_summaries = tokenize_phase(part_ids, index_dir, cfg)
+    total_dl = int(sum(s["total_dl"] for s in tok_summaries))
+    stats = vocabulary_phase(index_dir, cfg, n_docs, total_dl)
     t_vocab = time.time()
 
     block_stats = blocks_phase(part_ids, index_dir, cfg, float(stats["avgdl"]))

@@ -145,6 +145,44 @@ def write_synth_transcripts(
     return paths
 
 
+def write_synth_transcripts_parallel(
+    out_dir: str,
+    n_convs: int,
+    seed: int = 42,
+    convs_per_file: int = 2_000,
+) -> List[str]:
+    """Same corpus as ``write_synth_transcripts`` (identical bytes per file —
+    generation is a pure function of (seed, conv range)) but generated by
+    parallel Ray tasks.  Requires an initialised Ray session."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    ranges = []
+    paths = []
+    for start in range(0, n_convs, convs_per_file):
+        end = min(start + convs_per_file, n_convs)
+        path = os.path.join(out_dir, f"transcripts-{start:08d}-{end:08d}.parquet")
+        paths.append(path)
+        if not os.path.exists(path):
+            ranges.append({"start": start, "end": end, "path": path})
+    if ranges:
+        def gen(batch: pa.Table) -> Iterator[pa.Table]:
+            for row in batch.to_pylist():
+                tbl = synth_transcripts_table(seed, row["start"], row["end"])
+                tmp = row["path"] + ".tmp"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, row["path"])
+                yield pa.table({"path": [row["path"]], "rows": [tbl.num_rows]})
+
+        ray.data.from_items(ranges).map_batches(
+            gen, batch_format="pyarrow", batch_size=1
+        ).take_all()
+    return paths
+
+
 def synth_transcripts_dataset(n_convs: int, seed: int = 42, convs_per_block: int = 2_000):
     """Ray Dataset of synthetic transcripts, generated in parallel tasks
     (no driver-side materialization): a tiny dataset of conv ranges fans out
