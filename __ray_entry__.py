@@ -23,12 +23,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from oboyu_ray.pipelines.corpus_queries import corpus_queries
     from oboyu_ray.pipelines.entry_queries import core_queries
 
-    return {**core_queries()}
+    return {**core_queries(), **corpus_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from oboyu_ray.pipelines.corpus_queries import corpus_oracle_sql
     from oboyu_ray.pipelines.entry_queries import core_oracle_sql
 
-    return {**core_oracle_sql()}
+    return {**core_oracle_sql(), **corpus_oracle_sql()}

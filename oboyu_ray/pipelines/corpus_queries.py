@@ -1,0 +1,247 @@
+"""Training-data corpus operators as driver-contract queries + DuckDB oracles.
+
+Query families over the driver's ``documents`` / ``embeddings`` tables:
+text analysis (stats / quality / fingerprints), deduplication (exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine) and similarity
+search (brute-force + LSH).  SQL-expressible operators carry an oracle with
+byte-identical semantics (same regexes, same double expressions, fixed-point
+micros); the probabilistic/bit-twiddling ones (MinHash, SimHash, LSH probe,
+multimodal decode) are rows-only checked by the driver and pinned by pytest
+instead (subset/recall assertions against their exact counterparts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from oboyu_ray.stages import dedup, multimodal, simsearch, textstats
+
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.4
+TOPK = 10
+QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _embs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_text_stats(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(textstats.text_stats_batch, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = rf"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}'))::BIGINT AS n_word_tokens,
+       len(regexp_extract_all(text, '{textstats.JP_KANA_SQL}'))::BIGINT AS n_kana,
+       len(regexp_extract_all(text, '{textstats.CJK_SQL}'))::BIGINT AS n_cjk,
+       CASE WHEN len(regexp_extract_all(text, '{textstats.JP_KANA_SQL}')) > 0 THEN 'ja'
+            WHEN len(regexp_extract_all(text, '{textstats.CJK_SQL}')) > 0 THEN 'zh'
+            ELSE 'en' END AS lang
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
+
+
+_QSW = ", ".join(f"'{w}'" for w in textstats.QUALITY_STOPWORDS)
+
+SQL_TEXT_QUALITY = rf"""
+WITH w AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS words
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CASE WHEN len(words) > 0
+                THEN len(list_filter(words, x -> x IN ({_QSW})))::DOUBLE / len(words)
+                ELSE 0.0 END AS stop_ratio,
+           least(n_chars, 500) / 500.0 AS len_score
+    FROM w
+)
+SELECT doc_id,
+       CAST(floor(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micros,
+       CAST(floor(len_score * 1e6 + 0.5) AS BIGINT) AS len_score_micros,
+       CAST(floor((0.5 * len_score + 0.5 * (1.0 - least(stop_ratio, 0.5))) * 1e6 + 0.5) AS BIGINT)
+           AS quality_micros
+FROM r
+"""
+
+
+def q_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+
+
+_W = textstats.WINNOW_WINDOW
+
+SQL_TEXT_FINGERPRINT = rf"""
+WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, norm,
+           unnest(range(1, greatest(length(norm) - {_W - 2}, 2))) AS i
+    FROM n
+),
+win AS (
+    SELECT doc_id, min(md5(substr(norm, i::INT, {_W}))) AS wfp
+    FROM pos GROUP BY doc_id
+)
+SELECT n.doc_id, md5(n.norm) AS fingerprint, win.wfp AS winnow_fingerprint
+FROM n JOIN win ON n.doc_id = win.doc_id
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS key,
+       min(doc_id) AS doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+
+
+SQL_DEDUP_NGRAM_JACCARD = rf"""
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tri
+    FROM d WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(ni::DOUBLE / (ca.n + cb.n - ni) * 1e6 + 0.5) AS BIGINT) AS jaccard_micros
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= {JACCARD_TAU}
+"""
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    # probabilistic candidate recall -> rows-only driver check; pytest
+    # asserts subset-of-exact + high recall vs ngram_jaccard_pairs
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    return dedup.simhash_pairs(_docs(sf_dir), hamming_max=3)
+
+
+def q_dedup_embedding_cosine(sf_dir: str) -> pd.DataFrame:
+    return dedup.embedding_cosine_pairs(_embs(sf_dir), tau=COSINE_TAU)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) AS BIGINT) AS cos_micros
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_TAU}
+"""
+
+
+# ---------------------------------------------------------------- similarity search
+
+def q_simsearch_topk(sf_dir: str) -> pd.DataFrame:
+    return simsearch.brute_force_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+
+
+_QIDS = ", ".join(str(q) for q in QUERY_IDS)
+
+SQL_SIMSEARCH_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_QIDS})),
+s AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(floor(list_cosine_similarity(q.qv, e.v) * 1e6 + 0.5) AS BIGINT) AS cos_micros
+    FROM q CROSS JOIN e
+),
+r AS (
+    SELECT query_id, vec_id, cos_micros,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_micros DESC, vec_id ASC)::BIGINT AS rank
+    FROM s
+)
+SELECT query_id, vec_id, cos_micros, rank FROM r WHERE rank <= {TOPK}
+"""
+
+
+def q_simsearch_lsh(sf_dir: str) -> pd.DataFrame:
+    # approximate (multi-probe hyperplane LSH) -> rows-only; recall vs brute
+    # force asserted in pytest
+    return simsearch.lsh_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
+    # deterministic fake decode (real codec stubbed; see stages/multimodal.py)
+    return multimodal.multimodal_features(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------- registry
+
+def corpus_queries() -> dict:
+    return {
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_lsh": q_simsearch_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def corpus_oracle_sql() -> dict:
+    return {
+        "text_stats": SQL_TEXT_STATS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+        "simsearch_topk": SQL_SIMSEARCH_TOPK,
+    }

@@ -1,0 +1,526 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a (doc_id, text) / (vec_id, embedding) table, each
+expressed Ray-Data-first:
+
+* exact_dedup        — hash-partition on a normalized-text key, keep first
+                       (min doc_id) per group.  SQL-oracled.
+* ngram_jaccard      — EXACT near-dup pairs via a distributed inverted
+                       shingle index (word trigrams): flat (shingle, doc)
+                       rows → groupby(shingle) → per-group pair partials →
+                       groupby(pair) intersection counts → Jaccard filter.
+                       SQL-oracled (the same shingle join in DuckDB).
+* minhash_lsh        — MinHash signatures (vectorized universal-hash perms)
+                       → banded LSH buckets → groupby(band, band_hash) →
+                       candidate pairs → exact-Jaccard verification.  The
+                       candidate stage is probabilistic-recall; verified
+                       output is a subset of ngram_jaccard's (asserted in
+                       tests), so the driver check is rows-only.
+* simhash            — 64-bit SimHash over word features, bit-band blocking
+                       (4 × 16-bit bands → COMPLETE for hamming ≤ 3 by
+                       pigeonhole), hamming verification.
+* embedding_cosine   — exact cosine near-dup pairs over an embedding column
+                       via blocked matmul against a broadcast normalized
+                       matrix (ray.put once, zero-copy numpy in every task).
+                       SQL-oracled with list_cosine_similarity.
+
+Scale notes: the shingle groupby pre-aggregates pairs per group and never
+materializes a full per-shingle doc list beyond the group (hot shingles
+should be df-capped upstream — a shingle appearing in >F docs contributes
+O(F²) pairs; ``max_shingle_df`` drops them exactly like stopword salting).
+The broadcast matrix in embedding_cosine is the sandbox-scale path; the
+10^9-row path shards the matrix into IVF cells (see simsearch.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from oboyu_ray.stages.textstats import WORD_RE, _normalize
+
+# ---------------------------------------------------------------- shingles
+
+SHINGLE_WORDS = 3
+
+
+def _word_trigrams(text: str) -> List[str]:
+    words = WORD_RE.findall((text or "").lower())
+    if len(words) < SHINGLE_WORDS:
+        return []
+    return list(
+        {
+            " ".join(words[i : i + SHINGLE_WORDS])
+            for i in range(len(words) - SHINGLE_WORDS + 1)
+        }
+    )
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Distinct word-trigram shingles as stable uint64 hashes (md5-based:
+    crc32 collides too easily at corpus scale)."""
+    tris = _word_trigrams(text)
+    if not tris:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in tris
+        ),
+        dtype=np.uint64,
+        count=len(tris),
+    )
+    return np.unique(out)
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    """Exact dedup on normalized text: (key, doc_id=min, n_dups=count).
+
+    Map-side partial aggregation (per-batch groupby) bounds the shuffle to
+    (#batches × distinct keys per batch); the global groupby keeps the
+    canonical representative = smallest doc_id.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = [
+            hashlib.md5(_normalize(t or "").encode("utf-8")).hexdigest() for t in texts
+        ]
+        t = pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                id_col: batch.column(id_col),
+            }
+        )
+        g = t.group_by("key").aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table(
+            {
+                "key": g.column("key"),
+                "min_id": g.column(f"{id_col}_min").cast(pa.int64()),
+                "cnt": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("min_id", alias_name=id_col), Sum("cnt", alias_name="n_dups"))
+    )
+    return agg
+
+
+# ---------------------------------------------------------------- bucketed pair generation
+
+PAIR_BUCKETS = 64
+
+
+def _bucketed_candidate_pairs(
+    rows: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    max_group: int,
+    n_buckets: int = PAIR_BUCKETS,
+    extra_col: Optional[str] = None,
+) -> pd.DataFrame:
+    """Co-occurrence pairs (doc_a < doc_b sharing a key) from flat (key, doc)
+    rows, via a bucketed reduce: keys hash into ``n_buckets`` groups (ONE
+    map_groups call per bucket, not per key — Ray's per-group overhead would
+    dominate with millions of tiny key groups), and inside a bucket the
+    pair generation is a vectorized sorted-run sweep.  Keys with more than
+    ``max_group`` docs are dropped (hot-key fan-out cap; callers verify
+    candidates exactly so this affects recall only).  ``extra_col`` values
+    ride along as ``<extra>_a`` / ``<extra>_b``."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy()
+        b = (k.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [key_col, id_col] + ([extra_col] if extra_col else [])
+        g = group[cols].drop_duplicates(subset=[key_col, id_col])
+        keys = g[key_col].to_numpy()
+        docs = g[id_col].to_numpy()
+        extras = g[extra_col].to_numpy() if extra_col else None
+        order = np.lexsort((docs, keys))
+        keys, docs = keys[order], docs[order]
+        if extras is not None:
+            extras = extras[order]
+        n = len(keys)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        out_ea: List[np.ndarray] = []
+        out_eb: List[np.ndarray] = []
+        if n:
+            change = np.concatenate(([True], keys[1:] != keys[:-1]))
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [n]))
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m < 2 or m > max_group:
+                    continue
+                i, j = np.triu_indices(m, k=1)
+                out_a.append(docs[s:e][i])
+                out_b.append(docs[s:e][j])
+                if extras is not None:
+                    out_ea.append(extras[s:e][i])
+                    out_eb.append(extras[s:e][j])
+        data = {
+            "doc_a": np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64),
+            "doc_b": np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64),
+        }
+        if extra_col:
+            data[f"{extra_col}_a"] = (
+                np.concatenate(out_ea) if out_ea else np.zeros(0, dtype=np.int64)
+            )
+            data[f"{extra_col}_b"] = (
+                np.concatenate(out_eb) if out_eb else np.zeros(0, dtype=np.int64)
+            )
+        return pd.DataFrame(data)
+
+    pairs = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return pairs.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- n-gram Jaccard (exact)
+
+def shingle_rows(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """flat (shingle: uint64-as-int64, doc) rows, distinct per doc."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sh: List[int] = []
+        docs: List[int] = []
+        for d, t in zip(ids, texts):
+            h = _shingle_hashes(t).view(np.int64)
+            sh.extend(h.tolist())
+            docs.extend([int(d)] * len(h))
+        return pa.table(
+            {
+                "shingle": pa.array(sh, type=pa.int64()),
+                id_col: pa.array(docs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def _shingle_counts(ds, id_col: str, text_col: str) -> Dict[int, int]:
+    """doc → |shingle set| (small: one int per doc; driver-collected here,
+    a doc-keyed parquet side table at 10^12 scale)."""
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array([int(d) for d in ids], type=pa.int64()),
+                "n_shingles": pa.array(
+                    [len(_shingle_hashes(t)) for t in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    out = {}
+    for b in ds.map_batches(cnt, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        out.update(zip(b.column(id_col).to_pylist(), b.column("n_shingles").to_pylist()))
+    return out
+
+
+_EMPTY_PAIRS = {
+    "doc_a": pd.Series(dtype=np.int64),
+    "doc_b": pd.Series(dtype=np.int64),
+    "jaccard_micros": pd.Series(dtype=np.int64),
+}
+
+
+def _verify_pairs_exact(
+    ds: "ray.data.Dataset", candidates: pd.DataFrame, tau: float, id_col: str, text_col: str
+) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    true shingle sets.  Sets are driver-collected at sandbox scale (one
+    uint64 array per doc); at 10^12 docs the candidates are repartitioned by
+    doc bucket and joined against a doc-bucketed shingle parquet store."""
+    if candidates.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    sets: Dict[int, np.ndarray] = {}
+    for bt in ds.iter_batches(batch_format="pyarrow"):
+        for d, t in zip(bt.column(id_col).to_pylist(), bt.column(text_col).to_pylist()):
+            sets[int(d)] = _shingle_hashes(t)
+    out_a: List[int] = []
+    out_b: List[int] = []
+    out_j: List[int] = []
+    for da, db in candidates[["doc_a", "doc_b"]].itertuples(index=False):
+        sa, sb = sets[int(da)], sets[int(db)]
+        if len(sa) == 0 or len(sb) == 0:
+            continue
+        ni = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = ni / (len(sa) + len(sb) - ni)
+        if jac >= tau:
+            out_a.append(int(da))
+            out_b.append(int(db))
+            out_j.append(int(np.floor(jac * 1e6 + 0.5)))
+    out = pd.DataFrame(
+        {
+            "doc_a": pd.array(out_a, dtype=np.int64),
+            "doc_b": pd.array(out_b, dtype=np.int64),
+            "jaccard_micros": pd.array(out_j, dtype=np.int64),
+        }
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = 64,
+) -> pd.DataFrame:
+    """Word-trigram Jaccard near-dup pairs with jaccard >= tau, exact values.
+
+    Candidate generation: inverted shingle index — groupby(shingle) emits
+    per-group co-occurrence pairs, with hot shingles (df > max_shingle_df)
+    dropped to bound group fan-out (the skew cap; same role as stopword
+    salting).  Verification: exact Jaccard over TRUE shingle sets, so
+    reported values are always exact; the cap affects recall only, and a
+    pair is missed only if EVERY shared shingle is corpus-hot — which a
+    tau >= 0.5 near-dup pair essentially never is (asserted against the
+    uncapped SQL oracle on the test corpora).
+    Returns (doc_a, doc_b, jaccard_micros) sorted by (doc_a, doc_b).
+    """
+    rows = shingle_rows(ds, id_col, text_col)
+    candidates = _bucketed_candidate_pairs(rows, "shingle", id_col, max_shingle_df)
+    return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 4 rows per band
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature: min over shingles of (a*x+b) mod M61.
+    Python-int matmul avoided: uint64 wrap-around multiply is a valid
+    universal hash family here because a is odd and M61 masks the low bits."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (shingles[:, None] * a[None, :] + b[None, :]) & _MERSENNE
+    return h.min(axis=0)
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
+
+    Pipeline: map_batches[shingle → minhash sig → band keys] →
+    groupby(band, band_hash) → candidate pairs → distinct →
+    verify with exact shingle sets (broadcast at sandbox scale; at 10^12
+    docs the verify joins candidates against a doc-bucketed shingle store).
+    Output schema identical to ngram_jaccard_pairs; contents are a subset
+    (LSH recall < 1 by construction).
+    """
+    a, b = _perm_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        lsh_keys: List[int] = []
+        docs: List[int] = []
+        for d, t in zip(ids, texts):
+            sh = _shingle_hashes(t)
+            if len(sh) == 0:
+                continue
+            sig = _minhash_sig(sh, a, b)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                # (band, band-content-hash) folded into one int64 key
+                lsh_keys.append((bi << 33) | zlib.crc32(chunk.tobytes()))
+                docs.append(int(d))
+        return pa.table(
+            {
+                "lshkey": pa.array(lsh_keys, type=pa.int64()),
+                id_col: pa.array(docs, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow")
+    candidates = _bucketed_candidate_pairs(rows, "lshkey", id_col, max_group=256)
+    if candidates.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits each → complete for hamming <= 3
+
+
+def _simhash(text: str) -> int:
+    """64-bit SimHash over word features weighted by term frequency."""
+    words = WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    from collections import Counter
+
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for w, tf in Counter(words).items():
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+        bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+        acc += (bits.astype(np.int64) * 2 - 1) * tf
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    hamming_max: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= hamming_max.
+
+    Bit-band blocking: 4 bands × 16 bits; a pair within hamming <= 3 shares
+    at least one identical band (pigeonhole) → blocking is COMPLETE, the
+    result is exact for the SimHash metric.  groupby(band, bits) → pairs →
+    hamming verify.  Returns (doc_a, doc_b, hamming) sorted.
+    """
+    assert hamming_max < SIMHASH_BANDS, "blocking completeness needs hamming < bands"
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        keys: List[int] = []
+        docs: List[int] = []
+        sigs: List[int] = []
+        width = SIMHASH_BITS // SIMHASH_BANDS
+        mask = (1 << width) - 1
+        for d, t in zip(ids, texts):
+            s = _simhash(t)
+            for bi in range(SIMHASH_BANDS):
+                # (band, band-bits) folded into one int64 key
+                keys.append((bi << (width + 1)) | ((s >> (bi * width)) & mask))
+                docs.append(int(d))
+                sigs.append(s)
+        return pa.table(
+            {
+                "shkey": pa.array(keys, type=pa.int64()),
+                id_col: pa.array(docs, type=pa.int64()),
+                "sig": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow")
+    cand = _bucketed_candidate_pairs(rows, "shkey", id_col, max_group=256, extra_col="sig")
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+    x = cand["sig_a"].to_numpy().astype(np.uint64) ^ cand["sig_b"].to_numpy().astype(np.uint64)
+    ham = np.vectorize(lambda v: bin(int(v)).count("1"))(x) if len(x) else np.zeros(0, dtype=np.int64)
+    keep = ham <= hamming_max
+    out = pd.DataFrame(
+        {
+            "doc_a": cand["doc_a"].to_numpy()[keep],
+            "doc_b": cand["doc_b"].to_numpy()[keep],
+            "hamming": ham[keep].astype(np.int64),
+        }
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- embedding cosine
+
+def embedding_cosine_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine near-dup pairs (cos >= tau) via blocked matmul.
+
+    The full normalized matrix is ray.put ONCE and read zero-copy in every
+    map task; each batch computes its block of the similarity matrix with a
+    single float64 matmul and emits only pairs (a < b) above tau.  O(n²/B)
+    per task; the 10^9-row variant replaces the broadcast with IVF cells.
+    Returns (vec_a, vec_b, cos_micros) sorted.
+    """
+    rows = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = rows[id_col].to_numpy(dtype=np.int64)
+    M = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    ref = ray.put((ids, Mn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0] = 1.0
+        bm = bm / bn[:, None]
+        S = bm @ all_m.T
+        ai, bj = np.nonzero(S >= tau)
+        va = bids[ai]
+        vb = all_ids[bj]
+        keep = va < vb
+        return pa.table(
+            {
+                "vec_a": pa.array(va[keep], type=pa.int64()),
+                "vec_b": pa.array(vb[keep], type=pa.int64()),
+                "cos_micros": pa.array(
+                    np.floor(S[ai[keep], bj[keep]] * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

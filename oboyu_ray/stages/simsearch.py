@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_cosine_topk — EXACT top-k per query: the (small) query matrix
+  is ray.put ONCE; every map task computes one float64 matmul block and
+  emits only its local top-k candidates; the driver merges k·#blocks rows.
+  SQL-oracled (DuckDB list_cosine_similarity + row_number).
+* lsh_cosine_topk — random-hyperplane LSH variant: vectors are bucketed by
+  sign bits (a map_batches + groupby-free bucket assignment); each query
+  probes only buckets within ``probe_hamming`` of its own signature.
+  Approximate (recall < 1) — the scale path when a full scan is off the
+  table; rows-only driver check, recall asserted against brute force in
+  tests.
+
+Tie-breaking is (score_micros DESC, vec_id ASC) on both the Ray and SQL
+sides, with scores fixed-pointed to micros BEFORE ranking so float summation
+order cannot flip ranks across engines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+DEFAULT_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def load_query_matrix(
+    ds: "ray.data.Dataset",
+    query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fetch the query vectors by id (tiny filtered read)."""
+    qset = set(int(q) for q in query_ids)
+    rows = ds.filter(lambda r: int(r[id_col]) in qset).to_pandas()
+    rows = rows.sort_values(id_col)
+    ids = rows[id_col].to_numpy(dtype=np.int64)
+    M = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    return ids, M
+
+
+def brute_force_cosine_topk(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Returns (query_id, vec_id, cos_micros, rank) with rank 1..k by
+    (cos_micros DESC, vec_id ASC); self-matches included (rank 1, ~1.0).
+    """
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    Qn = _normalize_rows(Q)
+    ref = ray.put((qids, Qn))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qn = ray.get(ref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        bm = _normalize_rows(bm)
+        S = qn @ bm.T  # (num_q, batch)
+        su = np.floor(S * 1e6 + 0.5).astype(np.int64)
+        out_q: List[int] = []
+        out_v: List[int] = []
+        out_s: List[int] = []
+        kk = min(k, S.shape[1])
+        for qi in range(S.shape[0]):
+            # local top-k candidates by (score desc, id asc)
+            order = np.lexsort((bids, -su[qi]))[:kk]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(bids[order].tolist())
+            out_s.extend(su[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_micros": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return _rank_and_cut(cand, k)
+
+
+def _rank_and_cut(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                "vec_id": pd.Series(dtype=np.int64),
+                "cos_micros": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+            }
+        )
+    cand = cand.sort_values(
+        ["query_id", "cos_micros", "vec_id"], ascending=[True, False, True]
+    )
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    out = cand[cand["rank"] <= k].reset_index(drop=True)
+    return out.astype(
+        {"query_id": np.int64, "vec_id": np.int64, "cos_micros": np.int64, "rank": np.int64}
+    )
+
+
+# ---------------------------------------------------------------- LSH variant
+
+LSH_BITS = 8
+
+
+def _hyperplanes(dim: int, bits: int = LSH_BITS, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_cosine_topk(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
+    probe_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures; a map task
+    scores a vector only if its signature is within ``probe_hamming`` bits
+    of the query's (multi-probe LSH).  Same output schema as brute force;
+    recall measured in tests.  At scale the signature becomes the partition
+    key of a bucketed parquet layout so probes touch only matching files."""
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    Qn = _normalize_rows(Q)
+    dim = Qn.shape[1]
+    planes = _hyperplanes(dim)
+    qsig = _signatures(Qn, planes)
+    ref = ray.put((qids, Qn, qsig, planes))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qn, q_sig, pl = ray.get(ref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        bm = _normalize_rows(bm)
+        bsig = _signatures(bm, pl)
+        out_q: List[int] = []
+        out_v: List[int] = []
+        out_s: List[int] = []
+        for qi in range(qn.shape[0]):
+            x = bsig ^ q_sig[qi]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            sel = np.flatnonzero(ham <= probe_hamming)
+            if len(sel) == 0:
+                continue
+            S = qn[qi] @ bm[sel].T
+            su = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            order = np.lexsort((bids[sel], -su))[: min(k, len(sel))]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(bids[sel][order].tolist())
+            out_s.extend(su[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_micros": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return _rank_and_cut(cand, k)

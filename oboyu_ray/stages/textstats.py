@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Per-batch, SQL-reproducible text statistics over a (doc_id, text) table:
+language ID (character-class heuristic), token counting (whitespace +
+word-regex), quality scoring (length/stopword/word-shape ratios) and document
+fingerprinting (normalized-text hash + winnowing-style min-hash over
+character windows).
+
+Every operator is a pure function over a pyarrow batch (stateless
+``map_batches`` stage — no shuffle, embarrassingly parallel, streams at any
+scale), and each has an exactly-matching DuckDB SQL oracle in
+``pipelines/corpus_queries.py``: identical regexes (RE2-safe), identical
+float expressions, fixed-point ``*_micros`` outputs so value hashes are
+stable.
+
+The fingerprints use md5 (not a numeric rolling hash) so the oracle can
+reproduce them with DuckDB's ``md5()``; a production variant would swap in a
+Karp-Rabin rolling hash with identical window semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+# word tokens — deliberately simpler than the BM25 conformance tokenizer:
+# these are corpus-analysis operators, not the ranking tokenizer
+WORD_RE = re.compile(r"[a-z0-9]+")
+WORD_RE_SQL = r"[a-z0-9]+"
+
+JP_KANA_RE = re.compile(r"[぀-ゟ゠-ヿ]")
+CJK_RE = re.compile(r"[一-鿿]")
+JP_KANA_SQL = r"[\x{3040}-\x{309f}\x{30a0}-\x{30ff}]"
+CJK_SQL = r"[\x{4e00}-\x{9fff}]"
+
+# EN function words for the quality stop-ratio (tiny, frozen, mirrored in SQL)
+QUALITY_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+WINNOW_WINDOW = 16
+
+
+def _normalize(text: str) -> str:
+    """lower + collapse all whitespace runs to single spaces + strip.
+    SQL twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def micros(x: float) -> int:
+    return int(np.floor(np.float64(x) * 1e6 + 0.5))
+
+
+def text_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, text) → token counts + language ID per document.
+
+    Columns: n_chars, n_ws_tokens (whitespace tokens, = count of ``\\S+``
+    matches), n_word_tokens (``[a-z0-9]+`` on lowered text), n_kana, n_cjk,
+    lang ('ja' if any kana, 'zh' if CJK only, else 'en').
+    """
+    texts = batch.column(text_col).to_pylist()
+    n_chars: List[int] = []
+    n_ws: List[int] = []
+    n_words: List[int] = []
+    n_kana: List[int] = []
+    n_cjk: List[int] = []
+    langs: List[str] = []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        n_ws.append(len(t.split()))
+        n_words.append(len(WORD_RE.findall(t.lower())))
+        kana = len(JP_KANA_RE.findall(t))
+        cjk = len(CJK_RE.findall(t))
+        n_kana.append(kana)
+        n_cjk.append(cjk)
+        langs.append("ja" if kana > 0 else ("zh" if cjk > 0 else "en"))
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, type=pa.int64()),
+            "n_word_tokens": pa.array(n_words, type=pa.int64()),
+            "n_kana": pa.array(n_kana, type=pa.int64()),
+            "n_cjk": pa.array(n_cjk, type=pa.int64()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, text) → quality signals + combined score, all fixed-point micros.
+
+    stop_ratio = stopword tokens / word tokens; len_score = min(n_chars,
+    500)/500; quality = 0.5*len_score + 0.5*(1 - min(stop_ratio, 0.5)).
+    The exact same double-precision expression runs in the SQL oracle.
+    """
+    texts = batch.column(text_col).to_pylist()
+    sw = set(QUALITY_STOPWORDS)
+    stop_ratio_u: List[int] = []
+    len_score_u: List[int] = []
+    quality_u: List[int] = []
+    for t in texts:
+        t = t or ""
+        words = WORD_RE.findall(t.lower())
+        n_stop = sum(1 for w in words if w in sw)
+        stop_ratio = (n_stop / len(words)) if words else 0.0
+        len_score = min(len(t), 500) / 500.0
+        quality = 0.5 * len_score + 0.5 * (1.0 - min(stop_ratio, 0.5))
+        stop_ratio_u.append(micros(stop_ratio))
+        len_score_u.append(micros(len_score))
+        quality_u.append(micros(quality))
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "stop_ratio_micros": pa.array(stop_ratio_u, type=pa.int64()),
+            "len_score_micros": pa.array(len_score_u, type=pa.int64()),
+            "quality_micros": pa.array(quality_u, type=pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, text) → (fingerprint, winnow_fingerprint).
+
+    fingerprint = md5(normalized text); winnow_fingerprint = min over md5 of
+    every WINNOW_WINDOW-char window of the normalized text (the winnowing /
+    MOSS document-fingerprint construction with min-selection over the whole
+    doc) — robust to local edits anywhere outside the minimal window.
+    """
+    texts = batch.column(text_col).to_pylist()
+    fps: List[str] = []
+    wfps: List[str] = []
+    for t in texts:
+        norm = _normalize(t or "")
+        fps.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+        W = WINNOW_WINDOW
+        if len(norm) <= W:
+            wfps.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+        else:
+            wfps.append(
+                min(
+                    hashlib.md5(norm[i : i + W].encode("utf-8")).hexdigest()
+                    for i in range(len(norm) - W + 1)
+                )
+            )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "fingerprint": pa.array(fps, type=pa.string()),
+            "winnow_fingerprint": pa.array(wfps, type=pa.string()),
+        }
+    )
