@@ -210,6 +210,189 @@ def q_simsearch_lsh(sf_dir: str) -> pd.DataFrame:
     return simsearch.lsh_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
 
 
+# ---------------------------------------------------------------- hybrid RRF
+
+def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """RRF hybrid of the BM25 ranking (text side) and the cosine ranking
+    (vector side) for paired queries i=0..4: BM25_QUERIES[i] ↔ embedding
+    vec_id=i, treating vec_id as doc_id (the driver tables are aligned
+    1 document ↔ 1 embedding row).  Reference semantics:
+    hybrid_search_combiner.py:56-107 with rrf_k=60 (config/indexer.py:52);
+    ties ordered by (rrf_micros DESC, doc_id ASC) — the documented
+    deterministic choice replacing the reference's accidental dict order
+    (SURVEY §2-K4).  Output (query_id, doc_id, rrf_micros, rank<=10)."""
+    import numpy as np
+
+    from oboyu_ray.functions.ranking import DEFAULT_RRF_K, rrf_combine
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, q_bm25_topk
+
+    bm = q_bm25_topk(sf_dir)
+    sim = q_simsearch_topk(sf_dir)
+    frames = []
+    for i, qstr in enumerate(BM25_QUERIES[: len(QUERY_IDS)]):
+        b = bm[bm["query_id"] == qstr].sort_values("rank")[["doc_id"]]
+        v = (
+            sim[sim["query_id"] == i]
+            .sort_values("rank")
+            .rename(columns={"vec_id": "doc_id"})[["doc_id"]]
+        )
+        comb = rrf_combine([v, b], rrf_k=DEFAULT_RRF_K, limit=10**9)
+        comb["rrf_micros"] = np.floor(
+            comb["rrf_score"].to_numpy(dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        comb = comb.sort_values(
+            ["rrf_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(TOPK)
+        comb["rank"] = pd.array(range(1, len(comb) + 1), dtype=np.int64)
+        comb["query_id"] = np.int64(i)
+        frames.append(comb[["query_id", "doc_id", "rrf_micros", "rank"]])
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype(
+        {"query_id": "int64", "doc_id": "int64", "rrf_micros": "int64", "rank": "int64"}
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from oboyu_ray.pipelines.entry_queries import (
+        BM25_QUERIES,
+        CFG,
+        SQL_POSTINGS_CTE,
+        TOPK as BM_TOPK,
+    )
+    from oboyu_ray.pipelines.bm25_batch import tokenize_queries
+
+    tokenized = tokenize_queries(BM25_QUERIES[: len(QUERY_IDS)], CFG)
+    rows = []
+    for i, qstr in enumerate(BM25_QUERIES[: len(QUERY_IDS)]):
+        for t in sorted(set(tokenized[qstr])):
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+gstats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+gstats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM gstats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN gstats2 s
+),
+bscores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+bm25r AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM bscores QUALIFY rank <= {BM_TOPK}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id IN ({_QIDS})),
+sv AS (
+    SELECT qv.query_id, e.vec_id AS doc_id,
+           CAST(floor(list_cosine_similarity(qv.qvec, e.v) * 1e6 + 0.5) AS BIGINT) AS cm
+    FROM qv CROSS JOIN e
+),
+simr AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cm DESC, doc_id ASC)::BIGINT AS rank
+    FROM sv QUALIFY rank <= {TOPK}
+),
+allids AS (
+    SELECT query_id, doc_id FROM simr
+    UNION
+    SELECT query_id, doc_id FROM bm25r
+),
+rrf AS (
+    SELECT a.query_id, a.doc_id,
+           coalesce(1.0 / (60 + s.rank), 0.0) + coalesce(1.0 / (60 + b.rank), 0.0) AS score
+    FROM allids a
+    LEFT JOIN simr s ON s.query_id = a.query_id AND s.doc_id = a.doc_id
+    LEFT JOIN bm25r b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS rrf_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM rrf
+)
+SELECT query_id, doc_id, rrf_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------- chunking & snippets
+
+CHUNK_SIZE_Q = 120
+CHUNK_OVERLAP_Q = 30
+SNIPPET_TERMS = ["spark", "merge", "sort", "table", "join"]
+
+
+def q_chunking(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window chunking (reference M4 semantics at a chunk size small
+    enough that the ~150-400-char test documents actually split).  Rows-only
+    driver check; semantics pinned against the importlib-loaded reference
+    DocumentChunker in tests/test_textproc.py."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from oboyu_ray.functions.textproc import chunk_batch
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = chunk_batch(batch, CHUNK_SIZE_Q, CHUNK_OVERLAP_Q)
+        chunks = out.column("chunk").to_pylist()
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "chunk_index": out.column("chunk_index").cast(pa.int64()),
+                "n_chunk_chars": pa.array([len(c) for c in chunks], type=pa.int64()),
+                "chunk_md5": pa.array(
+                    [hashlib.md5(c.encode("utf-8")).hexdigest() for c in chunks],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_snippets(sf_dir: str) -> "ray.data.Dataset":
+    """Snippet + highlight for a fixed term set over every document
+    (reference snippet_extractor.py / text_highlighter.py semantics; pinned
+    against importlib-loaded reference classes in tests)."""
+    import pyarrow as pa
+
+    from oboyu_ray.functions.textproc import highlight_matches, snippet_for_terms
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        snips = [snippet_for_terms(t or "", SNIPPET_TERMS, length=120) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "snippet": pa.array(snips, type=pa.string()),
+                "highlighted": pa.array(
+                    [highlight_matches(s, SNIPPET_TERMS) for s in snips],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
@@ -232,6 +415,9 @@ def corpus_queries() -> dict:
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
         "multimodal_features": q_multimodal_features,
+        "hybrid_rrf": q_hybrid_rrf,
+        "chunking": q_chunking,
+        "snippets": q_snippets,
     }
 
 
@@ -244,4 +430,5 @@ def corpus_oracle_sql() -> dict:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
+        "hybrid_rrf": _sql_hybrid_rrf(),
     }

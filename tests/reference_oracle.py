@@ -88,6 +88,69 @@ def load_reference():
     return ns
 
 
+@lru_cache(maxsize=1)
+def load_reference_retrieval():
+    """Load the reference's retrieval-side text/ranking operators
+    (DocumentChunker, SnippetExtractor, TextHighlighter, ScoreNormalizer,
+    HybridSearchCombiner, ResultMerger) with a plain fake SearchResult
+    (pydantic's [0,1] score clamp would reject synthetic fixture scores;
+    the loaded modules only read/construct attributes)."""
+    for pkg in (
+        "oboyu",
+        "oboyu.common",
+        "oboyu.common.types",
+        "oboyu.retriever",
+        "oboyu.retriever.search",
+        "oboyu.indexer",
+        "oboyu.indexer.core",
+    ):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = []
+            sys.modules[pkg] = m
+
+    class FakeSearchResult:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def __repr__(self):  # pragma: no cover
+            return f"FakeSearchResult({self.__dict__})"
+
+    sys.modules["oboyu.common.types"].SearchResult = FakeSearchResult
+
+    chunker = _load("oboyu.indexer.core.document_chunker", f"{REF}/indexer/core/document_chunker.py")
+    snip = _load("oboyu.retriever.search.snippet_extractor", f"{REF}/retriever/search/snippet_extractor.py")
+    hl = _load("oboyu.retriever.search.text_highlighter", f"{REF}/retriever/search/text_highlighter.py")
+    norm = _load("oboyu.retriever.search.score_normalizer", f"{REF}/retriever/search/score_normalizer.py")
+    comb = _load("oboyu.retriever.search.hybrid_search_combiner", f"{REF}/retriever/search/hybrid_search_combiner.py")
+    merg = _load("oboyu.retriever.search.result_merger", f"{REF}/retriever/search/result_merger.py")
+
+    ns = types.SimpleNamespace()
+    ns.DocumentChunker = chunker.DocumentChunker
+    ns.SnippetExtractor = snip.SnippetExtractor
+    ns.TextHighlighter = hl.TextHighlighter
+    ns.ScoreNormalizer = norm.ScoreNormalizer
+    ns.NormalizationMethod = norm.NormalizationMethod
+    ns.HybridSearchCombiner = comb.HybridSearchCombiner
+    ns.ResultMerger = merg.ResultMerger
+    ns.SearchResult = FakeSearchResult
+
+    def make_result(chunk_id: str, score: float):
+        return FakeSearchResult(
+            chunk_id=chunk_id,
+            path="/p",
+            title="t",
+            content="c",
+            chunk_index=0,
+            language="ja",
+            metadata={},
+            score=score,
+        )
+
+    ns.make_result = make_result
+    return ns
+
+
 def reference_topk(indexer, query_terms, k):
     """Score every indexed document with the reference's own score() method and
     return the top-k as [(doc_id, score)] ordered by (score DESC, doc_id ASC).
