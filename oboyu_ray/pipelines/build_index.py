@@ -272,13 +272,21 @@ def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict
     return info
 
 
-def load_conv_offsets(index_dir: str) -> Dict[str, int]:
-    """conv_id → conv_offset dict for broadcast (sandbox scale; at 10^10+
-    conversations this becomes a hash-bucketed map-side join keyed on
-    conv_id — same bucket pattern as stages/dedup.py)."""
+def load_conv_offsets(index_dir: str):
+    """(sorted conv_id array, conv_offset array) for broadcast.
+
+    Numpy arrays instead of a dict: ray.put serializes them zero-copy-ish
+    and every ingest task does a vectorized ``searchsorted`` lookup instead
+    of deserializing + probing a python dict (the dict was the measured
+    ingest bottleneck at high parallelism).  At 10^10+ conversations this
+    becomes a hash-bucketed map-side join keyed on conv_id — same bucket
+    pattern as stages/dedup.py."""
     out_dir = os.path.join(index_dir, "conv_map")
     t = pq.read_table(out_dir, columns=["conv_id", "conv_offset"])
-    return dict(zip(t.column("conv_id").to_pylist(), t.column("conv_offset").to_pylist()))
+    ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
+    offs = t.column("conv_offset").to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], offs[order]
 
 
 # --------------------------------------------------------------- ingest
@@ -299,17 +307,16 @@ def _ingest_one_group(
         return pa.table({k: [v] for k, v in m.items()})
 
     t0 = time.time()
-    conv_offsets = ray.get(conv_offsets_ref)
+    conv_ids_sorted, conv_offs = ray.get(conv_offsets_ref)
     tables = [pq.read_table(f, columns=["conv_id", "turn_idx", "role", "text", "ts"]) for f in files]
     t = pa.concat_tables(tables)
-    import pandas as pd
 
-    conv = t.column("conv_id").to_pandas()
-    offs = conv.map(conv_offsets)
-    if offs.isna().any():
-        missing = conv[offs.isna()].iloc[0]
-        raise ValueError(f"conversation {missing!r} missing from conv_map")
-    doc_num = offs.to_numpy(dtype=np.int64) + t.column("turn_idx").to_numpy().astype(np.int64)
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
+    ix = np.searchsorted(conv_ids_sorted, conv)
+    bad = (ix >= len(conv_ids_sorted)) | (conv_ids_sorted[np.minimum(ix, len(conv_ids_sorted) - 1)] != conv)
+    if bad.any():
+        raise ValueError(f"conversation {conv[bad][0]!r} missing from conv_map")
+    doc_num = conv_offs[ix] + t.column("turn_idx").to_numpy().astype(np.int64)
     if len(np.unique(doc_num)) != len(doc_num):
         raise ValueError(f"partition {part_id}: duplicate (conv_id, turn_idx) keys")
     order = np.argsort(doc_num, kind="stable")

@@ -400,6 +400,46 @@ def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
     return multimodal.multimodal_features(_docs(sf_dir))
 
 
+# ---------------------------------------------------------------- relational
+
+def q_events_window(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages.relational import events_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return events_window_agg(ev, unit="hour")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_ts, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_value_micros
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages.relational import orders_by_nation_broadcast
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    return orders_by_nation_broadcast(orders, customer)
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT c.c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -418,6 +458,8 @@ def corpus_queries() -> dict:
         "hybrid_rrf": q_hybrid_rrf,
         "chunking": q_chunking,
         "snippets": q_snippets,
+        "events_window": q_events_window,
+        "orders_by_nation": q_orders_by_nation,
     }
 
 
@@ -431,4 +473,6 @@ def corpus_oracle_sql() -> dict:
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "hybrid_rrf": _sql_hybrid_rrf(),
+        "events_window": SQL_EVENTS_WINDOW,
+        "orders_by_nation": SQL_ORDERS_BY_NATION,
     }

@@ -23,6 +23,9 @@ ORACLED = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "simsearch_topk",
+    "hybrid_rrf",
+    "events_window",
+    "orders_by_nation",
 ]
 
 
@@ -39,7 +42,7 @@ def entrymod():
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
