@@ -70,7 +70,13 @@ from ray.data.aggregate import Count, Max
 
 from oboyu_ray.config import BuildConfig, DEFAULT_BUILD_CONFIG
 from oboyu_ray.stages.postings import get_tokenizer, term_partials_batch
-from oboyu_ray.state.checkpoint import Manifest, atomic_write_json, atomic_write_table
+from oboyu_ray.state.checkpoint import (
+    Manifest,
+    atomic_write_json,
+    atomic_write_table,
+    file_sig,
+    files_sig,
+)
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -112,15 +118,23 @@ def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, obj
     """
     out_dir = os.path.join(index_dir, "conv_map")
     done_marker = os.path.join(out_dir, "_DONE.json")
+    input_sig = files_sig(transcript_files)
     if os.path.exists(done_marker):
         with open(done_marker) as f:
-            return json.load(f)
+            info = json.load(f)
+        if info.get("input_sig") == input_sig:
+            return info
+        # inputs changed → rebuild the conversation map from scratch
 
     fast = _build_conv_map_disjoint(transcript_files, index_dir)
     if fast is not None:
+        fast["input_sig"] = input_sig
         atomic_write_json(done_marker, fast)
         return fast
-    return _build_conv_map_shuffle(transcript_files, index_dir)
+    out = _build_conv_map_shuffle(transcript_files, index_dir)
+    out["input_sig"] = input_sig
+    atomic_write_json(done_marker, out)
+    return out
 
 
 def _build_conv_map_disjoint(
@@ -131,6 +145,11 @@ def _build_conv_map_disjoint(
     out_dir = os.path.join(index_dir, "conv_map")
     local_dir = out_dir + ".local"
     os.makedirs(local_dir, exist_ok=True)
+    # clear prior map files: a rebuild with fewer inputs must not leave stale
+    # higher-rank files behind (load_conv_offsets reads the whole directory)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
 
     def spans_one_file(batch: pa.Table) -> Iterator[pa.Table]:
         for row in batch.to_pylist():
@@ -191,24 +210,38 @@ def _build_conv_map_disjoint(
         base += int(s["span_sum"])
 
     def stamp(batch: pa.Table) -> Iterator[pa.Table]:
+        import zlib
+
         for row in batch.to_pylist():
             t = pq.read_table(row["path"])
             off = pc.add(t.column("local_offset"), int(row["base"]))
             out = t.drop_columns(["local_offset"]).append_column("conv_offset", off)
             path = os.path.join(out_dir, f"conv-map-{int(row['rank']):05d}.parquet")
             atomic_write_table(path, out)
-            yield pa.table({"path": [path]})
+            with open(path, "rb") as fh:
+                crc = zlib.crc32(fh.read())
+            yield pa.table({"path": [path], "crc": [crc]})
 
-    final_files = [
-        r["path"]
-        for r in ray.data.from_items(stamped)
+    import zlib
+
+    results = sorted(
+        ray.data.from_items(stamped)
         .map_batches(stamp, batch_format="pyarrow", batch_size=1)
-        .take_all()
-    ]
+        .take_all(),
+        key=lambda r: r["path"],
+    )
+    final_files = [r["path"] for r in results]
+    # content fingerprint: ingest partitions depend on conversation offsets;
+    # a conv-map rebuild with IDENTICAL content (e.g. a text-only input edit)
+    # must not invalidate committed ingest partitions, while a structural
+    # change (turn counts / conversations shifted) must
+    content_crc = zlib.crc32(
+        (";".join(f"{r['path']}:{r['crc']}" for r in results) + f";{base}").encode()
+    )
     import shutil
 
     shutil.rmtree(local_dir, ignore_errors=True)
-    return {"n_docs_spanned": base, "files": sorted(final_files)}
+    return {"n_docs_spanned": base, "files": final_files, "content_crc": content_crc}
 
 
 def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
@@ -267,7 +300,17 @@ def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict
         base += span_sum
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
-    info = {"n_docs_spanned": base, "files": final_files}
+    import zlib
+
+    crcs = []
+    for f in sorted(final_files):
+        with open(f, "rb") as fh:
+            crcs.append(f"{f}:{zlib.crc32(fh.read())}")
+    info = {
+        "n_docs_spanned": base,
+        "files": sorted(final_files),
+        "content_crc": zlib.crc32((";".join(crcs) + f";{base}").encode()),
+    }
     atomic_write_json(done_marker, info)
     return info
 
@@ -292,7 +335,7 @@ def load_conv_offsets(index_dir: str):
 # --------------------------------------------------------------- ingest
 
 def _ingest_one_group(
-    group: Dict, conv_offsets_ref, index_dir: str
+    group: Dict, conv_offsets_ref, index_dir: str, conv_fp: int = 0
 ) -> pa.Table:
     """Read one group of transcript files → docs-{part}.parquet (atomic) →
     summary row.  Validates turn density and per-turn text equality-by-
@@ -300,7 +343,7 @@ def _ingest_one_group(
     part_id = int(group["part_id"])
     files = list(group["files"])
     man = Manifest(index_dir, "ingest")
-    lineage = {"files": files}
+    lineage = {"files": files_sig(files), "conv_fp": conv_fp}
     out_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
@@ -347,6 +390,7 @@ def ingest(
     index_dir: str,
     cfg: BuildConfig,
     files_per_part: int = 1,
+    conv_fp: int = 0,
 ) -> List[Dict]:
     """Phase 0: transcripts → doc-partitioned docs tables.
 
@@ -363,7 +407,7 @@ def ingest(
 
     def run(batch: pa.Table) -> Iterator[pa.Table]:
         for row in batch.to_pylist():
-            yield _ingest_one_group(row, conv_offsets_ref, index_dir)
+            yield _ingest_one_group(row, conv_offsets_ref, index_dir, conv_fp)
 
     summaries = (
         ray.data.from_items(groups)
@@ -406,6 +450,11 @@ def _write_bucketed_partials(
     aggregation — disjoint buckets replace the groupby shuffle)."""
     out_dir = os.path.join(index_dir, "vocab_partials")
     os.makedirs(out_dir, exist_ok=True)
+    # clear this partition's prior partials: on re-tokenize a bucket that
+    # became empty must not leave a stale file for the vocab reduce
+    for f in os.listdir(out_dir):
+        if f.endswith(f"-p{part_id:05d}.parquet"):
+            os.remove(os.path.join(out_dir, f))
     if partials.num_rows == 0:
         return []
     buckets = _vocab_bucket_ids(partials.column("term").to_pylist(), n_buckets)
@@ -430,7 +479,10 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
     docs_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
     postings_path = os.path.join(index_dir, "postings", f"postings-{part_id:05d}.parquet")
     dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
-    lineage = {"docs": docs_path, "vocab_buckets": cfg.vocab_buckets}
+    lineage = {
+        "docs": {docs_path: file_sig(docs_path)},
+        "vocab_buckets": cfg.vocab_buckets,
+    }
 
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
@@ -513,7 +565,7 @@ def _vocab_one_bucket(bucket: int, index_dir: str) -> pa.Table:
         if f.startswith(f"b{bucket:04d}-") and f.endswith(".parquet")
     )
     out_path = os.path.join(index_dir, "vocab", f"vocab-{bucket:05d}.parquet")
-    lineage = {"files": files}
+    lineage = {"files": files_sig(files)}
     key = f"bucket-{bucket}"
     if man.is_done(key, lineage):
         m = man.get(key)["metrics"]
@@ -592,7 +644,11 @@ def _encode_blocks_one_part(
     man = Manifest(index_dir, "blocks")
     postings_path = os.path.join(index_dir, "postings", f"postings-{part_id:05d}.parquet")
     blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
-    lineage = {"postings": postings_path, "avgdl": avgdl, "window_docs": cfg.window_docs}
+    lineage = {
+        "postings": {postings_path: file_sig(postings_path)},
+        "avgdl": avgdl,
+        "window_docs": cfg.window_docs,
+    }
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
         return pa.table({k: [v] for k, v in m.items()})
@@ -729,7 +785,10 @@ def build_index(
     conv_info = build_conv_map(transcript_files, index_dir)
     t_conv = time.time()
 
-    summaries = ingest(transcript_files, index_dir, cfg, files_per_part)
+    summaries = ingest(
+        transcript_files, index_dir, cfg, files_per_part,
+        conv_fp=int(conv_info.get("content_crc", 0)),
+    )
     n_docs = int(sum(s["n_docs"] for s in summaries))
     part_ids = [int(s["part_id"]) for s in summaries]
     t_ingest = time.time()

@@ -17,6 +17,20 @@ import time
 from typing import Any, Dict, List, Optional
 
 
+def file_sig(path: str) -> List[int]:
+    """(size, mtime_ns) change signature — the reference's timestamp+size
+    change-detection strategy (change_detector.py:64-132).  Used in phase
+    lineage so a rewritten upstream artifact invalidates downstream
+    partition manifests; untouched artifacts keep their signature and the
+    downstream phase resumes as a no-op."""
+    st = os.stat(path)
+    return [st.st_size, st.st_mtime_ns]
+
+
+def files_sig(paths) -> Dict[str, List[int]]:
+    return {p: file_sig(p) for p in paths}
+
+
 def atomic_write_json(path: str, obj: Dict[str, Any]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

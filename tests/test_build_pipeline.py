@@ -195,3 +195,61 @@ def test_resume_after_partial_failure(built, tmp_path):
     build_index(built["files"], index_dir, built["cfg"], files_per_part=2)
     regenerated = open(blocks_path, "rb").read()
     assert regenerated == original
+
+
+def test_incremental_rebuild_after_content_change(built, tmp_path):
+    """Change-detection lineage (file size+mtime signatures, the reference
+    change_detector.py 'smart' strategy analog): editing ONE input file
+    rebuilds only the affected partition (ingest/tokenize level) and
+    converges to exactly the state a from-scratch build produces."""
+    import time
+
+    data_dir = str(tmp_path / "transcripts")
+    files = write_synth_transcripts(data_dir, n_convs=120, seed=23, convs_per_file=30)
+    cfg = built["cfg"]
+    inc_dir = str(tmp_path / "index_inc")
+    build_index(files, inc_dir, cfg, files_per_part=2)
+
+    # edit one transcript file: replace the text of its first turn (same
+    # conversation structure -> conv offsets unchanged)
+    victim = files[2]
+    t = pq.read_table(victim)
+    texts = t.column("text").to_pylist()
+    texts[0] = "完全に 新しい 内容 totally new incremental content"
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["text"] = pa.array(texts, type=pa.string())
+    time.sleep(0.02)  # ensure mtime_ns moves even on coarse filesystems
+    pq.write_table(pa.table(cols), victim)
+
+    def mtimes(sub):
+        d = os.path.join(inc_dir, sub)
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before_postings = mtimes("postings")
+    before_docs = mtimes("docs")
+    build_index(files, inc_dir, cfg, files_per_part=2)
+
+    # ingest + tokenize are partition-local: only the victim partition's
+    # docs/postings were rewritten (files[2] is in group 1, files_per_part=2).
+    # Blocks legitimately rebuild everywhere: the edit changed global avgdl,
+    # which the stored block-max bounds depend on (blocks lineage).
+    changed_p = [f for f, m in mtimes("postings").items() if before_postings[f] != m]
+    changed_d = [f for f, m in mtimes("docs").items() if before_docs[f] != m]
+    assert changed_p == ["postings-00001.parquet"]
+    assert changed_d == ["docs-00001.parquet"]
+
+    # and the incremental state equals a from-scratch build
+    fresh_dir = str(tmp_path / "index_fresh")
+    build_index(files, fresh_dir, cfg, files_per_part=2)
+    for sub in ("blocks", "vocab", "dls"):
+        a_dir, b_dir = os.path.join(inc_dir, sub), os.path.join(fresh_dir, sub)
+        assert sorted(os.listdir(a_dir)) == sorted(os.listdir(b_dir))
+        for f in sorted(os.listdir(a_dir)):
+            if f.endswith(".parquet"):
+                assert (
+                    open(os.path.join(a_dir, f), "rb").read()
+                    == open(os.path.join(b_dir, f), "rb").read()
+                ), (sub, f)
+    inc_stats = json.load(open(os.path.join(inc_dir, "stats.json")))
+    fresh_stats = json.load(open(os.path.join(fresh_dir, "stats.json")))
+    assert inc_stats == fresh_stats
