@@ -265,8 +265,25 @@ def _verify_pairs_exact(
     doc bucket and joined against a doc-bucketed shingle parquet store."""
     if candidates.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
+    # shingle sets only for docs that appear in candidate pairs (pushed-down
+    # is_in filter — the candidate doc set is tiny relative to the corpus)
+    import pyarrow.compute as _pc
+
+    cand_ids = pa.array(
+        np.unique(
+            np.concatenate(
+                [candidates["doc_a"].to_numpy(), candidates["doc_b"].to_numpy()]
+            )
+        )
+    )
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=cand_ids))
+
     sets: Dict[int, np.ndarray] = {}
-    for bt in ds.iter_batches(batch_format="pyarrow"):
+    for bt in ds.map_batches(only_cands, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
         for d, t in zip(bt.column(id_col).to_pylist(), bt.column(text_col).to_pylist()):
             sets[int(d)] = _shingle_hashes(t)
     out_a: List[int] = []
@@ -297,7 +314,7 @@ def ngram_jaccard_pairs(
     tau: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int = 64,
+    max_shingle_df: int = 16,
 ) -> pd.DataFrame:
     """Word-trigram Jaccard near-dup pairs with jaccard >= tau, exact values.
 
