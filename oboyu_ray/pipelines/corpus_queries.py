@@ -16,6 +16,8 @@ import pandas as pd
 
 import ray.data
 
+from oboyu_ray.functions.normalize import HAS_FTFY as _HAS_FTFY
+from oboyu_ray.functions.normalize import HAS_NEOLOGDN as _HAS_NEOLOGDN
 from oboyu_ray.stages import dedup, multimodal, simsearch, textstats
 
 JACCARD_TAU = 0.5
@@ -400,6 +402,138 @@ def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
     return multimodal.multimodal_features(_docs(sf_dir))
 
 
+# ---------------------------------------------------------------- normalize (M2)
+
+def q_text_normalize(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.functions.normalize import normalize_batch
+
+    return _docs(sf_dir).map_batches(normalize_batch, batch_format="pyarrow")
+
+
+def _sql_text_normalize() -> str:
+    # oracle expresses the stdlib fallback chain (conditional zen→han width
+    # conversion + line-ending standardization); only valid when the heavy
+    # libraries are absent (true in this container) — see corpus_oracle_sql()
+    fw = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+    hw = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+    fw_sql = fw.replace("'", "''")
+    hw_sql = hw.replace("'", "''")
+    return rf"""
+WITH w AS (
+    SELECT doc_id, text,
+           regexp_matches(text, '[０-９Ａ-Ｚａ-ｚ]') AS width_converted,
+           CASE WHEN regexp_matches(text, '[０-９Ａ-Ｚａ-ｚ]')
+                THEN translate(text, '{fw_sql}', '{hw_sql}')
+                ELSE text END AS conv
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           replace(replace(conv, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+           '\n{{3,}}', chr(10) || chr(10), 'g') AS normalized,
+       width_converted
+FROM w
+"""
+
+
+# ---------------------------------------------------------------- filtered search (M14)
+
+FILTER_LANG = "en"
+
+
+def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k restricted to documents with lang = FILTER_LANG (SURVEY
+    §2-M14 search-filter semantics: scores computed over the full-corpus
+    statistics, the filter restricts the candidate set before ranking —
+    matching the reference's WHERE-clause-on-results compilation,
+    common/types/search_filters.py)."""
+    import numpy as np
+
+    from oboyu_ray.pipelines.bm25_batch import (
+        brute_force_scores,
+        score_micros,
+        tokenize_queries,
+    )
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG
+
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    scores = brute_force_scores(docs, queries, CFG)
+    lang = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .to_pandas()
+    )
+    allowed = set(lang[lang["lang"] == FILTER_LANG]["doc_id"].tolist())
+    if scores.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "score_micros": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    scores = scores[scores["doc_id"].isin(allowed)].copy()
+    scores["score_micros"] = score_micros(scores["score"].to_numpy())
+    scores = scores.sort_values(
+        ["query_id", "score_micros", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    scores["rank"] = scores.groupby("query_id").cumcount() + 1
+    out = scores[scores["rank"] <= TOPK][["query_id", "doc_id", "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def _sql_bm25_topk_filtered() -> str:
+    from oboyu_ray.pipelines.bm25_batch import tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG, SQL_POSTINGS_CTE
+
+    tokenized = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qstr in BM25_QUERIES:
+        for t in sorted(set(tokenized[qstr])):
+            rows.append(f"('{qstr}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+gstats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+gstats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM gstats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN gstats2 s
+),
+bscores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+filtered AS (
+    SELECT s.* FROM bscores s JOIN documents dd ON dd.doc_id = s.doc_id
+    WHERE dd.lang = '{FILTER_LANG}'
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM filtered
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---------------------------------------------------------------- relational
 
 def q_events_window(sf_dir: str) -> "ray.data.Dataset":
@@ -460,6 +594,8 @@ def corpus_queries() -> dict:
         "snippets": q_snippets,
         "events_window": q_events_window,
         "orders_by_nation": q_orders_by_nation,
+        "text_normalize": q_text_normalize,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
     }
 
 
@@ -475,4 +611,12 @@ def corpus_oracle_sql() -> dict:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
+        "bm25_topk_filtered": _sql_bm25_topk_filtered(),
+        # the normalize oracle expresses the stdlib fallback chain; register
+        # it only when the heavy normalizers are absent (our chain == oracle)
+        **(
+            {"text_normalize": _sql_text_normalize()}
+            if not (_HAS_FTFY or _HAS_NEOLOGDN)
+            else {}
+        ),
     }

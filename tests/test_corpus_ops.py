@@ -26,6 +26,8 @@ ORACLED = [
     "hybrid_rrf",
     "events_window",
     "orders_by_nation",
+    "text_normalize",
+    "bm25_topk_filtered",
 ]
 
 
@@ -168,3 +170,31 @@ def test_ngram_jaccard_has_planted_near_dups(entrymod):
     assert len(out) > 0
     assert (out["jaccard_micros"] >= 500_000).all()
     assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_normalize_chain_semantics():
+    from oboyu_ray.functions.normalize import (
+        needs_width_conversion,
+        process_japanese_text,
+        standardize_line_endings,
+        zen_to_han_ascii_digit,
+    )
+
+    assert zen_to_han_ascii_digit("ＡＢＣ１２３！ カナ　x") == "ABC123! カナ x"
+    assert not needs_width_conversion("カナ！。")  # punctuation alone does not trigger
+    assert needs_width_conversion("１")
+    assert standardize_line_endings("a\r\nb\rc\n\n\n\nd") == "a\nb\nc\n\nd"
+    out, steps = process_japanese_text("ＡＢ\r\n\n\n\nカナ")
+    assert out == "AB\n\nカナ"
+    assert "zen_to_han" in steps and "line_endings" in steps
+    # kana untouched when no full-width ascii/digits present
+    out2, steps2 = process_japanese_text("カナ テスト")
+    assert out2 == "カナ テスト" and "zen_to_han" not in steps2
+
+
+def test_filtered_bm25_only_allowed_lang(entrymod, duck):
+    out = _as_df(entrymod.queries()["bm25_topk_filtered"](SF))
+    langs = duck.execute("SELECT doc_id, lang FROM documents").fetchdf()
+    merged = out.merge(langs, on="doc_id")
+    assert (merged["lang"] == "en").all()
+    assert len(out) > 0
