@@ -648,6 +648,7 @@ def _encode_blocks_one_part(
         "postings": {postings_path: file_sig(postings_path)},
         "avgdl": avgdl,
         "window_docs": cfg.window_docs,
+        "block_format": 2,  # v2: dl lives in the dense per-part dls table
     }
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
@@ -715,14 +716,6 @@ def _encode_blocks_one_part(
     tf_off = np.zeros(len(starts) + 1, dtype=np.int64)
     tf_off[1:] = tf_ends[ends - 1]
 
-    # store tf-norm inputs too: dl varints ride with tfs for exact rescoring
-    dl_u = dl.astype(np.uint64)
-    dl_payload = np.frombuffer(varint_encode(dl_u), dtype=np.uint8)
-    dl_lens = varint_byte_lengths(dl_u)
-    dl_ends = np.cumsum(dl_lens)
-    dl_off = np.zeros(len(starts) + 1, dtype=np.int64)
-    dl_off[1:] = dl_ends[ends - 1]
-
     def binary_from(payload: np.ndarray, offsets: np.ndarray) -> pa.Array:
         return pa.LargeBinaryArray.from_buffers(
             pa.large_binary(),
@@ -737,13 +730,12 @@ def _encode_blocks_one_part(
             "n": pa.array(counts, type=pa.int32()),
             "docs": binary_from(doc_payload, doc_off),
             "tfs": binary_from(tf_payload, tf_off),
-            "dls": binary_from(dl_payload, dl_off),
             "max_tfnorm": pa.array(max_tfnorm, type=pa.float64()),
             "min_tfnorm": pa.array(min_tfnorm, type=pa.float64()),
         }
     )
     atomic_write_table(blocks_path, blocks)
-    payload_bytes = int(doc_off[-1] + tf_off[-1] + dl_off[-1])
+    payload_bytes = int(doc_off[-1] + tf_off[-1])
     metrics = {
         "part_id": part_id,
         "n_blocks": len(starts),

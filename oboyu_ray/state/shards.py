@@ -45,24 +45,58 @@ NEG_INF = float("-inf")
 
 
 class _PartIndex:
-    """In-memory image of one partition's block table."""
+    """In-memory image of one partition's block table.
 
-    __slots__ = ("terms", "win", "n", "docs", "tfs", "dls", "max_tfnorm",
-                 "min_tfnorm", "term_slices", "n_windows", "win_base")
+    Binary payload columns are kept as raw zero-copy numpy views
+    (values buffer + row offsets), so any contiguous row range [s, e) of a
+    term's blocks can be decoded in ONE vectorized pass — no per-row
+    ``as_py()`` byte copies on the query path."""
 
-    def __init__(self, blocks_path: str, window_docs: int) -> None:
+    __slots__ = ("terms", "win", "n", "max_tfnorm",
+                 "min_tfnorm", "term_slices", "n_windows", "win_base",
+                 "docs_off", "docs_buf", "tfs_off", "tfs_buf",
+                 "row_starts", "window_docs", "dl_arr", "dl_base")
+
+    @staticmethod
+    def _binary_views(col):
+        arr = col.combine_chunks()
+        bufs = arr.buffers()
+        width = np.int64 if len(bufs[1]) >= 8 * (len(arr) + 1) else np.int32
+        off = np.frombuffer(bufs[1], dtype=width, count=len(arr) + 1).astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return arr, off, data
+
+    def __init__(self, index_dir: str, part_id: int, window_docs: int) -> None:
+        blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
         t = pq.read_table(blocks_path)
         self.terms = t.column("term").to_pylist()
         self.win = t.column("win").to_numpy().astype(np.int64)
-        self.n = t.column("n").to_numpy()
-        docs_col = t.column("docs").combine_chunks()
-        tfs_col = t.column("tfs").combine_chunks()
-        dls_col = t.column("dls").combine_chunks()
-        self.docs = docs_col
-        self.tfs = tfs_col
-        self.dls = dls_col
+        self.n = t.column("n").to_numpy().astype(np.int64)
+        _, self.docs_off, self.docs_buf = self._binary_views(t.column("docs"))
+        _, self.tfs_off, self.tfs_buf = self._binary_views(t.column("tfs"))
+        # posting-row start index of each block (prefix sums of block sizes)
+        self.row_starts = np.zeros(len(self.n) + 1, dtype=np.int64)
+        np.cumsum(self.n, out=self.row_starts[1:])
         self.max_tfnorm = t.column("max_tfnorm").to_numpy()
         self.min_tfnorm = t.column("min_tfnorm").to_numpy()
+        # dense per-part document lengths (blocks v2 stores no dl varints:
+        # one 8-byte int per doc here replaces a varint per POSTING there)
+        dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
+        dt = pq.read_table(dls_path)
+        doc_nums = dt.column("doc_num").to_numpy().astype(np.int64)
+        dls = dt.column("dl").to_numpy().astype(np.float64)
+        if len(doc_nums):
+            self.dl_base = int(doc_nums.min())
+            self.dl_arr = np.zeros(int(doc_nums.max()) - self.dl_base + 1, dtype=np.float64)
+            self.dl_arr[doc_nums - self.dl_base] = dls
+        else:
+            self.dl_base = 0
+            self.dl_arr = np.zeros(0, dtype=np.float64)
+        self.window_docs = window_docs
         # term → contiguous block-row slice (blocks sorted by term, win)
         self.term_slices: Dict[str, Tuple[int, int]] = {}
         i = 0
@@ -81,6 +115,30 @@ class _PartIndex:
             self.win_base = 0
             self.n_windows = 0
 
+    def decode_range(self, s: int, e: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode block rows [s, e) in ONE vectorized pass → (absolute
+        doc_nums int64, tf float64, dl float64) for every posting in the
+        range.  Rows' payload bytes are contiguous in the column's values
+        buffer; each block's first doc gap is relative to its window base
+        (grouped_delta_encode in the build); dl is a dense per-part gather,
+        not a decoded payload."""
+        gaps = varint_decode(
+            self.docs_buf[self.docs_off[s] : self.docs_off[e]]
+        ).astype(np.int64)
+        counts = self.n[s:e]
+        starts = self.row_starts[s:e] - self.row_starts[s]
+        tot = np.cumsum(gaps)
+        shift = np.zeros(len(counts), dtype=np.int64)
+        if len(counts) > 1:
+            shift[1:] = tot[starts[1:] - 1]
+        within = tot - np.repeat(shift, counts)
+        docs_abs = within + np.repeat(self.win[s:e] * self.window_docs, counts)
+        tf = varint_decode(self.tfs_buf[self.tfs_off[s] : self.tfs_off[e]]).astype(
+            np.float64
+        )
+        dl = self.dl_arr[docs_abs - self.dl_base]
+        return docs_abs, tf, dl
+
 
 def _merge_topk(
     cur_docs: np.ndarray, cur_scores: np.ndarray,
@@ -88,6 +146,13 @@ def _merge_topk(
 ) -> Tuple[np.ndarray, np.ndarray]:
     docs = np.concatenate((cur_docs, new_docs))
     scores = np.concatenate((cur_scores, new_scores))
+    n = len(scores)
+    if n > max(4 * k, 64) and k < n:
+        # O(n) preselection: keep every row tied-or-above the kth largest
+        # score, so the exact (score DESC, doc ASC) sort runs on ~k rows
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        docs, scores = docs[mask], scores[mask]
     order = np.lexsort((docs, -scores))[:k]
     return docs[order], scores[order]
 
@@ -105,8 +170,7 @@ class IndexShard:
         self.window_docs = window_docs
         self.parts: List[_PartIndex] = []
         for pid in part_ids:
-            path = os.path.join(index_dir, "blocks", f"blocks-{pid:05d}.parquet")
-            self.parts.append(_PartIndex(path, window_docs))
+            self.parts.append(_PartIndex(index_dir, pid, window_docs))
 
     def query(
         self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF
@@ -138,7 +202,34 @@ class IndexShard:
                 bound = part.max_tfnorm[s:e] if w >= 0 else part.min_tfnorm[s:e]
                 np.add.at(ub, inv[pos : pos + m], w * bound)
                 pos += m
-            # process in descending-bound order; prune the strict tail
+            # adaptive execution: when pruning cannot drop most windows
+            # (common terms / unfilled heap), decode each term's whole block
+            # range in one vectorized pass and score the part densely; else
+            # walk windows in descending-bound order with block-max pruning.
+            if len(top_docs) >= k:
+                n_surviving = int((ub >= theta).sum())
+            else:
+                n_surviving = len(uniq_wins)
+            if n_surviving * 2 > len(uniq_wins):
+                base = part.win_base * W
+                span = part.n_windows * W
+                acc = np.zeros(span, dtype=np.float64)
+                present = np.zeros(span, dtype=bool)
+                for w, s, e in hits:
+                    docs_abs, tf, dl = part.decode_range(s, e)
+                    idx = docs_abs - base
+                    acc[idx] += w * self._tfnorm(tf, dl)
+                    present[idx] = True
+                idx = np.flatnonzero(present)
+                if len(idx) == 0:
+                    continue
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, base + idx, acc[idx], k
+                )
+                if len(top_docs) >= k:
+                    theta = top_scores[-1]
+                continue
+
             order = np.argsort(-ub, kind="stable")
             for oi in order:
                 bound = ub[oi]
@@ -153,10 +244,8 @@ class IndexShard:
                     bi = s + int(np.searchsorted(part.win[s:e], win_abs))
                     if bi >= e or part.win[bi] != win_abs:
                         continue
-                    gaps = varint_decode(part.docs[bi].as_py())
-                    local = np.cumsum(gaps.astype(np.int64))
-                    tf = varint_decode(part.tfs[bi].as_py()).astype(np.float64)
-                    dl = varint_decode(part.dls[bi].as_py()).astype(np.float64)
+                    docs_abs, tf, dl = part.decode_range(bi, bi + 1)
+                    local = docs_abs - base
                     contrib = w * self._tfnorm(tf, dl)
                     acc[local] += contrib
                     present[local] = True
