@@ -206,6 +206,44 @@ SELECT query_id, vec_id, cos_micros, rank FROM r WHERE rank <= {TOPK}
 """
 
 
+def q_simsearch_ivf(sf_dir: str) -> pd.DataFrame:
+    # approximate (IVF coarse-quantized probe) -> rows-only; recall vs brute
+    # force asserted in pytest
+    return simsearch.ivf_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages.sessionize import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ev)
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS session_idx
+    FROM o
+)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_simsearch_lsh(sf_dir: str) -> pd.DataFrame:
     # approximate (multi-probe hyperplane LSH) -> rows-only; recall vs brute
     # force asserted in pytest
@@ -596,6 +634,8 @@ def corpus_queries() -> dict:
         "orders_by_nation": q_orders_by_nation,
         "text_normalize": q_text_normalize,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "simsearch_ivf": q_simsearch_ivf,
+        "sessionize": q_sessionize,
     }
 
 
@@ -612,6 +652,7 @@ def corpus_oracle_sql() -> dict:
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
+        "sessionize": SQL_SESSIONIZE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

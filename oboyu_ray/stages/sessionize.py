@@ -1,0 +1,85 @@
+"""Sessionization — the stateful windowed operator pattern (brief: custom
+operators Ray Data lacks, expressed as map_batches + co-partitioned reduce).
+
+Events are assigned to sessions per user: a new session starts when the gap
+to the user's previous event exceeds ``gap``.  The operator needs all of a
+user's events together in time order — the partitioning assumption is
+``user bucket`` (stable hash), the same bucketed-reduce shape as
+stages/dedup.py: one vectorized ``map_groups`` call per bucket, users never
+split across buckets, so the per-user ordered sweep is exact.  At 10^12
+events the bucket count scales with the cluster and hot users are bounded by
+their own event counts (per-user state, no cross-user coupling).
+
+SQL-oracled: the identical lag/cumsum window-function formulation runs in
+DuckDB (ties broken by event_id on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+SESSION_BUCKETS = 32
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_us: int = SESSION_GAP_US,
+    n_buckets: int = SESSION_BUCKETS,
+) -> "ray.data.Dataset":
+    """(ts, user_id, event_id) → per-session summaries
+    (user_id, session_idx, n_events, start_ts, end_ts); session_idx is
+    1-based per user in time order (ties by event_id)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        b = (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "session_idx": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                    "start_ts": pd.Series(dtype="datetime64[us]"),
+                    "end_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_s = new_user | (gap > gap_us)
+        s_global = np.cumsum(new_s.astype(np.int64))
+        user_starts = np.flatnonzero(new_user)
+        user_counts = np.diff(np.concatenate((user_starts, [n])))
+        base = np.repeat(s_global[user_starts] - 1, user_counts)
+        session_idx = s_global - base
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "session_idx": session_idx,
+                    "ts": g["ts"].to_numpy(),
+                }
+            )
+            .groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )

@@ -28,6 +28,7 @@ ORACLED = [
     "orders_by_nation",
     "text_normalize",
     "bm25_topk_filtered",
+    "sessionize",
 ]
 
 
@@ -198,3 +199,55 @@ def test_filtered_bm25_only_allowed_lang(entrymod, duck):
     merged = out.merge(langs, on="doc_id")
     assert (merged["lang"] == "en").all()
     assert len(out) > 0
+
+
+def test_ivf_recall_and_score_consistency(entrymod):
+    brute = _as_df(entrymod.queries()["simsearch_topk"](SF))
+    ivf = _as_df(entrymod.queries()["simsearch_ivf"](SF))
+    # scores identical where returned; recall useful; deterministic
+    merged = ivf.merge(brute, on=["query_id", "vec_id"], suffixes=("_i", "_b"), how="inner")
+    assert (merged["cos_micros_i"] == merged["cos_micros_b"]).all()
+    bk = set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
+    ik = set(map(tuple, ivf[["query_id", "vec_id"]].to_numpy()))
+    assert len(ik & bk) >= 0.7 * len(bk)
+    again = _as_df(entrymod.queries()["simsearch_ivf"](SF))
+    pd.testing.assert_frame_equal(ivf, again)
+
+
+def test_sessionize_semantics():
+    from datetime import datetime, timedelta
+
+    from oboyu_ray.stages.sessionize import sessionize
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": t0},
+        {"event_id": 2, "user_id": 7, "ts": t0 + timedelta(minutes=29)},  # same session
+        {"event_id": 3, "user_id": 7, "ts": t0 + timedelta(minutes=65)},  # gap 36m -> new
+        {"event_id": 4, "user_id": 8, "ts": t0 + timedelta(minutes=1)},   # other user
+    ]
+    out = (
+        sessionize(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[["user_id", "session_idx", "n_events"]].values.tolist() == [
+        [7, 1, 2],
+        [7, 2, 1],
+        [8, 1, 1],
+    ]
+
+
+def test_sessionize_gap_boundary_exact():
+    from datetime import datetime, timedelta
+
+    from oboyu_ray.stages.sessionize import sessionize
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": t0},
+        {"event_id": 2, "user_id": 1, "ts": t0 + timedelta(minutes=30)},  # == gap: same session
+    ]
+    out = sessionize(ray.data.from_items(rows)).to_pandas()
+    assert len(out) == 1 and int(out["n_events"].iloc[0]) == 2
