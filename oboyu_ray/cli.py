@@ -1,0 +1,104 @@
+"""Job entrypoints — `ray job submit`-compatible build and query drivers.
+
+On a cluster:
+
+    ray job submit --working-dir . -- \
+        python -m oboyu_ray.cli build --transcripts '/data/transcripts/*.parquet' \
+        --index-dir /data/index
+
+    python -m oboyu_ray.cli query --index-dir /data/index --q "検索 エンジン" -k 10
+
+Locally the same commands run against `ray.init(address="local")`.  These
+are the only module-level owners of a Ray session besides bench.py and the
+test fixture; the library itself never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # it defaults to a fresh local session
+        ray.init(**kwargs)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.config import BM25Config, BuildConfig
+    from oboyu_ray.pipelines.build_index import build_index
+
+    files = sorted(glob.glob(args.transcripts))
+    if not files:
+        print(f"no parquet files match {args.transcripts!r}", file=sys.stderr)
+        return 2
+    cfg = BuildConfig(
+        bm25=BM25Config(k1=args.k1, b=args.b),
+        window_docs=args.window_docs,
+        vocab_buckets=args.vocab_buckets,
+    )
+    report = build_index(files, args.index_dir, cfg, files_per_part=args.files_per_part)
+    print(json.dumps(report["timings_sec"] | {
+        "n_docs": report["n_docs"],
+        "n_terms": report["n_terms"],
+        "payload_bytes": report["payload_bytes"],
+    }))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
+    out = engine.search(args.q, k=args.k, hydrate=args.hydrate)
+    print(out.to_string(index=False))
+    engine.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="oboyu_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the BM25 index over transcripts parquet")
+    b.add_argument("--transcripts", required=True, help="glob of transcript parquet files")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--files-per-part", type=int, default=1)
+    b.add_argument("--window-docs", type=int, default=8192)
+    b.add_argument("--vocab-buckets", type=int, default=32)
+    b.add_argument("--k1", type=float, default=1.2)
+    b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k BM25 query against a built index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--num-shards", type=int, default=None)
+    q.add_argument("--hydrate", action="store_true")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

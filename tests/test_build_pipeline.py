@@ -253,3 +253,29 @@ def test_incremental_rebuild_after_content_change(built, tmp_path):
     inc_stats = json.load(open(os.path.join(inc_dir, "stats.json")))
     fresh_stats = json.load(open(os.path.join(fresh_dir, "stats.json")))
     assert inc_stats == fresh_stats
+
+
+def test_cli_build_and_query(built, tmp_path, capsys):
+    """`python -m oboyu_ray.cli` entrypoints (ray job submit driver): build
+    into a fresh dir and query it — exercised in-process against the test
+    Ray session (cmd_* don't own the session; main() does)."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_build, cmd_query
+
+    index_dir = str(tmp_path / "cli_index")
+    rc = cmd_build(argparse.Namespace(
+        transcripts=os.path.join(os.path.dirname(built["files"][0]), "*.parquet"),
+        index_dir=index_dir, files_per_part=2, window_docs=256,
+        vocab_buckets=8, k1=1.2, b=0.75, num_cpus=None,
+    ))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == built["report"]["n_docs"]
+
+    rc = cmd_query(argparse.Namespace(
+        index_dir=index_dir, q="python model", k=5, num_shards=2,
+        hydrate=False, num_cpus=None,
+    ))
+    assert rc == 0
+    assert "doc_num" in capsys.readouterr().out

@@ -146,3 +146,55 @@ def test_merger_matches_reference(ref):
     ours = ranking.merge_results(f1, f2, limit=10)
     assert ours["doc_id"].tolist() == _ids(expected)
     assert ours["score"].tolist() == [r.score for r in expected]
+
+
+# ------------------------------------------------------------------ rerank
+
+def test_rerank_flow_and_truncation():
+    import numpy as np
+    import pandas as pd
+
+    from oboyu_ray.functions.rerank import FakeCrossEncoder, rerank
+
+    cand = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma",       # overlap 2/4 with query
+                "alpha beta",             # overlap 2/3
+                "unrelated words here",   # 0
+                "alpha",                  # 1/3
+            ],
+        }
+    )
+    out = rerank("alpha beta", cand, top_k=2)
+    assert len(out) == 2
+    assert out["doc_id"].tolist() == [2, 1]  # jaccard 2/3 > 2/4
+    assert (out["rerank_score"].to_numpy() >= 0).all()
+    # empty input passes through
+    empty = rerank("q", cand.iloc[0:0], top_k=3)
+    assert len(empty) == 0 and "rerank_score" in empty.columns
+    # batching boundary: >16 pairs processed identically
+    big = pd.DataFrame({"doc_id": range(40), "text": ["alpha beta"] * 40})
+    scored = FakeCrossEncoder().predict([("alpha", t) for t in big["text"]])
+    assert len(set(np.round(scored, 12))) == 1
+
+
+def test_rerank_stub_raises():
+    import pytest as _pytest
+
+    from oboyu_ray.functions.rerank import RealCrossEncoderStub
+
+    with _pytest.raises(NotImplementedError):
+        RealCrossEncoderStub().predict([("q", "d")])
+
+
+def test_rerank_stable_order_on_ties():
+    import pandas as pd
+
+    from oboyu_ray.functions.rerank import rerank
+
+    cand = pd.DataFrame({"doc_id": [9, 3, 5], "text": ["same text"] * 3})
+    out = rerank("same", cand, top_k=3)
+    # equal scores keep the original (retrieval) order — reference stable sort
+    assert out["doc_id"].tolist() == [9, 3, 5]
