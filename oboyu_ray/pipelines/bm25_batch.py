@@ -1,8 +1,9 @@
 """Dataset-native brute-force BM25 scoring — the rank-identity baseline.
 
 This is the M3 "exact scorer" of SURVEY §7: a pure Ray Data expression of
-BM25 top-k (filter postings to query terms → per-row contributions →
-groupby sum → per-query top-k).  The sharded WAND engine
+BM25 top-k (filter postings to query terms → per-batch complete (query, doc)
+scores — a doc's postings never cross batch boundaries, so there is NO
+global groupby shuffle — → per-query top-k).  The sharded WAND engine
 (state/shards.py) must return exactly these results; the driver's DuckDB
 oracle checks this pipeline's output SQL-side.
 
@@ -29,11 +30,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from oboyu_ray.config import BM25Config
 from oboyu_ray.stages.postings import get_tokenizer, postings_batch
-from oboyu_ray.stages.stats import bm25_term_score, collection_stats, idf, vocabulary
+from oboyu_ray.stages.stats import bm25_term_score, collection_stats, idf, term_dfs
 
 
 def tokenize_queries(queries: Sequence[str], cfg: BM25Config = BM25Config()) -> Dict[str, List[str]]:
@@ -90,11 +90,9 @@ def brute_force_scores(
 
     qp = query_postings(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
 
-    # df for the query terms — aggregated over the filtered postings
-    vocab_pdf = vocabulary(qp).to_pandas()
-    if "term" not in vocab_pdf.columns:  # no query term matches any doc
-        vocab_pdf = pd.DataFrame({"term": [], "df": [], "cf": []})
-    df_map = dict(zip(vocab_pdf["term"], vocab_pdf["df"]))
+    # df for the query terms — in-batch partials combined driver-side (the
+    # term set is query-small; a groupby shuffle here is pure overhead)
+    df_map = term_dfs(qp)
     idf_map = {t: idf(int(df_map.get(t, 0)), n_docs) for t in all_terms}
 
     # per-query term weights: idf × multiplicity (reference sums per query
@@ -111,7 +109,10 @@ def brute_force_scores(
 
     k1, b = cfg.k1, cfg.b
 
-    def contribs(batch: pa.Table) -> pa.Table:
+    def scores_local(batch: pa.Table) -> pa.Table:
+        # a document's posting rows never cross batch boundaries (postings
+        # are emitted per doc inside its docs batch), so the per-(query, doc)
+        # sum is COMPLETE within this batch — no global groupby shuffle
         pdf = batch.to_pandas()
         frames = []
         for qid, w in weights.items():
@@ -122,25 +123,25 @@ def brute_force_scores(
             tf = sub["tf"].to_numpy(dtype=np.float64)
             dl = sub["dl"].to_numpy(dtype=np.float64)
             contrib = bm25_term_score(tf, dl, 1.0, avgdl, k1, b) * iw
-            frames.append(
-                pd.DataFrame({"query_id": qid, id_col: sub[id_col].to_numpy(), "contrib": contrib})
+            g = (
+                pd.DataFrame({id_col: sub[id_col].to_numpy(), "contrib": contrib})
+                .groupby(id_col, sort=True)["contrib"]
+                .sum()
+                .reset_index()
             )
+            g.insert(0, "query_id", qid)
+            frames.append(g.rename(columns={"contrib": "score"}))
         if not frames:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.string()),
                     id_col: pa.array([], type=batch.schema.field(id_col).type),
-                    "contrib": pa.array([], type=pa.float64()),
+                    "score": pa.array([], type=pa.float64()),
                 }
             )
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
 
-    scored = (
-        qp.map_batches(contribs, batch_format="pyarrow")
-        .groupby(["query_id", id_col])
-        .aggregate(Sum("contrib", alias_name="score"))
-    )
-    return scored.to_pandas()
+    return qp.map_batches(scores_local, batch_format="pyarrow").to_pandas()
 
 
 def brute_force_topk(
