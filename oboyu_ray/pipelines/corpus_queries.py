@@ -612,6 +612,60 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- flagship engine
+
+ENGINE_QUERIES = [
+    "検索 エンジン",
+    "分散 処理 高速",
+    "index partition shuffle",
+    "token 頻度 統計",
+    "です",  # hot particle-like term → negative idf
+]
+
+
+def q_transcript_engine_topk(sf_dir: str) -> pd.DataFrame:
+    """The flagship pipeline end-to-end under the driver contract: synthesize
+    the deterministic transcript corpus (size keyed to the sf tier), build
+    the full compressed index (conv_map → ingest → tokenize → vocabulary →
+    delta+varint blocks, checkpointed into /tmp and reused across calls),
+    query via the shard actor pool with block-max pruning, return the exact
+    top-k rows.  Rows-only driver check (no SQL tokenizer); rank-identity to
+    the reference BM25Indexer is pinned by tests/test_build_pipeline.py."""
+    import os
+
+    from oboyu_ray.config import DEFAULT_BUILD_CONFIG
+    from oboyu_ray.pipelines.build_index import build_index
+    from oboyu_ray.pipelines.query import QueryEngine
+    from oboyu_ray.sources.transcripts import write_synth_transcripts_parallel
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.001"
+    n_convs = max(int(float(sf) * 200_000), 200)  # sf0.01 → 2000 convs
+    base = f"/tmp/oboyu_engine_q/{n_convs}"
+    files = write_synth_transcripts_parallel(
+        f"{base}/transcripts", n_convs, seed=42, convs_per_file=max(n_convs // 8, 50)
+    )
+    index_dir = f"{base}/index"
+    build_index(files, index_dir, DEFAULT_BUILD_CONFIG, files_per_part=1)
+
+    engine = QueryEngine(index_dir, num_shards=4)
+    frames = []
+    for i, q in enumerate(ENGINE_QUERIES):
+        got = engine.search(q, k=10)
+        got = got.assign(
+            query_id=i,
+            score_micros=(got["score"] * 1e6 + 0.5).apply(
+                lambda x: int(__import__("math").floor(x))
+            ),
+        )
+        got["rank"] = range(1, len(got) + 1)
+        frames.append(got[["query_id", "doc_id", "score_micros", "rank"]])
+    engine.close()
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype(
+        {"query_id": "int64", "doc_id": "string", "score_micros": "int64", "rank": "int64"}
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -636,6 +690,7 @@ def corpus_queries() -> dict:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "simsearch_ivf": q_simsearch_ivf,
         "sessionize": q_sessionize,
+        "transcript_engine_topk": q_transcript_engine_topk,
     }
 
 

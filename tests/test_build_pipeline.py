@@ -279,3 +279,76 @@ def test_cli_build_and_query(built, tmp_path, capsys):
     ))
     assert rc == 0
     assert "doc_num" in capsys.readouterr().out
+
+
+def test_hot_term_skew_balance(tmp_path):
+    """North-rule skew handling, evidenced: a term present in EVERY document
+    (df = N, strongly negative idf) cannot concentrate work — the index is
+    document-partitioned, so its postings spread uniformly across partitions,
+    and the vocabulary reduce sees one partial row per (partition, term)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BM25Config, BuildConfig
+    from oboyu_ray.pipelines.query import QueryEngine
+    from oboyu_ray.stages.stats import idf as idf_fn
+
+    data_dir = tmp_path / "hot"
+    data_dir.mkdir()
+    files = []
+    n_files, convs_per_file, turns = 6, 40, 5
+    for fi in range(n_files):
+        cols = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
+        for ci in range(convs_per_file):
+            conv = f"c{fi * convs_per_file + ci:06d}"
+            for t in range(turns):
+                cols["conv_id"].append(conv)
+                cols["turn_idx"].append(t)
+                cols["role"].append("user")
+                cols["text"].append(f"ホット特売 every doc has this word w{fi}x{ci}y{t} unique{fi}_{ci}_{t}")
+                cols["tool"].append("")
+                import datetime
+
+                cols["ts"].append(datetime.datetime(2025, 1, 1, 0, 0, t))
+        path = str(data_dir / f"part-{fi}.parquet")
+        pq.write_table(pa.table({
+            "conv_id": pa.array(cols["conv_id"]),
+            "turn_idx": pa.array(cols["turn_idx"], type=pa.int32()),
+            "role": pa.array(cols["role"]),
+            "text": pa.array(cols["text"]),
+            "tool": pa.array(cols["tool"]),
+            "ts": pa.array(cols["ts"], type=pa.timestamp("us")),
+        }), path)
+        files.append(path)
+
+    index_dir = str(tmp_path / "hot_index")
+    report = build_index(files, index_dir, BuildConfig(window_docs=64), files_per_part=1)
+    n_docs = report["n_docs"]
+
+    # hot term postings spread evenly: every partition holds exactly its share
+    per_part = []
+    for pid in report["parts"]:
+        t = pq.read_table(
+            os.path.join(index_dir, "postings", f"postings-{pid:05d}.parquet"),
+            filters=[("term", "=", "ホット特売")],
+        )
+        per_part.append(t.num_rows)
+    assert len(set(per_part)) == 1 and per_part[0] == n_docs // n_files
+
+    # vocabulary reduce fan-in for the hot term == #partitions partial rows
+    import glob as g
+
+    partial_rows = 0
+    for f in g.glob(os.path.join(index_dir, "vocab_partials", "*.parquet")):
+        t = pq.read_table(f, filters=[("term", "=", "ホット特売")])
+        partial_rows += t.num_rows
+    assert partial_rows == n_files
+
+    # df == N → strongly negative idf; the hot-term query still ranks exactly
+    eng = QueryEngine(index_dir, num_shards=2)
+    got = eng.search("ホット特売", k=5)
+    assert len(got) == 5
+    expected_idf = idf_fn(n_docs, n_docs)
+    assert expected_idf < 0
+    assert (got["score"] < 0).all()
+    eng.close()
