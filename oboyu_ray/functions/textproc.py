@@ -19,7 +19,7 @@ tests/test_textproc.py):
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import pyarrow as pa
 

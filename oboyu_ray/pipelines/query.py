@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from oboyu_ray.config import BM25Config, BuildConfig
+from oboyu_ray.config import BM25Config
 from oboyu_ray.stages.postings import get_tokenizer
 from oboyu_ray.stages.stats import idf
 from oboyu_ray.state.shards import IndexShard, _merge_topk

@@ -35,9 +35,8 @@ The broadcast matrix in embedding_cosine is the sandbox-scale path; the
 from __future__ import annotations
 
 import hashlib
-import re
 import zlib
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from oboyu_ray.config import BM25Config
-from oboyu_ray.stages.postings import doc_stats_batch, postings_batch, term_partials_batch
+from oboyu_ray.stages.postings import doc_stats_batch, term_partials_batch
 
 
 def idf(df: int, n_docs: int) -> float:
