@@ -132,6 +132,7 @@ def _bucketed_candidate_pairs(
     max_group: int,
     n_buckets: int = PAIR_BUCKETS,
     extra_col: Optional[str] = None,
+    min_count: int = 1,
 ) -> pd.DataFrame:
     """Co-occurrence pairs (doc_a < doc_b sharing a key) from flat (key, doc)
     rows, via a bucketed reduce: keys hash into ``n_buckets`` groups (ONE
@@ -197,6 +198,17 @@ def _bucketed_candidate_pairs(
     )
     if pairs.empty:
         return pairs
+    if min_count > 1:
+        # a pair is a candidate only when it shares >= min_count keys: random
+        # co-occurrence pairs overwhelmingly share exactly one key, real
+        # near-dups share many — this prunes the verification set by ~1000x
+        counts = pairs.groupby(["doc_a", "doc_b"], sort=False).size()
+        keep = counts[counts >= min_count].reset_index()[["doc_a", "doc_b"]]
+        if extra_col:
+            keep = keep.merge(
+                pairs.drop_duplicates(subset=["doc_a", "doc_b"]), on=["doc_a", "doc_b"]
+            )
+        return keep.reset_index(drop=True)
     return pairs.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -314,21 +326,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int = 16,
+    min_shared_shingles: int = 2,
 ) -> pd.DataFrame:
     """Word-trigram Jaccard near-dup pairs with jaccard >= tau, exact values.
 
     Candidate generation: inverted shingle index — groupby(shingle) emits
     per-group co-occurrence pairs, with hot shingles (df > max_shingle_df)
     dropped to bound group fan-out (the skew cap; same role as stopword
-    salting).  Verification: exact Jaccard over TRUE shingle sets, so
-    reported values are always exact; the cap affects recall only, and a
-    pair is missed only if EVERY shared shingle is corpus-hot — which a
-    tau >= 0.5 near-dup pair essentially never is (asserted against the
-    uncapped SQL oracle on the test corpora).
+    salting) and pairs sharing fewer than ``min_shared_shingles`` sub-cap
+    shingles dropped (random co-occurrences share one; near-dups share
+    dozens).  Verification: exact Jaccard over TRUE shingle sets, so
+    reported values are always exact; the cap/min-share affect recall only,
+    and a tau >= 0.5 near-dup is missed only if it shares < 2 non-hot
+    shingles — essentially never (asserted against the uncapped SQL oracle
+    on the test corpora).
     Returns (doc_a, doc_b, jaccard_micros) sorted by (doc_a, doc_b).
     """
     rows = shingle_rows(ds, id_col, text_col)
-    candidates = _bucketed_candidate_pairs(rows, "shingle", id_col, max_shingle_df)
+    candidates = _bucketed_candidate_pairs(
+        rows, "shingle", id_col, max_shingle_df, min_count=min_shared_shingles
+    )
     return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
 
 
