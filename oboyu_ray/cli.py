@@ -67,6 +67,23 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Run one named driver-contract corpus query and land it as parquet."""
+    _ensure_ray(args.num_cpus)
+    import __ray_entry__ as entrymod  # repo-root module (cwd = repo or working_dir)
+
+    qs = entrymod.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; available: {sorted(qs)}", file=sys.stderr)
+        return 2
+    from oboyu_ray.sources.sinks import write_result
+
+    result = qs[args.name](args.sf_dir)
+    manifest = write_result(result, args.out)
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="oboyu_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -90,6 +107,13 @@ def main(argv=None) -> int:
     q.add_argument("--hydrate", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("corpus", help="run a named corpus query, write parquet + manifest")
+    c.add_argument("--name", required=True)
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

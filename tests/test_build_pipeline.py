@@ -352,3 +352,25 @@ def test_hot_term_skew_balance(tmp_path):
     assert expected_idf < 0
     assert (got["score"] < 0).all()
     eng.close()
+
+
+def test_corpus_sink_cli(tmp_path, capsys):
+    """`cli corpus` lands a query result as parquet + commit manifest."""
+    import argparse
+
+    import pyarrow.parquet as pq2
+
+    from oboyu_ray.cli import cmd_corpus
+    from oboyu_ray.sources.sinks import is_committed
+
+    out = str(tmp_path / "sinkout")
+    rc = cmd_corpus(argparse.Namespace(
+        name="text_stats", sf_dir="/root/testdata/sf0.001", out=out, num_cpus=None,
+    ))
+    assert rc == 0
+    assert is_committed(out)
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")]
+    total = sum(pq2.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == man["n_rows"] == 500
+    assert "lang" in man["columns"]
