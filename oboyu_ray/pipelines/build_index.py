@@ -206,7 +206,7 @@ def _build_conv_map_disjoint(
     base = 0
     stamped = []
     for rank, s in enumerate(summaries):
-        stamped.append({"rank": rank, "path": s["path"], "base": base})
+        stamped.append({"rank": rank, "i": int(s["i"]), "path": s["path"], "base": base})
         base += int(s["span_sum"])
 
     def stamp(batch: pa.Table) -> Iterator[pa.Table]:
@@ -220,7 +220,7 @@ def _build_conv_map_disjoint(
             atomic_write_table(path, out)
             with open(path, "rb") as fh:
                 crc = zlib.crc32(fh.read())
-            yield pa.table({"path": [path], "crc": [crc]})
+            yield pa.table({"path": [path], "crc": [crc], "i": [int(row["i"])]})
 
     import zlib
 
@@ -238,10 +238,20 @@ def _build_conv_map_disjoint(
     content_crc = zlib.crc32(
         (";".join(f"{r['path']}:{r['crc']}" for r in results) + f";{base}").encode()
     )
+    # per-input-file conv-map fingerprint: ingest partitions depend only on
+    # the conv offsets of THEIR transcript files, so a retraction/edit that
+    # leaves a prefix of the conversation space untouched does not
+    # invalidate the preceding partitions
+    per_input_crc = {str(r["i"]): int(r["crc"]) for r in results}
     import shutil
 
     shutil.rmtree(local_dir, ignore_errors=True)
-    return {"n_docs_spanned": base, "files": final_files, "content_crc": content_crc}
+    return {
+        "n_docs_spanned": base,
+        "files": final_files,
+        "content_crc": content_crc,
+        "per_input_crc": per_input_crc,
+    }
 
 
 def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
@@ -332,6 +342,12 @@ def load_conv_offsets(index_dir: str):
     return ids[order], offs[order]
 
 
+def zlib_crc_of(values: List[int]) -> int:
+    import zlib
+
+    return zlib.crc32(";".join(str(v) for v in values).encode())
+
+
 # --------------------------------------------------------------- ingest
 
 def _ingest_one_group(
@@ -391,6 +407,7 @@ def ingest(
     cfg: BuildConfig,
     files_per_part: int = 1,
     conv_fp: int = 0,
+    per_input_crc: Optional[Dict[str, int]] = None,
 ) -> List[Dict]:
     """Phase 0: transcripts → doc-partitioned docs tables.
 
@@ -400,14 +417,21 @@ def ingest(
     interleaved inputs should be pre-sorted once (documented assumption).
     """
     conv_offsets_ref = ray.put(load_conv_offsets(index_dir))
-    groups = [
-        {"part_id": i, "files": transcript_files[s : s + files_per_part]}
-        for i, s in enumerate(range(0, len(transcript_files), files_per_part))
-    ]
+    groups = []
+    for i, s in enumerate(range(0, len(transcript_files), files_per_part)):
+        file_idx = list(range(s, min(s + files_per_part, len(transcript_files))))
+        if per_input_crc is not None:
+            # partition-local conv dependency (prefix-stable under edits)
+            fp = zlib_crc_of([per_input_crc.get(str(j), 0) for j in file_idx])
+        else:
+            fp = conv_fp  # global fallback (shuffle path / legacy)
+        groups.append(
+            {"part_id": i, "files": transcript_files[s : s + files_per_part], "fp": fp}
+        )
 
     def run(batch: pa.Table) -> Iterator[pa.Table]:
         for row in batch.to_pylist():
-            yield _ingest_one_group(row, conv_offsets_ref, index_dir, conv_fp)
+            yield _ingest_one_group(row, conv_offsets_ref, index_dir, int(row["fp"]))
 
     summaries = (
         ray.data.from_items(groups)
@@ -780,6 +804,7 @@ def build_index(
     summaries = ingest(
         transcript_files, index_dir, cfg, files_per_part,
         conv_fp=int(conv_info.get("content_crc", 0)),
+        per_input_crc=conv_info.get("per_input_crc"),
     )
     n_docs = int(sum(s["n_docs"] for s in summaries))
     part_ids = [int(s["part_id"]) for s in summaries]

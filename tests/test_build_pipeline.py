@@ -374,3 +374,50 @@ def test_corpus_sink_cli(tmp_path, capsys):
     total = sum(pq2.ParquetFile(f).metadata.num_rows for f in files)
     assert total == man["n_rows"] == 500
     assert "lang" in man["columns"]
+
+
+def test_retraction_exact_and_partition_local(tmp_path):
+    """Retracting conversations == input filter + incremental rebuild:
+    converges to the from-scratch build over the filtered corpus, touching
+    only the affected partitions at the ingest/tokenize level, and the
+    retracted turns disappear from query results."""
+    from oboyu_ray.config import BuildConfig
+    from oboyu_ray.pipelines.query import QueryEngine
+    from oboyu_ray.pipelines.retract import retract_conversations
+
+    cfg = BuildConfig(window_docs=256)
+    files = write_synth_transcripts(str(tmp_path / "t"), n_convs=120, seed=31, convs_per_file=30)
+    index_dir = str(tmp_path / "idx")
+    build_index(files, index_dir, cfg, files_per_part=2)
+
+    # retract two conversations living in files[2] (partition group 1)
+    victims = ["c00000061", "c00000064"]
+    new_files = retract_conversations(files, victims, str(tmp_path / "filtered"))
+    assert new_files[2] != files[2]  # rewritten
+    assert new_files[0] == files[0] and new_files[1] == files[1]  # untouched
+
+    def mtimes(sub):
+        d = os.path.join(index_dir, sub)
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before_docs = mtimes("docs")
+    report2 = build_index(new_files, index_dir, cfg, files_per_part=2)
+    changed_docs = [f for f, m in mtimes("docs").items() if before_docs[f] != m]
+    assert changed_docs == ["docs-00001.parquet"]
+
+    # equals a from-scratch build over the filtered corpus
+    fresh_dir = str(tmp_path / "fresh")
+    report3 = build_index(new_files, fresh_dir, cfg, files_per_part=2)
+    assert report2["n_docs"] == report3["n_docs"]
+    assert report2["stats"] == report3["stats"]
+    for f in sorted(os.listdir(os.path.join(index_dir, "blocks"))):
+        assert (
+            open(os.path.join(index_dir, "blocks", f), "rb").read()
+            == open(os.path.join(fresh_dir, "blocks", f), "rb").read()
+        )
+
+    # retracted conversations are gone from results
+    eng = QueryEngine(index_dir, num_shards=2)
+    got = eng.search("python model 検索 データ", k=50)
+    assert not set(got["conv_id"]).intersection(victims)
+    eng.close()
