@@ -612,6 +612,16 @@ GROUP BY 1
 """
 
 
+def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    """Actor-pool embedding stage over documents (deterministic fake model;
+    real model stubbed — see functions/embed.py).  Rows-only driver check;
+    the retrieval property (self-retrieval, hybrid composition) is pinned in
+    pytest."""
+    from oboyu_ray.functions.embed import embed_documents
+
+    return embed_documents(_docs(sf_dir))
+
+
 # ---------------------------------------------------------------- flagship engine
 
 ENGINE_QUERIES = [
@@ -691,6 +701,7 @@ def corpus_queries() -> dict:
         "simsearch_ivf": q_simsearch_ivf,
         "sessionize": q_sessionize,
         "transcript_engine_topk": q_transcript_engine_topk,
+        "doc_embeddings": q_doc_embeddings,
     }
 
 

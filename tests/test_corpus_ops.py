@@ -251,3 +251,78 @@ def test_sessionize_gap_boundary_exact():
     ]
     out = sessionize(ray.data.from_items(rows)).to_pandas()
     assert len(out) == 1 and int(out["n_events"].iloc[0]) == 2
+
+
+def test_fake_embedder_self_retrieval(entrymod):
+    """The embed stage's vectors support retrieval: querying with a document's
+    own text returns that document at rank 1 (cosine 1.0)."""
+    import numpy as np
+
+    from oboyu_ray.functions.embed import FakeEmbedder
+    from oboyu_ray.stages.simsearch import brute_force_cosine_topk
+
+    embs = entrymod.queries()["doc_embeddings"](SF)
+    df = embs.to_pandas()
+    assert list(df.columns) == ["doc_id", "embedding"]
+    assert len(df) == 500 and len(df["embedding"].iloc[0]) == 64
+
+    enc = FakeEmbedder()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') LIMIT 3"
+    ).fetchdf()
+    M = np.stack(df.sort_values("doc_id")["embedding"].to_numpy()).astype(np.float64)
+    ids = df.sort_values("doc_id")["doc_id"].to_numpy()
+    for _, row in docs.iterrows():
+        q = enc._encode_one(row["text"])
+        sims = M @ q
+        assert ids[int(np.argmax(sims))] == row["doc_id"]
+
+    ds = ray.data.from_pandas(df.rename(columns={"doc_id": "vec_id"}))
+    top = brute_force_cosine_topk(ds, k=3, query_ids=(int(docs["doc_id"].iloc[0]),))
+    assert int(top[top["rank"] == 1]["vec_id"].iloc[0]) == int(docs["doc_id"].iloc[0])
+
+
+def test_real_embedder_stub_raises():
+    from oboyu_ray.functions.embed import RealEmbedderStub
+
+    with pytest.raises(NotImplementedError):
+        RealEmbedderStub()(pa.table({"doc_id": [1], "text": ["x"]}))
+
+
+def test_file_corpus_source(tmp_path):
+    """S1-S3: discovery (globs, size cap, depth), decode fallback, markdown
+    front-matter extraction, parallel read into a Dataset."""
+    import os
+
+    from oboyu_ray.sources.files import discover_files, parse_front_matter, read_documents
+
+    (tmp_path / "a.md").write_text("---\ntitle: Doc A\nuri: http://x\n---\nbody A text")
+    (tmp_path / "b.txt").write_text("plain body B")
+    (tmp_path / "skip.py").write_text("not included")
+    (tmp_path / "big.txt").write_bytes(b"x" * (11 * 1024 * 1024))  # over size cap
+    sub = tmp_path / "sub" / "deep"
+    sub.mkdir(parents=True)
+    (sub / "c.md").write_text("no front matter here")
+    (tmp_path / "node_modules").mkdir()
+    (tmp_path / "node_modules" / "d.txt").write_text("excluded")
+    (tmp_path / "latin.txt").write_bytes("café".encode("latin-1"))  # non-utf8
+
+    files = discover_files(str(tmp_path), exclude_patterns=["node_modules/*"])
+    names = [os.path.basename(f) for f in files]
+    assert names == ["a.md", "latin.txt", "b.txt", "c.md"] or sorted(names) == sorted(
+        ["a.md", "b.txt", "c.md", "latin.txt"]
+    )
+    assert "big.txt" not in names and "d.txt" not in names and "skip.py" not in names
+
+    ds = read_documents(files)
+    df = ds.to_pandas().set_index("path")
+    a = df.loc[str(tmp_path / "a.md")]
+    assert a["title"] == "Doc A" and a["uri"] == "http://x" and a["text"] == "body A text"
+    assert df.loc[str(tmp_path / "b.txt")]["text"] == "plain body B"
+    assert df.loc[str(tmp_path / "latin.txt")]["text"] == "café"
+
+    # front-matter edge cases
+    body, meta = parse_front_matter("no delimiters at all")
+    assert body == "no delimiters at all" and meta == {}
+    body, meta = parse_front_matter("---\ntitle: T\nignored_key: v\n---\nrest")
+    assert meta == {"title": "T"} and body == "rest"
