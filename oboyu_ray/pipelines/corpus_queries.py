@@ -614,12 +614,38 @@ GROUP BY 1
 
 def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
     """Actor-pool embedding stage over documents (deterministic fake model;
-    real model stubbed — see functions/embed.py).  Rows-only driver check;
-    the retrieval property (self-retrieval, hybrid composition) is pinned in
-    pytest."""
+    real model stubbed — see functions/embed.py).  Emits hash-friendly
+    per-vector summaries (the raw list<float> column is the API result of
+    ``embed_documents``; a list column can't be value-sorted by the driver's
+    compare).  Rows-only check; retrieval properties pinned in pytest."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
     from oboyu_ray.functions.embed import embed_documents
 
-    return embed_documents(_docs(sf_dir))
+    def summarize(batch: pa.Table) -> pa.Table:
+        vecs = [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dim": pa.array([len(v) for v in vecs], type=pa.int64()),
+                "l2_micros": pa.array(
+                    [int(np.floor(np.linalg.norm(v) * 1e6 + 0.5)) for v in vecs],
+                    type=pa.int64(),
+                ),
+                "vec_md5": pa.array(
+                    [
+                        hashlib.md5(np.asarray(v, dtype=np.float32).tobytes()).hexdigest()
+                        for v in vecs
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return embed_documents(_docs(sf_dir)).map_batches(summarize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- flagship engine

@@ -261,9 +261,15 @@ def test_fake_embedder_self_retrieval(entrymod):
     from oboyu_ray.functions.embed import FakeEmbedder
     from oboyu_ray.stages.simsearch import brute_force_cosine_topk
 
-    embs = entrymod.queries()["doc_embeddings"](SF)
-    df = embs.to_pandas()
-    assert list(df.columns) == ["doc_id", "embedding"]
+    from oboyu_ray.functions.embed import embed_documents
+
+    summary = entrymod.queries()["doc_embeddings"](SF).to_pandas()
+    assert list(summary.columns) == ["doc_id", "dim", "l2_micros", "vec_md5"]
+    assert len(summary) == 500 and (summary["dim"] == 64).all()
+    assert (summary["l2_micros"] == 1_000_000).all()  # normalized vectors
+
+    docs_ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    df = embed_documents(docs_ds).to_pandas()
     assert len(df) == 500 and len(df["embedding"].iloc[0]) == 64
 
     enc = FakeEmbedder()
