@@ -421,3 +421,55 @@ def test_retraction_exact_and_partition_local(tmp_path):
     got = eng.search("python model 検索 データ", k=50)
     assert not set(got["conv_id"]).intersection(victims)
     eng.close()
+
+
+def test_conv_map_shuffle_fallback_interleaved_files(tmp_path):
+    """When input files interleave conversations (overlapping conv-id
+    ranges), build_conv_map falls back to the global groupby path and the
+    engine still builds + queries exactly (vs the reference oracle stats)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BuildConfig
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    # conversations c0..c19; EVEN turns in file A, ODD turns in file B →
+    # both files cover the full conv range (max overlap)
+    rows_a, rows_b = [], []
+    for ci in range(20):
+        for t in range(6):
+            row = {
+                "conv_id": f"c{ci:04d}", "turn_idx": t, "role": "user",
+                "text": f"doc {ci} turn {t} 検索 content word{ci % 5}",
+                "tool": "", "ts": datetime.datetime(2025, 1, 1, 0, ci, t),
+            }
+            (rows_a if t % 2 == 0 else rows_b).append(row)
+
+    def write(rows, path):
+        pq.write_table(pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in rows]),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], type=pa.int32()),
+            "role": pa.array([r["role"] for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "tool": pa.array([r["tool"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], type=pa.timestamp("us")),
+        }), path)
+
+    fa, fb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write(rows_a, fa)
+    write(rows_b, fb)
+
+    index_dir = str(tmp_path / "idx")
+    report = build_index([fa, fb], index_dir, BuildConfig(window_docs=64), files_per_part=2)
+    assert report["n_docs"] == 120
+    # dense doc numbering survived the interleaving (single combined part)
+    docs = pq.read_table(os.path.join(index_dir, "docs", "docs-00000.parquet"))
+    dn = np.sort(docs.column("doc_num").to_numpy())
+    assert np.array_equal(dn, np.arange(120))
+
+    eng = QueryEngine(index_dir, num_shards=1)
+    got = eng.search("検索", k=5)
+    assert len(got) == 5 and (got["score"] < 0).all()  # df == N → negative idf
+    eng.close()
