@@ -55,8 +55,6 @@ class BuildConfig:
     bm25: BM25Config = field(default_factory=BM25Config)
     docs_per_partition: int = 262_144
     window_docs: int = 8_192
-    # tokenize stage sizing: stateless tasks, whole-block batches
-    tokenize_batch_size: int | None = None
     # vocabulary aggregation: term partials are hash-bucketed (stable crc32)
     # into this many disjoint buckets at tokenize time; one task per bucket
     # then does a C++ (pyarrow) group_by — a deterministic file-based
@@ -65,9 +63,6 @@ class BuildConfig:
     # checkpointable unit).  At 10^6+ partitions add a combiner tree level
     # (partials-of-partials per partition range) to bound files per bucket.
     vocab_buckets: int = 32
-    # hot-term threshold for reporting (skew is handled structurally by
-    # document partitioning; this only drives the skew report in metrics)
-    hot_term_df_ratio: float = 0.25
 
 
 DEFAULT_BUILD_CONFIG = BuildConfig()

@@ -44,9 +44,11 @@ def tokenize_queries(queries: Sequence[str], cfg: BM25Config = BM25Config()) -> 
 
 
 def score_micros(scores: np.ndarray) -> np.ndarray:
-    """floor(score*1e6 + 0.5) as int64 — identical expression used in the
-    DuckDB oracle SQL, making float results hash-comparable."""
-    return np.floor(np.asarray(scores, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+    """floor(score*1e6 + 0.5) as int64 via the shared fixed-point helper —
+    identical expression used in the DuckDB oracle SQL."""
+    from oboyu_ray.fixedpoint import micros
+
+    return np.atleast_1d(micros(scores))
 
 
 def query_postings(
@@ -109,11 +111,15 @@ def brute_force_scores(
 
     k1, b = cfg.k1, cfg.b
 
-    def scores_local(batch: pa.Table) -> pa.Table:
-        # a document's posting rows never cross batch boundaries (postings
-        # are emitted per doc inside its docs batch), so the per-(query, doc)
-        # sum is COMPLETE within this batch — no global groupby shuffle
-        pdf = batch.to_pandas()
+    term_set = pa.array(sorted(set(all_terms)), type=pa.string())
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        # STRUCTURAL per-doc completeness: this single function tokenizes a
+        # batch of DOCS and scores their postings in place, so a document's
+        # (query, doc) sum can never be split across batches regardless of
+        # how Ray re-batches upstream data — no global groupby shuffle
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
         frames = []
         for qid, w in weights.items():
             sub = pdf[pdf["term"].isin(w.keys())]
@@ -141,7 +147,7 @@ def brute_force_scores(
             )
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
 
-    return qp.map_batches(scores_local, batch_format="pyarrow").to_pandas()
+    return docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
 
 
 def brute_force_topk(

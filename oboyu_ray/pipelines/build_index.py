@@ -342,6 +342,40 @@ def load_conv_offsets(index_dir: str):
     return ids[order], offs[order]
 
 
+def _gc_stale_partitions(index_dir: str, part_ids: List[int]) -> None:
+    """Remove artifacts of partitions that no longer exist (fewer input
+    files than a previous build): their docs/postings/dls/blocks/partials
+    and phase manifests.  Without this, the vocabulary reduce (which globs
+    the partials directory) would count documents from removed partitions —
+    inflated df/cf against the current N."""
+    import re as _re
+
+    keep = {int(p) for p in part_ids}
+    pat_by_dir = {
+        "docs": _re.compile(r"docs-(\d{5})\.parquet$"),
+        "postings": _re.compile(r"postings-(\d{5})\.parquet$"),
+        "dls": _re.compile(r"dls-(\d{5})\.parquet$"),
+        "blocks": _re.compile(r"blocks-(\d{5})\.parquet$"),
+        "vocab_partials": _re.compile(r"b\d{4}-p(\d{5})\.parquet$"),
+    }
+    for sub, pat in pat_by_dir.items():
+        d = os.path.join(index_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            m = pat.search(f)
+            if m and int(m.group(1)) not in keep:
+                os.remove(os.path.join(d, f))
+    for phase in ("ingest", "tokenize", "blocks"):
+        d = os.path.join(index_dir, "manifests", phase)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            m = _re.match(r"part-(\d+)\.json$", f)
+            if m and int(m.group(1)) not in keep:
+                os.remove(os.path.join(d, f))
+
+
 def zlib_crc_of(values: List[int]) -> int:
     import zlib
 
@@ -808,6 +842,7 @@ def build_index(
     )
     n_docs = int(sum(s["n_docs"] for s in summaries))
     part_ids = [int(s["part_id"]) for s in summaries]
+    _gc_stale_partitions(index_dir, part_ids)
     t_ingest = time.time()
 
     tok_summaries = tokenize_phase(part_ids, index_dir, cfg)

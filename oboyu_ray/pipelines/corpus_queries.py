@@ -277,9 +277,9 @@ def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
             .rename(columns={"vec_id": "doc_id"})[["doc_id"]]
         )
         comb = rrf_combine([v, b], rrf_k=DEFAULT_RRF_K, limit=10**9)
-        comb["rrf_micros"] = np.floor(
-            comb["rrf_score"].to_numpy(dtype=np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
+        from oboyu_ray.fixedpoint import micros
+
+        comb["rrf_micros"] = micros(comb["rrf_score"].to_numpy(dtype=np.float64))
         comb = comb.sort_values(
             ["rrf_micros", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(TOPK)
@@ -623,6 +623,7 @@ def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
     import numpy as np
     import pyarrow as pa
 
+    from oboyu_ray.fixedpoint import micros
     from oboyu_ray.functions.embed import embed_documents
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -632,8 +633,7 @@ def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
                 "doc_id": batch.column("doc_id"),
                 "dim": pa.array([len(v) for v in vecs], type=pa.int64()),
                 "l2_micros": pa.array(
-                    [int(np.floor(np.linalg.norm(v) * 1e6 + 0.5)) for v in vecs],
-                    type=pa.int64(),
+                    [micros(np.linalg.norm(v)) for v in vecs], type=pa.int64()
                 ),
                 "vec_md5": pa.array(
                     [
@@ -687,11 +687,10 @@ def q_transcript_engine_topk(sf_dir: str) -> pd.DataFrame:
     frames = []
     for i, q in enumerate(ENGINE_QUERIES):
         got = engine.search(q, k=10)
+        from oboyu_ray.fixedpoint import micros
+
         got = got.assign(
-            query_id=i,
-            score_micros=(got["score"] * 1e6 + 0.5).apply(
-                lambda x: int(__import__("math").floor(x))
-            ),
+            query_id=i, score_micros=micros(got["score"].to_numpy())
         )
         got["rank"] = range(1, len(got) + 1)
         frames.append(got[["query_id", "doc_id", "score_micros", "rank"]])

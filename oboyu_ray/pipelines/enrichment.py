@@ -107,12 +107,23 @@ def enrich_dataframe(
     search_fn: Callable[[str, int], pd.DataFrame],
     max_results: int = 5,
     confidence_threshold: float = 0.5,
+    score_transform: str = "min_max",
 ) -> pd.DataFrame:
     """Enrich ``df`` per ``schema['enrichment_schema']['columns']``.
 
     ``search_fn(query, k)`` returns a frame with ``text`` and ``score``
-    columns, best first.  Scores are min-max normalized before the
-    confidence filter (see module docstring).
+    columns, best first.  ``score_transform`` controls how scores meet the
+    confidence filter:
+
+    * ``"none"`` — scores are filtered absolutely (the reference's
+      semantics; use when the backend already emits calibrated [0,1]
+      relevance, e.g. cosine similarity).
+    * ``"min_max"`` (default for unbounded BM25 scores) — per-query min-max
+      normalization.  CAVEAT: with ≥2 distinct scores the best hit maps to
+      exactly 1.0, so the threshold trims weak TRAILING hits but can never
+      reject the head — "query matched nothing relevant" is not detectable
+      without absolute calibration.  This is a documented divergence from
+      the reference's GraphRAG relevance filter.
     """
     enrichment_schema = schema["enrichment_schema"]
     out = df.copy()
@@ -124,8 +135,9 @@ def enrich_dataframe(
             if hits is None or hits.empty:
                 values.append(None)
                 continue
-            norm = normalize_scores(hits, method="min_max")
-            kept = norm[norm["score"] >= confidence_threshold]
+            if score_transform == "min_max":
+                hits = normalize_scores(hits, method="min_max")
+            kept = hits[hits["score"] >= confidence_threshold]
             contents = kept["text"].tolist()
             values.append(_extract(contents, col_config.get("extraction_method", "first_result"), col_config))
         out[col_name] = values

@@ -125,7 +125,9 @@ FROM postings GROUP BY term
 def q_collection_stats(sf_dir: str) -> pd.DataFrame:
     """Single row (n_docs, total_dl, avgdl_micros)."""
     s = collection_stats(_docs(sf_dir), CFG)
-    avgdl_micros = int(np.floor(np.float64(s["avgdl"]) * 1e6 + 0.5))
+    from oboyu_ray.fixedpoint import micros
+
+    avgdl_micros = micros(float(s["avgdl"]))
     return pd.DataFrame(
         {
             "n_docs": pd.array([s["N"]], dtype="int64"),

@@ -101,8 +101,21 @@ class QueryEngine:
             self.stats = json.load(f)
         with open(os.path.join(index_dir, "build_report.json")) as f:
             self.report = json.load(f)
-        self.cfg = cfg or BM25Config()
+        # query-time tokenization must match the INDEX's tokenizer settings
+        # (the reference builds its query tokenizer identically to its index
+        # tokenizer, service_registry.py:75-80): reconstruct the full BM25
+        # config from the build report unless the caller overrides it
         bc = self.report.get("config", {}).get("bm25", {})
+        if cfg is None:
+            defaults = BM25Config()
+            cfg = BM25Config(
+                k1=float(bc.get("k1", defaults.k1)),
+                b=float(bc.get("b", defaults.b)),
+                min_token_length=int(bc.get("min_token_length", defaults.min_token_length)),
+                use_stopwords=bool(bc.get("use_stopwords", defaults.use_stopwords)),
+                language=str(bc.get("language", defaults.language)),
+            )
+        self.cfg = cfg
         self.k1 = float(bc.get("k1", self.cfg.k1))
         self.b = float(bc.get("b", self.cfg.b))
         self.window_docs = int(self.report.get("config", {}).get("window_docs", 8192))

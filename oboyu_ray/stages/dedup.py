@@ -45,6 +45,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from oboyu_ray.fixedpoint import micros
 from oboyu_ray.stages.textstats import WORD_RE, _normalize
 
 # ---------------------------------------------------------------- shingles
@@ -309,7 +310,7 @@ def _verify_pairs_exact(
         if jac >= tau:
             out_a.append(int(da))
             out_b.append(int(db))
-            out_j.append(int(np.floor(jac * 1e6 + 0.5)))
+            out_j.append(micros(jac))
     out = pd.DataFrame(
         {
             "doc_a": pd.array(out_a, dtype=np.int64),
@@ -549,9 +550,7 @@ def embedding_cosine_pairs(
             {
                 "vec_a": pa.array(va[keep], type=pa.int64()),
                 "vec_b": pa.array(vb[keep], type=pa.int64()),
-                "cos_micros": pa.array(
-                    np.floor(S[ai[keep], bj[keep]] * 1e6 + 0.5).astype(np.int64)
-                ),
+                "cos_micros": pa.array(micros(S[ai[keep], bj[keep]])),
             }
         )
 

@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
+from oboyu_ray.fixedpoint import micros
+
 MAGIC = b"OBIM"  # fake image container magic
 HEADER = struct.Struct("<4sHHI")  # magic, width, height, payload_len
 
@@ -99,7 +101,7 @@ class FakeDecodeFeatures:
             widths.append(int(w))
             heights.append(int(h))
             n_bytes.append(int(n))
-            mean_u.append(int(np.floor(body.mean() * 1e6 + 0.5)) if n else 0)
+            mean_u.append(micros(body.mean()) if n else 0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -28,9 +28,11 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+from oboyu_ray.fixedpoint import micros
+
+
 def _micros_col(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
-    return np.floor(v * 1e6 + 0.5).astype(np.int64)
+    return micros(arr.to_numpy(zero_copy_only=False))
 
 
 def events_window_agg(

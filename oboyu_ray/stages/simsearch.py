@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from oboyu_ray.fixedpoint import micros
+
 DEFAULT_QUERY_IDS = (0, 1, 2, 3, 4)
 
 
@@ -73,7 +75,7 @@ def brute_force_cosine_topk(
         bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
         bm = _normalize_rows(bm)
         S = qn @ bm.T  # (num_q, batch)
-        su = np.floor(S * 1e6 + 0.5).astype(np.int64)
+        su = micros(S)
         out_q: List[int] = []
         out_v: List[int] = []
         out_s: List[int] = []
@@ -204,7 +206,7 @@ def ivf_cosine_topk(
             if len(sel) == 0:
                 continue
             S = qn[qi] @ bm[sel].T
-            su = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            su = micros(S)
             order = np.lexsort((bids[sel], -su))[: min(k, len(sel))]
             out_q.extend([int(q_ids[qi])] * len(order))
             out_v.extend(bids[sel][order].tolist())
@@ -273,7 +275,7 @@ def lsh_cosine_topk(
             if len(sel) == 0:
                 continue
             S = qn[qi] @ bm[sel].T
-            su = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            su = micros(S)
             order = np.lexsort((bids[sel], -su))[: min(k, len(sel))]
             out_q.extend([int(q_ids[qi])] * len(order))
             out_v.extend(bids[sel][order].tolist())

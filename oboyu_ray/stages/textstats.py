@@ -27,6 +27,8 @@ from typing import List
 import numpy as np
 import pyarrow as pa
 
+from oboyu_ray.fixedpoint import micros
+
 # word tokens — deliberately simpler than the BM25 conformance tokenizer:
 # these are corpus-analysis operators, not the ranking tokenizer
 WORD_RE = re.compile(r"[a-z0-9]+")
@@ -48,9 +50,6 @@ def _normalize(text: str) -> str:
     SQL twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
     return re.sub(r"\s+", " ", text.lower()).strip()
 
-
-def micros(x: float) -> int:
-    return int(np.floor(np.float64(x) * 1e6 + 0.5))
 
 
 def text_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:

@@ -10,12 +10,14 @@ the driver's per-shard top-k merge is exact.
 Pruning (safe, exact — results equal brute force by construction):
 1. All terms' blocks share window boundaries (win = doc_num // window_docs),
    so the per-window score upper bound is a vectorized scatter-add over each
-   query term's (win → signed block bound) arrays.  The signed bound of a
-   block is ``idf ≥ 0 ? idf·max_tfnorm : idf·min_tfnorm`` — negative-IDF
-   terms (df > N/2, reference-legal) contribute their least-negative value.
-   Windows a term is absent from contribute 0, which is ≥ that term's
-   contribution for every doc there (0 for non-matching docs; for matching
-   docs the term has a block, contradiction) — hence a true upper bound.
+   query term's (win → block bound) arrays.  A term's bound contribution is
+   ``idf·max_tfnorm`` when idf > 0 and **0** when idf ≤ 0: any window can
+   contain docs that lack the term (whose contribution is 0), so 0 is the
+   only sound per-window bound for a negative-IDF term (df > N/2,
+   reference-legal).  Windows a term is absent from likewise contribute 0.
+   Per-block min_tfnorm stays in the artifact for a future refinement
+   (windows provably saturated by a term could use idf·min_tfnorm), unused
+   by this query path.
 2. Windows are processed in DESCENDING upper-bound order (MaxScore-style
    ordering on top of block-max WAND); once the bound of the next window is
    strictly below the current k-th best score θ, every remaining window is
@@ -191,16 +193,23 @@ class IndexShard:
             ]
             if not hits:
                 continue
-            # sparse per-window upper bound (signed block-max), only over
-            # windows where at least one query term has a block
+            # sparse per-window upper bound (block-max), only over windows
+            # where at least one query term has a block.  SOUNDNESS under
+            # negative IDF: a window may always contain docs that LACK a
+            # term (contribution 0), so a negative-weight term's largest
+            # possible per-doc contribution in any window is 0 — it adds
+            # nothing to the bound.  (Using w·min_tfnorm here would
+            # under-state the bound and prune true top-k docs that lack the
+            # hot term — regression-tested in
+            # test_negative_idf_pruning_soundness.)
             all_wins = np.concatenate([part.win[s:e] for _, s, e in hits])
             uniq_wins, inv = np.unique(all_wins, return_inverse=True)
             ub = np.zeros(len(uniq_wins), dtype=np.float64)
             pos = 0
             for w, s, e in hits:
                 m = e - s
-                bound = part.max_tfnorm[s:e] if w >= 0 else part.min_tfnorm[s:e]
-                np.add.at(ub, inv[pos : pos + m], w * bound)
+                if w > 0:
+                    np.add.at(ub, inv[pos : pos + m], w * part.max_tfnorm[s:e])
                 pos += m
             # adaptive execution: when pruning cannot drop most windows
             # (common terms / unfilled heap), decode each term's whole block

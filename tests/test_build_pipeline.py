@@ -473,3 +473,97 @@ def test_conv_map_shuffle_fallback_interleaved_files(tmp_path):
     got = eng.search("検索", k=5)
     assert len(got) == 5 and (got["score"] < 0).all()  # df == N → negative idf
     eng.close()
+
+
+def test_negative_idf_pruning_soundness(tmp_path):
+    """Regression (found by review): with a hot term (df > N/2, idf < 0), a
+    window full of heavy hot-term docs must NOT be pruned when it contains a
+    top-k doc that LACKS the hot term.  The sound per-window bound for a
+    negative-weight term is 0, not w*min_tfnorm."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BuildConfig
+    from oboyu_ray.pipelines.bm25_batch import brute_force_scores, tokenize_queries
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+    def add(conv, turn, text):
+        rows["conv_id"].append(conv)
+        rows["turn_idx"].append(turn)
+        rows["role"].append("user")
+        rows["text"].append(text)
+        rows["tool"].append("")
+        rows["ts"].append(datetime.datetime(2025, 1, 1))
+
+    # part 0 (conv a): hot-term docs, one with the rare term too
+    # part 1 (conv b): heavy hot-tf docs + ONE doc with only the rare term —
+    # its window bound under the buggy formula goes negative and gets pruned
+    for t in range(64):
+        add("a0", t, "ホット common filler" if t % 5 else "ホット rareterm mix")
+    for t in range(64):
+        if t == 33:
+            add("b0", t, "rareterm alone here")
+        else:
+            add("b0", t, "ホット " * 12)  # heavy tf → very negative contribution
+
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"]),
+        "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+        "role": pa.array(rows["role"]),
+        "text": pa.array(rows["text"]),
+        "tool": pa.array(rows["tool"]),
+        "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
+    }), f)
+    index_dir = str(tmp_path / "idx")
+    build_index([f], index_dir, BuildConfig(window_docs=64), files_per_part=1)
+
+    eng = QueryEngine(index_dir, num_shards=1)
+    for q in ("rareterm ホット", "ホット rareterm"):
+        terms = eng.tokenizer.tokenize(q)
+        docs_ds = ray.data.read_parquet(os.path.join(index_dir, "docs"))
+        stats = json.load(open(os.path.join(index_dir, "stats.json")))
+        brute = brute_force_scores(
+            docs_ds, {q: terms}, CFG, id_col="doc_num", text_col="text",
+            stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+        ).sort_values(["score", "doc_num"], ascending=[False, True], kind="mergesort")
+        for k in (1, 3, 10):
+            got = eng.search_terms(terms, k=k)
+            expect = brute.head(k)
+            assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (q, k)
+            np.testing.assert_allclose(
+                got["score"].to_numpy(), expect["score"].to_numpy(), rtol=1e-9
+            )
+    eng.close()
+
+
+def test_shrinking_inputs_gc_stale_partitions(tmp_path):
+    """Regression (found by review): rebuilding with FEWER input files must
+    not leave removed partitions' artifacts behind — vocabulary df/cf and
+    the served index must equal a from-scratch build of the smaller corpus."""
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BuildConfig
+
+    files = write_synth_transcripts(str(tmp_path / "t"), n_convs=80, seed=13, convs_per_file=40)
+    cfg = BuildConfig(window_docs=256)
+    index_dir = str(tmp_path / "idx")
+    build_index(files, index_dir, cfg, files_per_part=1)
+    report2 = build_index(files[:1], index_dir, cfg, files_per_part=1)
+
+    fresh_dir = str(tmp_path / "fresh")
+    report3 = build_index(files[:1], fresh_dir, cfg, files_per_part=1)
+    assert report2["n_docs"] == report3["n_docs"]
+    assert report2["stats"] == report3["stats"]
+
+    for sub in ("docs", "postings", "dls", "blocks", "vocab", "vocab_partials"):
+        a = sorted(os.listdir(os.path.join(index_dir, sub)))
+        b = sorted(os.listdir(os.path.join(fresh_dir, sub)))
+        assert a == b, sub
+    va = pq.read_table(os.path.join(index_dir, "vocab")).sort_by("term")
+    vb = pq.read_table(os.path.join(fresh_dir, "vocab")).sort_by("term")
+    assert va.equals(vb)
