@@ -168,11 +168,42 @@ class IndexShard:
     own partitions.
     """
 
+    # decoded-postings cache budget per shard actor, in posting entries
+    # (docs+tf arrays ≈ 16 B/posting → default ~128 MB); hot terms (high
+    # df, the scan-path queries) hit this cache on every repeated query
+    DECODE_CACHE_POSTINGS = 8_000_000
+
     def __init__(self, index_dir: str, part_ids: List[int], window_docs: int) -> None:
         self.window_docs = window_docs
         self.parts: List[_PartIndex] = []
         for pid in part_ids:
             self.parts.append(_PartIndex(index_dir, pid, window_docs))
+        self._cache: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_postings = 0
+
+    def _contrib_cached(self, part_idx: int, s: int, e: int):
+        """FIFO-bounded cache of (part-local doc index, tfnorm) for a term's
+        full block range.  tfnorm depends only on (tf, dl, k1, b, avgdl) —
+        all query-independent — so the scan path's per-query work collapses
+        to one fused multiply-add per cached hot term.  Cleared by
+        configure() (k1/b/avgdl changes)."""
+        key = (part_idx, s, e)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        part = self.parts[part_idx]
+        docs_abs, tf, dl = part.decode_range(s, e)
+        idx = docs_abs - part.win_base * self.window_docs
+        tfnorm = self._tfnorm(tf, dl)
+        out = (idx, tfnorm)
+        n = len(idx)
+        if n <= self.DECODE_CACHE_POSTINGS:
+            while self._cache and self._cache_postings + n > self.DECODE_CACHE_POSTINGS:
+                old_key = next(iter(self._cache))
+                self._cache_postings -= len(self._cache.pop(old_key)[0])
+            self._cache[key] = out
+            self._cache_postings += n
+        return out
 
     def query(
         self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF
@@ -185,7 +216,7 @@ class IndexShard:
         top_scores = np.empty(0, dtype=np.float64)
         theta = theta0
 
-        for part in self.parts:
+        for part_idx, part in enumerate(self.parts):
             hits = [
                 (w, *part.term_slices[t])
                 for t, w in term_weights.items()
@@ -225,9 +256,8 @@ class IndexShard:
                 acc = np.zeros(span, dtype=np.float64)
                 present = np.zeros(span, dtype=bool)
                 for w, s, e in hits:
-                    docs_abs, tf, dl = part.decode_range(s, e)
-                    idx = docs_abs - base
-                    acc[idx] += w * self._tfnorm(tf, dl)
+                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                    acc[idx] += w * tfnorm
                     present[idx] = True
                 idx = np.flatnonzero(present)
                 if len(idx) == 0:
@@ -279,6 +309,8 @@ class IndexShard:
         self.k1 = k1
         self.b = b
         self.avgdl = avgdl
+        self._cache.clear()
+        self._cache_postings = 0
 
     def ping(self) -> bool:
         return True
