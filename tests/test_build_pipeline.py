@@ -128,22 +128,19 @@ def test_wand_matches_brute_force(built, engine):
 
 def test_engine_matches_reference_oracle(built, engine):
     """Rank-identical top-k docIDs + scores vs the reference BM25Indexer."""
+    from tests.reference_oracle import reference_topk
+
     pairs = load_pairs(built["files"])
     ridx = REF.BM25Indexer()
     ridx.index_chunks([REF.make_chunk(i, c) for i, c in pairs])
-    tf_by_doc = {}
-    for term, postings in ridx.inverted_index.items():
-        for e in postings:
-            tf_by_doc.setdefault(e[0], {})[term] = e[1]
     k = 10
     for q in QUERIES:
         terms = engine.tokenizer.tokenize(q)
         # candidate set = union of posting lists (DAAT semantics)
         cand = {e[0] for t in terms for e in ridx.inverted_index.get(t, [])}
-        scored = sorted(
-            ((d, ridx.score(terms, d, tf_by_doc.get(d, {}))) for d in cand),
-            key=lambda x: (-x[1], x[0]),
-        )[:k]
+        scored = [
+            (d, s) for d, s in reference_topk(ridx, terms, k=len(pairs)) if d in cand
+        ][:k]
         got = engine.search(q, k=k)
         assert got["doc_id"].tolist() == [d for d, _ in scored], q
         np.testing.assert_allclose(

@@ -60,8 +60,11 @@ def _as_df(res) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_equality(entrymod, duck, name):
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:  # conditionally-registered oracle (e.g. text_normalize)
+        pytest.skip(f"{name}: oracle not registered in this environment")
     df = _as_df(entrymod.queries()[name](SF))
-    ora = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    ora = duck.execute(sql).fetchdf()
     cols = sorted(df.columns)
     assert cols == sorted(ora.columns)
     a = df[cols].sort_values(cols).reset_index(drop=True)
@@ -87,6 +90,7 @@ def test_simhash_deterministic_and_self_consistent(entrymod):
     a = _as_df(entrymod.queries()["dedup_simhash"](SF))
     b = _as_df(entrymod.queries()["dedup_simhash"](SF))
     pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # sf0.01 has planted near-dups; empty would be vacuous
     assert (a["hamming"] <= 3).all()
     assert (a["doc_a"] < a["doc_b"]).all()
 
@@ -124,6 +128,8 @@ def test_exact_dedup_groups_duplicates():
 def test_lsh_topk_scores_consistent_with_brute(entrymod):
     brute = _as_df(entrymod.queries()["simsearch_topk"](SF))
     lsh = _as_df(entrymod.queries()["simsearch_lsh"](SF))
+    assert len(brute) > 0 and len(lsh) > 0
+    assert set(lsh["query_id"]) == set(brute["query_id"])  # every query probed
     # self-match is always probed (hamming 0) and tops the list
     for qid, grp in lsh.groupby("query_id"):
         top = grp[grp["rank"] == 1].iloc[0]
@@ -314,10 +320,8 @@ def test_file_corpus_source(tmp_path):
     (tmp_path / "latin.txt").write_bytes("café".encode("latin-1"))  # non-utf8
 
     files = discover_files(str(tmp_path), exclude_patterns=["node_modules/*"])
-    names = [os.path.basename(f) for f in files]
-    assert names == ["a.md", "latin.txt", "b.txt", "c.md"] or sorted(names) == sorted(
-        ["a.md", "b.txt", "c.md", "latin.txt"]
-    )
+    names = sorted(os.path.basename(f) for f in files)
+    assert names == ["a.md", "b.txt", "c.md", "latin.txt"]
     assert "big.txt" not in names and "d.txt" not in names and "skip.py" not in names
 
     ds = read_documents(files)

@@ -82,9 +82,7 @@ def test_min_token_length_filter():
 
 def test_contiguous_japanese_runs_are_single_tokens():
     t = FallbackTokenizer()
-    # hiragana+katakana+kanji are separate character classes → separate runs
-    assert t.tokenize("これはテスト用の漢字です") == ["これはてすと", "用", "の", "漢字です"] or True
-    # exact parity with the reference is the real assertion:
+    # exact parity with the reference is the assertion:
     ref = REF.create_tokenizer(language="ja", min_token_length=2, use_stopwords=False)
     for s in ["これはテスト用の漢字です", "カタカナとひらがなと漢字"]:
         assert t.tokenize(s) == ref.tokenize(s)
