@@ -32,7 +32,7 @@ import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 BENCH_ROOT = "/tmp/oboyu_bench"
-N_CONVS = int(os.environ.get("OBOYU_BENCH_CONVS", "12000"))
+N_CONVS = int(os.environ.get("OBOYU_BENCH_CONVS", "48000"))
 # scaling legs need a compute-bound regime: small corpora measure fixed
 # overhead (Ray Data scheduling, the vocabulary shuffle), not scalability
 SCALING_CONVS = int(os.environ.get("OBOYU_BENCH_SCALING_CONVS", "192000"))
