@@ -21,12 +21,11 @@ tests/test_bm25_conformance.py.
 Scale knobs (ours; no reference equivalent — the reference is a
 single-process in-memory engine):
 
-* ``docs_per_partition`` — documents per index partition.  A partition is
-  the unit of checkpointing, of shard-actor assignment, and of the Phase-A/C
-  build tasks.  At 10^12 turns with the default 262144 docs/partition the
-  build is ~4M independent partition tasks; each partition's postings stay
-  partition-local (document-partitioned index → no all-to-all shuffle of
-  posting rows, see ``pipelines/build_index.py``).
+* partitioning — the partition unit is the input file group
+  (``build_index(files_per_part=…)``); at 10^12 turns with ~256k turns per
+  file the build is ~4M independent partition tasks, and each partition's
+  postings stay partition-local (document-partitioned index → no all-to-all
+  shuffle of posting rows, see ``pipelines/build_index.py``).
 * ``window_docs`` — width (in dense doc ordinals) of an aligned posting
   block/window.  All terms' blocks share window boundaries, which makes
   block-max pruning a vectorized per-window bound instead of per-cursor
@@ -53,7 +52,10 @@ class BM25Config:
 @dataclass(frozen=True)
 class BuildConfig:
     bm25: BM25Config = field(default_factory=BM25Config)
-    docs_per_partition: int = 262_144
+    # the partition unit is the input FILE GROUP (build_index files_per_part
+    # — log-structured transcript stores control file sizing upstream);
+    # a partition is the unit of checkpointing, of shard assignment, and of
+    # the per-partition build tasks
     window_docs: int = 8_192
     # vocabulary aggregation: term partials are hash-bucketed (stable crc32)
     # into this many disjoint buckets at tokenize time; one task per bucket

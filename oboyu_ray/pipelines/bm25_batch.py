@@ -68,6 +68,70 @@ def query_postings(
     return docs_ds.map_batches(extract, batch_format="pyarrow")
 
 
+def _stats_and_term_dfs(
+    docs_ds: "ray.data.Dataset",
+    terms: Sequence[str],
+    cfg: BM25Config,
+    id_col: str,
+    text_col: str,
+):
+    """One tokenization pass → ({N, total_dl, avgdl}, df per query term).
+    Per-batch partials stream back as tiny tables and combine driver-side
+    (df = count of (term, doc) posting rows per term, which is batch-safe
+    regardless of how doc rows split across batches)."""
+    term_set = pa.array(sorted(set(terms)), type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        total_dl = 0
+        if p.num_rows:
+            total_dl = int(pc.sum(p.column("tf")).as_py() or 0)
+        q = p.filter(pc.is_in(p.column("term"), value_set=term_set))
+        g = (
+            q.group_by("term").aggregate([("tf", "count")])
+            if q.num_rows
+            else pa.table({"term": pa.array([], type=pa.string()),
+                           "tf_count": pa.array([], type=pa.int64())})
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays([pa.array([None], type=pa.string()),
+                                          g.column("term").combine_chunks().cast(pa.string())]),
+                "df_partial": pa.concat_arrays(
+                    [pa.array([batch.num_rows], type=pa.int64()),
+                     g.column("tf_count").combine_chunks().cast(pa.int64())]
+                ),
+                "dl_partial": pa.concat_arrays(
+                    [pa.array([total_dl], type=pa.int64()),
+                     pa.nulls(g.num_rows, type=pa.int64())]
+                ),
+            }
+        )
+
+    n_docs = 0
+    total_dl = 0
+    df_map: Dict[str, int] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for t, d, dl in zip(
+            b.column("term").to_pylist(),
+            b.column("df_partial").to_pylist(),
+            b.column("dl_partial").to_pylist(),
+        ):
+            if t is None:  # the per-batch global-stats row
+                n_docs += int(d)
+                total_dl += int(dl or 0)
+            else:
+                df_map[t] = df_map.get(t, 0) + int(d)
+    stats = {
+        "N": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
+    return stats, df_map
+
+
 def brute_force_scores(
     docs_ds: "ray.data.Dataset",
     queries: Dict[str, List[str]],
@@ -82,19 +146,25 @@ def brute_force_scores(
     (candidates only).  ``stats`` may be passed to avoid recomputing the
     global N/avgdl pass.
     """
-    if stats is None:
-        stats = collection_stats(docs_ds, cfg, id_col=id_col, text_col=text_col)
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
-
     all_terms = sorted({t for ts in queries.values() for t in ts})
-    if not all_terms or n_docs == 0:
+    if not all_terms:
         return pd.DataFrame({"query_id": [], id_col: [], "score": []})
 
-    qp = query_postings(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
-
-    # df for the query terms — in-batch partials combined driver-side (the
-    # term set is query-small; a groupby shuffle here is pure overhead)
-    df_map = term_dfs(qp)
+    if stats is None:
+        # single tokenization pass computes BOTH global stats and query-term
+        # dfs (separate collection_stats + df passes would tokenize the
+        # corpus twice — tokenization is the dominant cost)
+        stats, df_map = _stats_and_term_dfs(
+            docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col
+        )
+    else:
+        qp = query_postings(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
+        # df via in-batch partials combined driver-side (the term set is
+        # query-small; a groupby shuffle here is pure overhead)
+        df_map = term_dfs(qp)
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    if n_docs == 0:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
     idf_map = {t: idf(int(df_map.get(t, 0)), n_docs) for t in all_terms}
 
     # per-query term weights: idf × multiplicity (reference sums per query

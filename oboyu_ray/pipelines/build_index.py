@@ -540,6 +540,12 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
     lineage = {
         "docs": {docs_path: file_sig(docs_path)},
         "vocab_buckets": cfg.vocab_buckets,
+        # tokenizer settings: changed tokenization must invalidate postings
+        "tokenizer": {
+            "min_token_length": cfg.bm25.min_token_length,
+            "use_stopwords": cfg.bm25.use_stopwords,
+            "language": cfg.bm25.language,
+        },
     }
 
     if man.is_done(part_id, lineage):
@@ -669,6 +675,22 @@ def vocabulary_phase(
     Any term's reduce fan-in is bounded by #partitions rows (partials are
     pre-aggregated per partition), so hot terms cannot skew a bucket."""
 
+    # GC bucket outputs + manifests beyond the current bucket count (a
+    # shrink would otherwise leave stale vocab files that VocabLookup reads)
+    import re as _re
+
+    vdir = os.path.join(index_dir, "vocab")
+    for f in os.listdir(vdir):
+        m = _re.match(r"vocab-(\d{5})\.parquet$", f)
+        if m and int(m.group(1)) >= cfg.vocab_buckets:
+            os.remove(os.path.join(vdir, f))
+    mdir = os.path.join(index_dir, "manifests", "vocab")
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            m = _re.match(r"part-bucket-(\d+)\.json$", f)
+            if m and int(m.group(1)) >= cfg.vocab_buckets:
+                os.remove(os.path.join(mdir, f))
+
     def run(batch: pa.Table) -> Iterator[pa.Table]:
         for row in batch.to_pylist():
             yield _vocab_one_bucket(int(row["bucket"]), index_dir)
@@ -706,6 +728,8 @@ def _encode_blocks_one_part(
         "postings": {postings_path: file_sig(postings_path)},
         "avgdl": avgdl,
         "window_docs": cfg.window_docs,
+        "k1": cfg.bm25.k1,
+        "b": cfg.bm25.b,  # stored tfnorm bounds depend on k1/b
         "block_format": 2,  # v2: dl lives in the dense per-part dls table
     }
     if man.is_done(part_id, lineage):

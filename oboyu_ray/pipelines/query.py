@@ -115,6 +115,17 @@ class QueryEngine:
                 use_stopwords=bool(bc.get("use_stopwords", defaults.use_stopwords)),
                 language=str(bc.get("language", defaults.language)),
             )
+        else:
+            # k1/b are baked into the stored block-max bounds; querying with
+            # different values would make pruning unsound — reject loudly
+            built_k1 = float(bc.get("k1", cfg.k1))
+            built_b = float(bc.get("b", cfg.b))
+            if (cfg.k1, cfg.b) != (built_k1, built_b):
+                raise ValueError(
+                    f"index was built with k1={built_k1}, b={built_b}; "
+                    f"override ({cfg.k1}, {cfg.b}) would invalidate the stored "
+                    "block-max bounds — rebuild the index with the new values"
+                )
         self.cfg = cfg
         self.k1 = float(bc.get("k1", self.cfg.k1))
         self.b = float(bc.get("b", self.cfg.b))

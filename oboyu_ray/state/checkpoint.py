@@ -88,9 +88,3 @@ class Manifest:
         atomic_write_json(self._path(part_id), m)
         return m
 
-    def completed_parts(self) -> List[str]:
-        return sorted(
-            f[len("part-"):-len(".json")]
-            for f in os.listdir(self.dir)
-            if f.startswith("part-") and f.endswith(".json")
-        )

@@ -54,7 +54,7 @@ class _PartIndex:
     term's blocks can be decoded in ONE vectorized pass — no per-row
     ``as_py()`` byte copies on the query path."""
 
-    __slots__ = ("terms", "win", "n", "max_tfnorm",
+    __slots__ = ("win", "n", "max_tfnorm",
                  "min_tfnorm", "term_slices", "n_windows", "win_base",
                  "docs_off", "docs_buf", "tfs_off", "tfs_buf",
                  "row_starts", "window_docs", "dl_arr", "dl_base")
@@ -75,7 +75,6 @@ class _PartIndex:
     def __init__(self, index_dir: str, part_id: int, window_docs: int) -> None:
         blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
         t = pq.read_table(blocks_path)
-        self.terms = t.column("term").to_pylist()
         self.win = t.column("win").to_numpy().astype(np.int64)
         self.n = t.column("n").to_numpy().astype(np.int64)
         _, self.docs_off, self.docs_buf = self._binary_views(t.column("docs"))
@@ -99,17 +98,22 @@ class _PartIndex:
             self.dl_base = 0
             self.dl_arr = np.zeros(0, dtype=np.float64)
         self.window_docs = window_docs
-        # term → contiguous block-row slice (blocks sorted by term, win)
+        # term → contiguous block-row slice (blocks sorted by term, win).
+        # Vectorized run detection over dictionary codes: only UNIQUE terms
+        # materialize as Python strings (block rows can be millions; their
+        # term column is highly repetitive)
         self.term_slices: Dict[str, Tuple[int, int]] = {}
-        i = 0
-        nrows = len(self.terms)
-        while i < nrows:
-            j = i + 1
-            term = self.terms[i]
-            while j < nrows and self.terms[j] == term:
-                j += 1
-            self.term_slices[term] = (i, j)
-            i = j
+        nrows = t.num_rows
+        if nrows:
+            enc = t.column("term").combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+            ends = np.concatenate((starts[1:], [nrows]))
+            terms_at_starts = enc.dictionary.take(
+                __import__("pyarrow").array(codes[starts])
+            ).to_pylist()
+            for term, s_, e_ in zip(terms_at_starts, starts, ends):
+                self.term_slices[term] = (int(s_), int(e_))
         if nrows:
             self.win_base = int(self.win.min())
             self.n_windows = int(self.win.max()) - self.win_base + 1
@@ -146,6 +150,8 @@ def _merge_topk(
     cur_docs: np.ndarray, cur_scores: np.ndarray,
     new_docs: np.ndarray, new_scores: np.ndarray, k: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    if k <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     docs = np.concatenate((cur_docs, new_docs))
     scores = np.concatenate((cur_scores, new_scores))
     n = len(scores)
@@ -214,6 +220,8 @@ class IndexShard:
         W = self.window_docs
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0:
+            return top_docs, top_scores
         theta = theta0
 
         for part_idx, part in enumerate(self.parts):

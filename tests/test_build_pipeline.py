@@ -564,3 +564,49 @@ def test_shrinking_inputs_gc_stale_partitions(tmp_path):
     va = pq.read_table(os.path.join(index_dir, "vocab")).sort_by("term")
     vb = pq.read_table(os.path.join(fresh_dir, "vocab")).sort_by("term")
     assert va.equals(vb)
+
+
+def test_config_changes_invalidate_lineage(tmp_path):
+    """Regression (review round 3): rebuilding the same index_dir with
+    changed k1/b, tokenizer settings, or fewer vocab buckets must converge
+    to exactly the state a fresh build with that config produces (stale
+    bounds / postings / bucket outputs all invalidated)."""
+    from oboyu_ray.config import BM25Config, BuildConfig
+
+    files = write_synth_transcripts(str(tmp_path / "t"), n_convs=60, seed=7, convs_per_file=30)
+    index_dir = str(tmp_path / "idx")
+    base = BuildConfig(window_docs=256, vocab_buckets=8)
+    build_index(files, index_dir, base, files_per_part=1)
+
+    for changed in (
+        BuildConfig(bm25=BM25Config(k1=2.0), window_docs=256, vocab_buckets=8),
+        BuildConfig(bm25=BM25Config(use_stopwords=False), window_docs=256, vocab_buckets=8),
+        BuildConfig(window_docs=256, vocab_buckets=4),  # bucket shrink
+    ):
+        build_index(files, index_dir, changed, files_per_part=1)
+        fresh = str(tmp_path / f"fresh_{changed.vocab_buckets}_{changed.bm25.k1}_{changed.bm25.use_stopwords}")
+        build_index(files, fresh, changed, files_per_part=1)
+        for sub in ("blocks", "vocab", "postings"):
+            a_dir, b_dir = os.path.join(index_dir, sub), os.path.join(fresh, sub)
+            assert sorted(os.listdir(a_dir)) == sorted(os.listdir(b_dir)), (sub, changed)
+            for f in sorted(os.listdir(a_dir)):
+                if f.endswith(".parquet"):
+                    assert (
+                        open(os.path.join(a_dir, f), "rb").read()
+                        == open(os.path.join(b_dir, f), "rb").read()
+                    ), (sub, f, changed)
+        # rebuild back to base so the next iteration starts consistent
+        build_index(files, index_dir, base, files_per_part=1)
+
+
+def test_query_engine_rejects_k1_b_override(built):
+    from oboyu_ray.config import BM25Config
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    with pytest.raises(ValueError, match="block-max bounds"):
+        QueryEngine(built["index_dir"], num_shards=1, cfg=BM25Config(k1=2.0))
+
+
+def test_query_k_zero_returns_empty(engine):
+    out = engine.search("python model", k=0)
+    assert len(out) == 0
