@@ -67,6 +67,24 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index_dir(args: argparse.Namespace) -> int:
+    """`oboyu index DIR` equivalent over a file corpus."""
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.pipelines.file_index import index_directory
+
+    report = index_directory(
+        args.root,
+        args.index_dir,
+        include_patterns=args.include.split(",") if args.include else None,
+        exclude_patterns=args.exclude.split(",") if args.exclude else None,
+        chunk_size=args.chunk_size,
+        chunk_overlap=args.chunk_overlap,
+    )
+    print(json.dumps({"n_docs": report["n_docs"], "n_terms": report["n_terms"],
+                      **report["timings_sec"]}))
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Run one named driver-contract corpus query and land it as parquet."""
     _ensure_ray(args.num_cpus)
@@ -107,6 +125,16 @@ def main(argv=None) -> int:
     q.add_argument("--hydrate", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("index-dir", help="index a document directory (oboyu index DIR equivalent)")
+    d.add_argument("--root", required=True)
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("--include", default=None, help="comma-separated globs (default *.txt,*.md)")
+    d.add_argument("--exclude", default=None)
+    d.add_argument("--chunk-size", type=int, default=1024)
+    d.add_argument("--chunk-overlap", type=int, default=256)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_index_dir)
 
     c = sub.add_parser("corpus", help="run a named corpus query, write parquet + manifest")
     c.add_argument("--name", required=True)

@@ -336,3 +336,59 @@ def test_file_corpus_source(tmp_path):
     assert body == "no delimiters at all" and meta == {}
     body, meta = parse_front_matter("---\ntitle: T\nignored_key: v\n---\nrest")
     assert meta == {"title": "T"} and body == "rest"
+
+
+def test_index_directory_end_to_end(tmp_path):
+    """`oboyu index DIR` + `oboyu search` equivalent: file corpus → chunked
+    transcript shards → full distributed index → rank-exact search with
+    hydration, verified against the reference BM25Indexer over the same
+    chunked corpus."""
+    import os
+
+    from oboyu_ray.functions.textproc import chunk_text
+    from oboyu_ray.pipelines.file_index import get_index_info, index_directory, open_search
+    from tests.reference_oracle import load_reference, reference_topk
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    (root / "alpha.md").write_text(
+        "---\ntitle: Alpha\n---\n" + ("alpha document search engine text. " * 60)
+    )
+    (root / "beta.txt").write_text("beta indexing pipeline content. " * 50)
+    (root / "gamma.txt").write_text("gamma 検索 日本語 文書 content. " * 40)
+    (root / "ignored.bin").write_bytes(b"\x00\x01")
+
+    index_dir = str(tmp_path / "idx")
+    report = index_directory(
+        str(root), index_dir, chunk_size=200, chunk_overlap=50
+    )
+    assert report["n_docs"] > 3  # chunking actually split the files
+
+    info = get_index_info(index_dir)
+    assert info["document_count"] == report["n_docs"]
+    assert info["vocabulary_size"] > 5
+
+    engine = open_search(index_dir, num_shards=1)
+    got = engine.search("検索 日本語", k=3, hydrate=True)
+    assert len(got) > 0
+    assert all(d.startswith(str(root / "gamma.txt")) for d in got["doc_id"])
+    assert got["text"].str.contains("検索").all()
+
+    # rank-identity vs the reference over the SAME chunked corpus
+    ref = load_reference()
+    ridx = ref.BM25Indexer()
+    chunks = []
+    for fname in ("alpha.md", "beta.txt", "gamma.txt"):
+        body = (root / fname).read_text()
+        if body.startswith("---"):
+            body = body.split("---\n", 2)[2]
+        for i, c in enumerate(chunk_text(body, 200, 50)):
+            chunks.append(ref.make_chunk(f"{root / fname}:{i:08d}", c))
+    ridx.index_chunks(chunks)
+    for q in ("alpha search", "indexing pipeline", "検索"):
+        terms = engine.tokenizer.tokenize(q)
+        cand = {e[0] for t in terms for e in ridx.inverted_index.get(t, [])}
+        expect = [(d, s) for d, s in reference_topk(ridx, terms, k=99) if d in cand][:5]
+        got = engine.search(q, k=5)
+        assert got["doc_id"].tolist() == [d for d, _ in expect], q
+    engine.close()
