@@ -486,9 +486,10 @@ def test_negative_idf_pruning_soundness(tmp_path):
     from oboyu_ray.pipelines.bm25_batch import brute_force_scores, tokenize_queries
     from oboyu_ray.pipelines.query import QueryEngine
 
-    rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    def make_rows():
+        return {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
 
-    def add(conv, turn, text):
+    def add(rows, conv, turn, text):
         rows["conv_id"].append(conv)
         rows["turn_idx"].append(turn)
         rows["role"].append("user")
@@ -496,28 +497,35 @@ def test_negative_idf_pruning_soundness(tmp_path):
         rows["tool"].append("")
         rows["ts"].append(datetime.datetime(2025, 1, 1))
 
-    # part 0 (conv a): hot-term docs, one with the rare term too
-    # part 1 (conv b): heavy hot-tf docs + ONE doc with only the rare term —
-    # its window bound under the buggy formula goes negative and gets pruned
+    def write(rows, path):
+        pq.write_table(pa.table({
+            "conv_id": pa.array(rows["conv_id"]),
+            "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+            "role": pa.array(rows["role"]),
+            "text": pa.array(rows["text"]),
+            "tool": pa.array(rows["tool"]),
+            "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
+        }), path)
+
+    # TWO partitions (the single-partition dense-scan path masks the bug):
+    # part 0 (conv a) fills the top-k heap and sets theta; part 1 (conv b)
+    # holds heavy hot-tf docs + ONE doc with only the rare term, whose
+    # window bound under the buggy w*min_tfnorm formula sinks below theta
+    # and gets pruned despite containing the true top-1
+    ra = make_rows()
     for t in range(64):
-        add("a0", t, "ホット common filler" if t % 5 else "ホット rareterm mix")
+        add(ra, "a0", t, "ホット common filler" if t % 5 else "ホット rareterm mix")
+    rb = make_rows()
     for t in range(64):
         if t == 33:
-            add("b0", t, "rareterm alone here")
+            add(rb, "b0", t, "rareterm alone here")
         else:
-            add("b0", t, "ホット " * 12)  # heavy tf → very negative contribution
-
-    f = str(tmp_path / "t.parquet")
-    pq.write_table(pa.table({
-        "conv_id": pa.array(rows["conv_id"]),
-        "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
-        "role": pa.array(rows["role"]),
-        "text": pa.array(rows["text"]),
-        "tool": pa.array(rows["tool"]),
-        "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
-    }), f)
+            add(rb, "b0", t, "ホット " * 12)  # heavy tf → very negative contribution
+    fa, fb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write(ra, fa)
+    write(rb, fb)
     index_dir = str(tmp_path / "idx")
-    build_index([f], index_dir, BuildConfig(window_docs=64), files_per_part=1)
+    build_index([fa, fb], index_dir, BuildConfig(window_docs=64), files_per_part=1)
 
     eng = QueryEngine(index_dir, num_shards=1)
     for q in ("rareterm ホット", "ホット rareterm"):
