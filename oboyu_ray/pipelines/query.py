@@ -35,8 +35,13 @@ VOCAB_INMEM_LIMIT = 5_000_000
 
 
 class VocabLookup:
-    """df lookup for query terms — in-memory dict for small vocabularies,
-    filtered parquet reads (term-sorted row groups) beyond."""
+    """df lookup for query terms.
+
+    Small vocabularies load into one dict.  Beyond ``VOCAB_INMEM_LIMIT`` the
+    lookup exploits the build's bucketed layout: a term lives in exactly
+    vocab-{crc32(term) % B}.parquet, so a query reads ≤ |query terms| files
+    (term-sorted row groups inside), not the whole directory — the point
+    lookup stays O(terms) regardless of vocabulary size."""
 
     def __init__(self, vocab_dir: str) -> None:
         self.vocab_dir = vocab_dir
@@ -48,6 +53,16 @@ class VocabLookup:
         self.files = files
         total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         self.n_terms = total
+        # bucketed layout: contiguous vocab-00000..vocab-{B-1} (the build's
+        # invariant, enforced by its bucket GC)
+        import re as _re
+
+        idx = sorted(
+            int(m.group(1))
+            for f in files
+            if (m := _re.search(r"vocab-(\d{5})\.parquet$", f))
+        )
+        self._bucketed = bool(files) and idx == list(range(len(files)))
         self._map: Optional[Dict[str, int]] = None
         if total <= VOCAB_INMEM_LIMIT:
             m: Dict[str, int] = {}
@@ -59,8 +74,20 @@ class VocabLookup:
     def df(self, terms: Sequence[str]) -> Dict[str, int]:
         if self._map is not None:
             return {t: self._map.get(t, 0) for t in terms}
+        import zlib
+
         out = {t: 0 for t in terms}
-        tset = list(set(terms))
+        tset = sorted(set(terms))
+        if self._bucketed:
+            by_file: Dict[str, list] = {}
+            B = len(self.files)
+            for t in tset:
+                f = os.path.join(self.vocab_dir, f"vocab-{zlib.crc32(t.encode('utf-8')) % B:05d}.parquet")
+                by_file.setdefault(f, []).append(t)
+            for f, ts in by_file.items():
+                tb = pq.read_table(f, columns=["term", "df"], filters=[("term", "in", ts)])
+                out.update(zip(tb.column("term").to_pylist(), tb.column("df").to_pylist()))
+            return out
         for f in self.files:
             t = pq.read_table(f, columns=["term", "df"], filters=[("term", "in", tset)])
             out.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))

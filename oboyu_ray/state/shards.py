@@ -175,9 +175,12 @@ class IndexShard:
     """
 
     # decoded-postings cache budget per shard actor, in posting entries
-    # (docs+tf arrays ≈ 16 B/posting → default ~128 MB); hot terms (high
-    # df, the scan-path queries) hit this cache on every repeated query
-    DECODE_CACHE_POSTINGS = 8_000_000
+    # (idx+tfnorm arrays ≈ 16 B/posting → default ~512 MB); hot terms (high
+    # df, the scan-path queries) hit this cache on every repeated query.
+    # Size so a working set of ~10 hot terms per shard fits — an undersized
+    # cache FIFO-thrashes and every query pays full decode (measured 75x
+    # slower at 50M docs with an 8M cap)
+    DECODE_CACHE_POSTINGS = 32_000_000
 
     def __init__(self, index_dir: str, part_ids: List[int], window_docs: int) -> None:
         self.window_docs = window_docs
