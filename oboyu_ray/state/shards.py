@@ -55,7 +55,7 @@ class _PartIndex:
     ``as_py()`` byte copies on the query path."""
 
     __slots__ = ("win", "n", "max_tfnorm",
-                 "min_tfnorm", "term_slices", "n_windows", "win_base",
+                 "term_slices", "n_windows", "win_base",
                  "docs_off", "docs_buf", "tfs_off", "tfs_buf",
                  "row_starts", "window_docs", "dl_arr", "dl_base")
 
@@ -83,7 +83,8 @@ class _PartIndex:
         self.row_starts = np.zeros(len(self.n) + 1, dtype=np.int64)
         np.cumsum(self.n, out=self.row_starts[1:])
         self.max_tfnorm = t.column("max_tfnorm").to_numpy()
-        self.min_tfnorm = t.column("min_tfnorm").to_numpy()
+        # min_tfnorm stays in the artifact but is not loaded: unused by the
+        # sound bound rule (negative-idf terms contribute 0 to window bounds)
         # dense per-part document lengths (blocks v2 stores no dl varints:
         # one 8-byte int per doc here replaces a varint per POSTING there)
         dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
