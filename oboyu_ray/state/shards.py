@@ -74,7 +74,9 @@ class _PartIndex:
 
     def __init__(self, index_dir: str, part_id: int, window_docs: int) -> None:
         blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
-        t = pq.read_table(blocks_path)
+        t = pq.read_table(
+            blocks_path, columns=["term", "win", "n", "docs", "tfs", "max_tfnorm"]
+        )
         self.win = t.column("win").to_numpy().astype(np.int64)
         self.n = t.column("n").to_numpy().astype(np.int64)
         _, self.docs_off, self.docs_buf = self._binary_views(t.column("docs"))
