@@ -128,6 +128,16 @@ def run_build_and_query(num_cpus: int, sf_dir: str, with_suite: bool, n_convs: i
     query_p50_ms = float(np.percentile(lat_ms, 50))
     query_p95_ms = float(np.percentile(lat_ms, 95))
 
+    # QPS via the batched path at the reference harness's top-k ladder
+    # (bench/config.py:39-56: QPS at top-k in {1,5,10,20,50})
+    qps = {}
+    for kk in (1, 5, 10, 20, 50):
+        t0 = time.time()
+        rounds = 3
+        for _ in range(rounds):
+            engine.search_many(BENCH_QUERIES, k=kk)
+        qps[f"k{kk}"] = round(rounds * len(BENCH_QUERIES) / (time.time() - t0), 1)
+
     out = {
         "num_cpus": num_cpus,
         "n_turns": n_turns,
@@ -135,6 +145,7 @@ def run_build_and_query(num_cpus: int, sf_dir: str, with_suite: bool, n_convs: i
         "turns_per_sec": round(turns_per_sec, 1),
         "query_p50_ms": round(query_p50_ms, 2),
         "query_p95_ms": round(query_p95_ms, 2),
+        "qps_batched": qps,
         "build_timings_sec": report["timings_sec"],
         "payload_bytes": report["payload_bytes"],
         "total_postings": report["total_postings"],

@@ -201,6 +201,30 @@ class QueryEngine:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
+    def search_many(self, queries: List[str], k: int = 10) -> List[pd.DataFrame]:
+        """Batched search: ONE fan-out round for all queries (per-shard
+        query_many), then per-query exact merges — the throughput-serving
+        path (single-query latency is search())."""
+        weight_list = [self.term_weights(self.tokenizer.tokenize(q)) for q in queries]
+        live = [(i, w) for i, w in enumerate(weight_list) if w]
+        out: List[pd.DataFrame] = [
+            pd.DataFrame({"doc_num": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+            for _ in queries
+        ]
+        if not live:
+            return out
+        refs = [a.query_many.remote([w for _, w in live], k) for a in self.actors]
+        per_shard = ray.get(refs)
+        for j, (i, _) in enumerate(live):
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            for shard_results in per_shard:
+                docs, scores = shard_results[j]
+                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+            out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        return out
+
     def search(self, query: str, k: int = 10, hydrate: bool = False) -> pd.DataFrame:
         terms = self.tokenizer.tokenize(query)
         out = self.search_terms(terms, k)

@@ -319,6 +319,11 @@ class IndexShard:
         avgdl = getattr(self, "avgdl", 1.0)
         return (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
 
+    def query_many(self, weight_dicts, k: int):
+        """Batched queries — one actor round-trip for N queries (amortizes
+        the per-call RPC + serialization overhead for throughput serving)."""
+        return [self.query(w, k) for w in weight_dicts]
+
     def configure(self, k1: float, b: float, avgdl: float) -> None:
         self.k1 = k1
         self.b = b

@@ -618,3 +618,13 @@ def test_query_engine_rejects_k1_b_override(built):
 def test_query_k_zero_returns_empty(engine):
     out = engine.search("python model", k=0)
     assert len(out) == 0
+
+
+def test_search_many_matches_single(engine):
+    """Batched fan-out returns exactly the single-query results."""
+    queries = ["python model", "検索 インデックス", "zzz_nohit", "です"]
+    batched = engine.search_many(queries, k=7)
+    for q, got in zip(queries, batched):
+        single = engine.search_terms(engine.tokenizer.tokenize(q), k=7)
+        assert got["doc_num"].tolist() == single["doc_num"].tolist(), q
+        np.testing.assert_array_equal(got["score"].to_numpy(), single["score"].to_numpy())
