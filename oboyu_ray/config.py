@@ -47,6 +47,11 @@ class BM25Config:
     language: str = "ja"
     # enforced only if > 1; reference stores it but never enforces
     min_doc_frequency: int = 1
+    # "default" = reference-conformant selection (MeCab when available,
+    # regex fallback otherwise); "ngram" = character-bigram CJK runs
+    # (recall for glued Japanese compounds; NOT rank-comparable with the
+    # reference — an optional mode, recorded in the index lineage)
+    tokenizer_mode: str = "default"
 
 
 @dataclass(frozen=True)

@@ -252,12 +252,56 @@ class JapaneseTokenizer:
         return dict(Counter(self.tokenize(text)))
 
 
+class NgramTokenizer:
+    """Character-bigram tokenizer for Japanese-script runs (optional mode,
+    NOT the conformance default).
+
+    The fallback tokenizer keeps a maximal Japanese run as ONE token, so a
+    query for 検索 cannot match the glued compound 検索エンジン — a known
+    recall limitation shared with the reference's fallback path.  This mode
+    applies the classic CJK bigram treatment: Japanese-script runs emit
+    overlapping character 2-grams (a 1-char run emits itself), while ASCII
+    alphanumeric runs stay whole words; min-length and stopword filters then
+    apply to the emitted tokens.  Build and query must both use it (the
+    engine records the tokenizer mode in the index lineage/config)."""
+
+    def __init__(self, stop_words: Optional[Set[str]] = None, min_token_length: int = 2,
+                 n: int = 2) -> None:
+        self.stop_words = stop_words or set()
+        self.min_token_length = min_token_length
+        self.n = n
+
+    _JP_RUN = re.compile(r"[぀-ゟ゠-ヿ一-鿿]+")
+
+    def tokenize(self, text: str) -> List[str]:
+        if not text:
+            return []
+        out: List[str] = []
+        n = self.n
+        for m in TOKEN_PATTERN.finditer(text.lower()):
+            run = m.group()
+            if self._JP_RUN.fullmatch(run):
+                if len(run) < n:
+                    out.append(run)
+                else:
+                    out.extend(run[i : i + n] for i in range(len(run) - n + 1))
+            else:
+                out.append(run)
+        mtl = self.min_token_length
+        sw = self.stop_words
+        return [t for t in out if len(t) >= mtl and t not in sw]
+
+    def get_term_frequencies(self, text: str) -> Dict[str, int]:
+        return dict(Counter(self.tokenize(text)))
+
+
 def create_tokenizer(
     language: str = "ja",
     stop_words: Optional[Set[str]] = None,
     min_token_length: int = 2,
     use_fallback: bool = False,
     use_stopwords: bool = True,
+    mode: str = "default",
 ):
     """Tokenizer selection mirroring TokenizerService._create_tokenizer
     (reference tokenizer.py:327-359):
@@ -270,6 +314,8 @@ def create_tokenizer(
         stop_words = set(DEFAULT_JAPANESE_STOP_WORDS)
     elif not use_stopwords:
         stop_words = set()
+    if mode == "ngram":
+        return NgramTokenizer(stop_words=stop_words, min_token_length=min_token_length)
     if language == "ja" and not use_fallback and HAS_JAPANESE_TOKENIZER:
         return JapaneseTokenizer(stop_words=stop_words, min_token_length=min_token_length)
     return FallbackTokenizer(stop_words=stop_words, min_token_length=min_token_length)

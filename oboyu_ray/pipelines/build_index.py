@@ -545,6 +545,7 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
             "min_token_length": cfg.bm25.min_token_length,
             "use_stopwords": cfg.bm25.use_stopwords,
             "language": cfg.bm25.language,
+            "mode": cfg.bm25.tokenizer_mode,
         },
     }
 

@@ -141,6 +141,7 @@ class QueryEngine:
                 min_token_length=int(bc.get("min_token_length", defaults.min_token_length)),
                 use_stopwords=bool(bc.get("use_stopwords", defaults.use_stopwords)),
                 language=str(bc.get("language", defaults.language)),
+                tokenizer_mode=str(bc.get("tokenizer_mode", defaults.tokenizer_mode)),
             )
         else:
             # k1/b are baked into the stored block-max bounds; querying with

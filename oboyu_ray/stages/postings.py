@@ -30,13 +30,14 @@ _TOKENIZER_CACHE: Dict[Tuple, object] = {}
 
 def get_tokenizer(cfg: BM25Config):
     """Per-process tokenizer singleton (compiled regex shared across batches)."""
-    key = (cfg.language, cfg.min_token_length, cfg.use_stopwords)
+    key = (cfg.language, cfg.min_token_length, cfg.use_stopwords, cfg.tokenizer_mode)
     tok = _TOKENIZER_CACHE.get(key)
     if tok is None:
         tok = create_tokenizer(
             language=cfg.language,
             min_token_length=cfg.min_token_length,
             use_stopwords=cfg.use_stopwords,
+            mode=cfg.tokenizer_mode,
         )
         _TOKENIZER_CACHE[key] = tok
     return tok

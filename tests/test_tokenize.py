@@ -106,3 +106,51 @@ def test_normalize_japanese_text_matches_reference_shape():
     # NFKC folds U+FF5E ～ to ASCII ~ BEFORE the reference's replace("～","ー")
     # runs, so only the wave dash 〜 (U+301C) becomes ー — reference behavior.
     assert normalize_japanese_text("あ〜い～う") == "あーい~う"
+
+
+def test_ngram_mode_matches_glued_compounds(tmp_path):
+    """Optional bigram mode: a query term embedded in a glued Japanese
+    compound matches (the conformance-default fallback cannot); end-to-end
+    through build + shard query with the mode recorded in the index."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BM25Config, BuildConfig
+    from oboyu_ray.functions.tokenize import NgramTokenizer, create_tokenizer
+    from oboyu_ray.pipelines.build_index import build_index
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    ng = NgramTokenizer(min_token_length=2)
+    assert ng.tokenize("検索エンジンです") == ["検索", "索エ", "エン", "ンジ", "ジン", "ンで", "です"]
+    assert ng.tokenize("ray data 検索") == ["ray", "data", "検索"]
+    assert ng.tokenize("") == []
+    assert create_tokenizer(mode="ngram").tokenize("犬") == []  # 1-gram < min len
+
+    rows = {
+        "conv_id": ["c0", "c0", "c0"],
+        "turn_idx": [0, 1, 2],
+        "role": ["user"] * 3,
+        "text": ["高速検索エンジンを実装", "無関係な内容だけです", "data pipeline text"],
+        "tool": [""] * 3,
+        "ts": [datetime.datetime(2025, 1, 1)] * 3,
+    }
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"]),
+        "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+        "role": pa.array(rows["role"]),
+        "text": pa.array(rows["text"]),
+        "tool": pa.array(rows["tool"]),
+        "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
+    }), f)
+    cfg = BuildConfig(bm25=BM25Config(tokenizer_mode="ngram"), window_docs=64, vocab_buckets=4)
+    index_dir = str(tmp_path / "idx")
+    build_index([f], index_dir, cfg, files_per_part=1)
+    eng = QueryEngine(index_dir, num_shards=1)
+    assert eng.cfg.tokenizer_mode == "ngram"  # mode restored from the report
+    got = eng.search("検索", k=3)
+    assert got["doc_id"].tolist()[:1] == ["c0:00000000"]  # glued compound matched
+    assert len(eng.search("存在しない単語", k=3)) == 0 or (eng.search("存在しない単語", k=3)["score"] < got["score"].iloc[0]).all()
+    eng.close()
