@@ -612,6 +612,23 @@ GROUP BY 1
 """
 
 
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct user_id count over events (the
+    mergeable-sketch operator; ~1.6% standard error at p=12).  Rows-only
+    driver check; error vs the exact count pinned in pytest."""
+    from oboyu_ray.stages.sketch import approx_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = approx_distinct(ev, "user_id")
+    return pd.DataFrame(
+        {
+            "column": ["user_id"],
+            "estimate": pd.array([out["estimate"]], dtype="int64"),
+            "registers": pd.array([out["registers"]], dtype="int64"),
+        }
+    )
+
+
 def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
     """Actor-pool embedding stage over documents (deterministic fake model;
     real model stubbed — see functions/embed.py).  Emits hash-friendly
@@ -727,6 +744,7 @@ def corpus_queries() -> dict:
         "sessionize": q_sessionize,
         "transcript_engine_topk": q_transcript_engine_topk,
         "doc_embeddings": q_doc_embeddings,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

@@ -392,3 +392,19 @@ def test_index_directory_end_to_end(tmp_path):
         got = engine.search(q, k=5)
         assert got["doc_id"].tolist() == [d for d, _ in expect], q
     engine.close()
+
+
+def test_hll_approx_distinct(entrymod, duck):
+    out = _as_df(entrymod.queries()["approx_distinct_users"](SF))
+    exact = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    est = int(out["estimate"].iloc[0])
+    assert abs(est - exact) / exact < 0.05  # p=12 → ~1.6% standard error
+    # determinism + merge associativity (order-independent partials)
+    import numpy as np
+
+    from oboyu_ray.stages.sketch import hll_estimate, hll_partial
+
+    vals = [f"u{i}" for i in range(2000)]
+    a = np.maximum(hll_partial(vals[:700]), hll_partial(vals[700:]))
+    b = np.maximum(hll_partial(vals[1300:]), hll_partial(vals[:1300]))
+    assert hll_estimate(a) == hll_estimate(b)
