@@ -132,44 +132,13 @@ def _stats_and_term_dfs(
     return stats, df_map
 
 
-def brute_force_scores(
-    docs_ds: "ray.data.Dataset",
-    queries: Dict[str, List[str]],
-    cfg: BM25Config = BM25Config(),
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    stats: Dict[str, float] | None = None,
-) -> pd.DataFrame:
-    """Exact BM25 scores for every (query, candidate doc) pair.
-
-    Returns a pandas DataFrame (query_id, <id_col>, score) — small output
-    (candidates only).  ``stats`` may be passed to avoid recomputing the
-    global N/avgdl pass.
-    """
-    all_terms = sorted({t for ts in queries.values() for t in ts})
-    if not all_terms:
-        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
-
-    if stats is None:
-        # single tokenization pass computes BOTH global stats and query-term
-        # dfs (separate collection_stats + df passes would tokenize the
-        # corpus twice — tokenization is the dominant cost)
-        stats, df_map = _stats_and_term_dfs(
-            docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col
-        )
-    else:
-        qp = query_postings(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
-        # df via in-batch partials combined driver-side (the term set is
-        # query-small; a groupby shuffle here is pure overhead)
-        df_map = term_dfs(qp)
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
-    if n_docs == 0:
-        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
-    idf_map = {t: idf(int(df_map.get(t, 0)), n_docs) for t in all_terms}
-
-    # per-query term weights: idf × multiplicity (reference sums per query
-    # term occurrence — bm25_indexer.py:332; duplicate query terms count
-    # multiply)
+def _query_weights(
+    queries: Dict[str, List[str]], df_map: Dict[str, int], n_docs: int
+) -> Dict[str, Dict[str, float]]:
+    """per-query term weights: idf × multiplicity (reference sums per query
+    term occurrence — bm25_indexer.py:332; duplicate query terms count
+    multiply)."""
+    idf_map = {t: idf(int(df), n_docs) for t, df in df_map.items()}
     weights: Dict[str, Dict[str, float]] = {}
     for qid, terms in queries.items():
         w: Dict[str, float] = {}
@@ -178,16 +147,44 @@ def brute_force_scores(
                 w[t] = w.get(t, 0.0) + idf_map[t]
         if w:
             weights[qid] = w
+    return weights
 
+
+def _make_score_docs(
+    queries: Dict[str, List[str]],
+    cfg: BM25Config,
+    stats: Dict[str, float],
+    df_map: Dict[str, int],
+    id_col: str,
+    text_col: str,
+    local_k: int | None = None,
+    filter_col: str | None = None,
+    filter_value=None,
+):
+    """Batch fn scoring a batch of DOCS against every query.
+
+    STRUCTURAL per-doc completeness: this single function tokenizes a batch
+    of docs and scores their postings in place, so a document's (query, doc)
+    sum can never be split across batches regardless of how Ray re-batches
+    upstream data — no global groupby shuffle.
+
+    With ``local_k`` set, emits only each query's local top-k candidates
+    (ranked by (score_micros DESC, doc ASC) — the same total order as the
+    global ranking, so the global top-k is a prefix of the merged local
+    top-ks and the driver merge sees k·#batches rows, never the full
+    candidate set).  ``filter_col``/``filter_value`` restrict the CANDIDATE
+    set in-batch (scores still use full-corpus statistics — reference M14
+    WHERE-on-results semantics) before top-k selection.
+    """
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    weights = _query_weights(queries, df_map, n_docs)
     k1, b = cfg.k1, cfg.b
-
-    term_set = pa.array(sorted(set(all_terms)), type=pa.string())
+    all_terms = sorted({t for w in weights.values() for t in w})
+    term_set = pa.array(all_terms, type=pa.string())
 
     def score_docs(batch: pa.Table) -> pa.Table:
-        # STRUCTURAL per-doc completeness: this single function tokenizes a
-        # batch of DOCS and scores their postings in place, so a document's
-        # (query, doc) sum can never be split across batches regardless of
-        # how Ray re-batches upstream data — no global groupby shuffle
+        if filter_col is not None:
+            batch = batch.filter(pc.equal(batch.column(filter_col), filter_value))
         p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
         pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
         frames = []
@@ -205,19 +202,67 @@ def brute_force_scores(
                 .sum()
                 .reset_index()
             )
+            g = g.rename(columns={"contrib": "score"})
+            if local_k is not None:
+                g["score_micros"] = score_micros(g["score"].to_numpy())
+                g = g.sort_values(
+                    ["score_micros", id_col],
+                    ascending=[False, True],
+                    kind="mergesort",
+                ).head(local_k)
             g.insert(0, "query_id", qid)
-            frames.append(g.rename(columns={"contrib": "score"}))
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score": pa.array([], type=pa.float64()),
+        }
+        if local_k is not None:
+            cols["score_micros"] = pa.array([], type=pa.int64())
         if not frames:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.string()),
-                    id_col: pa.array([], type=batch.schema.field(id_col).type),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
 
+    return score_docs
+
+
+def brute_force_scores(
+    docs_ds: "ray.data.Dataset",
+    queries: Dict[str, List[str]],
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: Dict[str, float] | None = None,
+) -> pd.DataFrame:
+    """Exact BM25 scores for EVERY (query, candidate doc) pair — the full
+    score table, collected to the driver.  Test/oracle harness only: the
+    production top-k path is ``brute_force_topk`` (per-batch local top-k,
+    never collects the candidate set).  ``stats`` may be passed to avoid
+    recomputing the global N/avgdl pass.
+    """
+    stats, df_map = _resolve_stats(docs_ds, queries, cfg, id_col, text_col, stats)
+    if int(stats["N"]) == 0:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    score_docs = _make_score_docs(queries, cfg, stats, df_map, id_col, text_col)
     return docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+
+
+def _resolve_stats(docs_ds, queries, cfg, id_col, text_col, stats):
+    """({N, total_dl, avgdl}, df per query term), tokenizing the corpus only
+    once when ``stats`` isn't supplied."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:
+        return (stats or {"N": 0, "total_dl": 0, "avgdl": 0.0}), {}
+    if stats is None:
+        # single tokenization pass computes BOTH global stats and query-term
+        # dfs (separate collection_stats + df passes would tokenize the
+        # corpus twice — tokenization is the dominant cost)
+        return _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
+    qp = query_postings(docs_ds, all_terms, cfg, id_col=id_col, text_col=text_col)
+    # df via in-batch partials combined driver-side (the term set is
+    # query-small; a groupby shuffle here is pure overhead)
+    return stats, term_dfs(qp)
 
 
 def brute_force_topk(
@@ -228,17 +273,33 @@ def brute_force_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     stats: Dict[str, float] | None = None,
+    filter_col: str | None = None,
+    filter_value=None,
 ) -> pd.DataFrame:
-    """Top-k per query: (query_id, <id_col>, score_micros, rank), ranked by
-    (score_micros DESC, doc ASC) — deterministic across engines."""
-    pdf = brute_force_scores(docs_ds, queries, cfg, id_col=id_col, text_col=text_col, stats=stats)
+    """EXACT top-k per query: (query_id, <id_col>, score_micros, rank),
+    ranked by (score_micros DESC, doc ASC) — deterministic across engines.
+
+    Distributed top-k: every map task emits only its local top-k per query
+    (same total order as the global rank, so the global answer is a prefix
+    of the union); the driver merges k·#batches candidate rows — NEVER the
+    full (query, doc) score table.  ``filter_col``/``filter_value`` restrict
+    candidates in-batch (M14 filtered search) while statistics stay
+    full-corpus.
+    """
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    stats, df_map = _resolve_stats(docs_ds, queries, cfg, id_col, text_col, stats)
+    if int(stats["N"]) == 0 or not df_map:
+        return empty
+    score_docs = _make_score_docs(
+        queries, cfg, stats, df_map, id_col, text_col,
+        local_k=k, filter_col=filter_col, filter_value=filter_value,
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
     if pdf.empty:
-        return pd.DataFrame(
-            {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
-             "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
-        )
-    pdf = pdf.copy()
-    pdf["score_micros"] = score_micros(pdf["score"].to_numpy())
+        return empty
     pdf = pdf.sort_values(
         ["query_id", "score_micros", id_col], ascending=[True, False, True], kind="mergesort"
     )

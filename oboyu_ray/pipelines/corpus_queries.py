@@ -484,45 +484,20 @@ def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     §2-M14 search-filter semantics: scores computed over the full-corpus
     statistics, the filter restricts the candidate set before ranking —
     matching the reference's WHERE-clause-on-results compilation,
-    common/types/search_filters.py)."""
-    import numpy as np
-
-    from oboyu_ray.pipelines.bm25_batch import (
-        brute_force_scores,
-        score_micros,
-        tokenize_queries,
-    )
+    common/types/search_filters.py).  The lang column rides the same
+    parquet read and is filtered INSIDE the scoring batch fn — no
+    driver-side (doc_id, lang) materialization, and only per-batch local
+    top-ks reach the driver."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, tokenize_queries
     from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG
 
-    docs = _docs(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
     queries = tokenize_queries(BM25_QUERIES, CFG)
-    scores = brute_force_scores(docs, queries, CFG)
-    lang = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-        .to_pandas()
+    return brute_force_topk(
+        docs, queries, k=TOPK, cfg=CFG, filter_col="lang", filter_value=FILTER_LANG
     )
-    allowed = set(lang[lang["lang"] == FILTER_LANG]["doc_id"].tolist())
-    if scores.empty:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype=object),
-                "doc_id": pd.Series(dtype="int64"),
-                "score_micros": pd.Series(dtype="int64"),
-                "rank": pd.Series(dtype="int64"),
-            }
-        )
-    scores = scores[scores["doc_id"].isin(allowed)].copy()
-    scores["score_micros"] = score_micros(scores["score"].to_numpy())
-    scores = scores.sort_values(
-        ["query_id", "score_micros", "doc_id"],
-        ascending=[True, False, True],
-        kind="mergesort",
-    )
-    scores["rank"] = scores.groupby("query_id").cumcount() + 1
-    out = scores[scores["rank"] <= TOPK][["query_id", "doc_id", "score_micros", "rank"]]
-    out = out.reset_index(drop=True)
-    out["rank"] = out["rank"].astype(np.int64)
-    return out
 
 
 def _sql_bm25_topk_filtered() -> str:

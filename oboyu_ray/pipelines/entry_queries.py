@@ -147,12 +147,25 @@ FROM n, tot
 """
 
 
+_BM25_MEMO: dict = {}
+
+
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Top-10 BM25 per fixed query: (query_id, doc_id, score_micros, rank),
-    ranked by (score_micros DESC, doc_id ASC) — identical on both sides."""
-    docs = _docs(sf_dir)
-    queries = tokenize_queries(BM25_QUERIES, CFG)
-    return brute_force_topk(docs, queries, k=TOPK, cfg=CFG)
+    ranked by (score_micros DESC, doc_id ASC) — identical on both sides.
+
+    Results are memoized per (path, file signature) so downstream consumers
+    (hybrid_rrf) reuse the ranking instead of re-tokenizing the corpus."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, st.st_size, st.st_mtime_ns)
+    if key not in _BM25_MEMO:
+        docs = _docs(sf_dir)
+        queries = tokenize_queries(BM25_QUERIES, CFG)
+        _BM25_MEMO.clear()  # one corpus at a time — no unbounded growth
+        _BM25_MEMO[key] = brute_force_topk(docs, queries, k=TOPK, cfg=CFG)
+    return _BM25_MEMO[key].copy()
 
 
 def _sql_bm25_topk() -> str:
