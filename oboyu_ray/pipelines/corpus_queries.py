@@ -47,7 +47,7 @@ def q_text_stats(sf_dir: str) -> "ray.data.Dataset":
 SQL_TEXT_STATS = rf"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
-       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}'))::BIGINT AS n_word_tokens,
        len(regexp_extract_all(text, '{textstats.JP_KANA_SQL}'))::BIGINT AS n_kana,
        len(regexp_extract_all(text, '{textstats.CJK_SQL}'))::BIGINT AS n_cjk,
@@ -96,7 +96,7 @@ _W = textstats.WINNOW_WINDOW
 
 SQL_TEXT_FINGERPRINT = rf"""
 WITH n AS (
-    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm
     FROM documents
 ),
 pos AS (
@@ -120,7 +120,7 @@ def q_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS key,
+SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) AS key,
        min(doc_id) AS doc_id,
        count(*)::BIGINT AS n_dups
 FROM documents GROUP BY 1

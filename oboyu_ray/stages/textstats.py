@@ -34,6 +34,14 @@ from oboyu_ray.fixedpoint import micros
 WORD_RE = re.compile(r"[a-z0-9]+")
 WORD_RE_SQL = r"[a-z0-9]+"
 
+# Whitespace pinned to the SAME explicit ASCII class on both engines:
+# Python's \s is Unicode (U+3000 ideographic space matches) while DuckDB's
+# RE2 \s is ASCII-only — dedup keys / fingerprints / token counts would
+# silently diverge from the oracle on ordinary Japanese text otherwise.
+WS_SQL = r"[ \t\n\r\f\v]"
+WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+NON_WS_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
 JP_KANA_RE = re.compile(r"[぀-ゟ゠-ヿ]")
 CJK_RE = re.compile(r"[一-鿿]")
 JP_KANA_SQL = r"[\x{3040}-\x{309f}\x{30a0}-\x{30ff}]"
@@ -46,18 +54,23 @@ WINNOW_WINDOW = 16
 
 
 def _normalize(text: str) -> str:
-    """lower + collapse all whitespace runs to single spaces + strip.
-    SQL twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
-    return re.sub(r"\s+", " ", text.lower()).strip()
+    """lower + collapse ASCII-whitespace runs to single spaces + strip
+    spaces.  SQL twin: trim(regexp_replace(lower(text), WS_SQL+'+', ' ',
+    'g'), ' ') — strip(" ") / two-arg trim because the default trim/strip
+    whitespace sets differ between the engines (DuckDB trims Zs-category
+    Unicode spaces but not \\x0b/\\x85/\\u2028; Python strips all of them),
+    and the explicit class leaves non-ASCII whitespace in place."""
+    return WS_RE.sub(" ", text.lower()).strip(" ")
 
 
 
 def text_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """(id, text) → token counts + language ID per document.
 
-    Columns: n_chars, n_ws_tokens (whitespace tokens, = count of ``\\S+``
-    matches), n_word_tokens (``[a-z0-9]+`` on lowered text), n_kana, n_cjk,
-    lang ('ja' if any kana, 'zh' if CJK only, else 'en').
+    Columns: n_chars, n_ws_tokens (ASCII-whitespace-separated tokens — the
+    pinned NON_WS_RE class, identical in the SQL oracle), n_word_tokens
+    (``[a-z0-9]+`` on lowered text), n_kana, n_cjk, lang ('ja' if any kana,
+    'zh' if CJK only, else 'en').
     """
     texts = batch.column(text_col).to_pylist()
     n_chars: List[int] = []
@@ -69,7 +82,7 @@ def text_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
     for t in texts:
         t = t or ""
         n_chars.append(len(t))
-        n_ws.append(len(t.split()))
+        n_ws.append(len(NON_WS_RE.findall(t)))
         n_words.append(len(WORD_RE.findall(t.lower())))
         kana = len(JP_KANA_RE.findall(t))
         cjk = len(CJK_RE.findall(t))

@@ -408,3 +408,46 @@ def test_hll_approx_distinct(entrymod, duck):
     a = np.maximum(hll_partial(vals[:700]), hll_partial(vals[700:]))
     b = np.maximum(hll_partial(vals[1300:]), hll_partial(vals[:1300]))
     assert hll_estimate(a) == hll_estimate(b)
+
+
+def test_whitespace_class_pinned_vs_duckdb():
+    """Python and DuckDB whitespace handling is pinned to the same explicit
+    ASCII class (+ explicit space-only trim): U+3000 ideographic spaces and
+    NBSP in ordinary Japanese text must produce identical dedup keys,
+    fingerprints and whitespace-token counts on both engines (ADVICE r1)."""
+    import hashlib
+
+    from oboyu_ray.pipelines.corpus_queries import (
+        SQL_DEDUP_EXACT,
+        SQL_TEXT_FINGERPRINT,
+        SQL_TEXT_STATS,
+    )
+    from oboyu_ray.stages import textstats
+
+    raw = [
+        "日本　テキスト  test",  # JP with U+3000
+        " 　edge　 ",
+        "a\tb\ncd",
+        " nbsp test",
+        "dup  A",
+        "dup A",
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(raw)), "text": raw})
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(raw)), type=pa.int64()), "text": pa.array(raw)}
+    )
+    py_stats = textstats.text_stats_batch(batch).to_pandas()
+    sq_stats = con.execute(SQL_TEXT_STATS).fetchdf().sort_values("doc_id", ignore_index=True)
+    assert py_stats["n_ws_tokens"].tolist() == sq_stats["n_ws_tokens"].tolist()
+
+    py_fp = textstats.fingerprint_batch(batch).to_pandas()
+    sq_fp = con.execute(SQL_TEXT_FINGERPRINT).fetchdf().sort_values("doc_id", ignore_index=True)
+    assert py_fp["fingerprint"].tolist() == sq_fp["fingerprint"].tolist()
+    assert py_fp["winnow_fingerprint"].tolist() == sq_fp["winnow_fingerprint"].tolist()
+
+    py_keys = sorted({hashlib.md5(textstats._normalize(t).encode()).hexdigest() for t in raw})
+    sq_keys = sorted(con.execute(SQL_DEDUP_EXACT).fetchdf()["key"].tolist())
+    assert py_keys == sq_keys
