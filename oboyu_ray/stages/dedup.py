@@ -28,8 +28,12 @@ Scale notes: the shingle groupby pre-aggregates pairs per group and never
 materializes a full per-shingle doc list beyond the group (hot shingles
 should be df-capped upstream — a shingle appearing in >F docs contributes
 O(F²) pairs; ``max_shingle_df`` drops them exactly like stopword salting).
-The broadcast matrix in embedding_cosine is the sandbox-scale path; the
-10^9-row path shards the matrix into IVF cells (see simsearch.py).
+Candidate generation AND verification are fully distributed: candidates
+stay a Dataset end-to-end (pair-bucketed reduce for min-share pruning +
+dedup), and verification runs as bucketed cogroups that attach each doc's
+shingle set to its pairs inside map_groups — the driver only ever holds
+the distinct candidate-doc id array (semi-join pushdown; a bloom filter at
+extreme scale) and the final verified pair list.
 """
 
 from __future__ import annotations
@@ -51,6 +55,19 @@ from oboyu_ray.stages.textstats import WORD_RE, _normalize
 # ---------------------------------------------------------------- shingles
 
 SHINGLE_WORDS = 3
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-row Python loop)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 def _word_trigrams(text: str) -> List[str]:
@@ -126,6 +143,17 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
 PAIR_BUCKETS = 64
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of a (doc_a, doc_b) pair — multiplicative mix so
+    correlated id ranges spread evenly."""
+    with np.errstate(over="ignore"):
+        mix = (a.astype(np.uint64) * _GOLDEN) ^ b.astype(np.uint64)
+    return (mix % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _bucketed_candidate_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
@@ -134,15 +162,23 @@ def _bucketed_candidate_pairs(
     n_buckets: int = PAIR_BUCKETS,
     extra_col: Optional[str] = None,
     min_count: int = 1,
-) -> pd.DataFrame:
-    """Co-occurrence pairs (doc_a < doc_b sharing a key) from flat (key, doc)
-    rows, via a bucketed reduce: keys hash into ``n_buckets`` groups (ONE
+) -> "ray.data.Dataset":
+    """Distinct co-occurrence pairs (doc_a < doc_b sharing a key) from flat
+    (key, doc) rows, as a DATASET — nothing is collected to the driver.
+
+    Stage 1 (key-bucketed): keys hash into ``n_buckets`` groups (ONE
     map_groups call per bucket, not per key — Ray's per-group overhead would
     dominate with millions of tiny key groups), and inside a bucket the
     pair generation is a vectorized sorted-run sweep.  Keys with more than
     ``max_group`` docs are dropped (hot-key fan-out cap; callers verify
-    candidates exactly so this affects recall only).  ``extra_col`` values
-    ride along as ``<extra>_a`` / ``<extra>_b``."""
+    candidates exactly so this affects recall only).
+
+    Stage 2 (pair-bucketed): every copy of a pair lands in the same pair
+    bucket, where the shared-key count is taken and pairs sharing fewer
+    than ``min_count`` keys are dropped (random co-occurrence pairs
+    overwhelmingly share exactly one key, real near-dups share many — this
+    prunes the verification set by ~1000x), then pairs are deduplicated.
+    ``extra_col`` values ride along as ``<extra>_a`` / ``<extra>_b``."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy()
@@ -191,26 +227,37 @@ def _bucketed_candidate_pairs(
             )
         return pd.DataFrame(data)
 
-    pairs = (
+    cols = ["doc_a", "doc_b"] + (
+        [f"{extra_col}_a", f"{extra_col}_b"] if extra_col else []
+    )
+
+    def add_pbucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pbucket",
+            pa.array(_pair_bucket(
+                t.column("doc_a").to_numpy(), t.column("doc_b").to_numpy(), n_buckets
+            )),
+        )
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if min_count > 1:
+            counts = g.groupby(["doc_a", "doc_b"], sort=False).size()
+            keep = counts[counts >= min_count].reset_index()[["doc_a", "doc_b"]]
+            g = keep.merge(
+                g.drop_duplicates(subset=["doc_a", "doc_b"]), on=["doc_a", "doc_b"]
+            )
+        else:
+            g = g.drop_duplicates(subset=["doc_a", "doc_b"])
+        return g[cols].reset_index(drop=True)
+
+    return (
         rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
     )
-    if pairs.empty:
-        return pairs
-    if min_count > 1:
-        # a pair is a candidate only when it shares >= min_count keys: random
-        # co-occurrence pairs overwhelmingly share exactly one key, real
-        # near-dups share many — this prunes the verification set by ~1000x
-        counts = pairs.groupby(["doc_a", "doc_b"], sort=False).size()
-        keep = counts[counts >= min_count].reset_index()[["doc_a", "doc_b"]]
-        if extra_col:
-            keep = keep.merge(
-                pairs.drop_duplicates(subset=["doc_a", "doc_b"]), on=["doc_a", "doc_b"]
-            )
-        return keep.reset_index(drop=True)
-    return pairs.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------- n-gram Jaccard (exact)
@@ -239,28 +286,6 @@ def shingle_rows(
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
-def _shingle_counts(ds, id_col: str, text_col: str) -> Dict[int, int]:
-    """doc → |shingle set| (small: one int per doc; driver-collected here,
-    a doc-keyed parquet side table at 10^12 scale)."""
-
-    def cnt(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        return pa.table(
-            {
-                id_col: pa.array([int(d) for d in ids], type=pa.int64()),
-                "n_shingles": pa.array(
-                    [len(_shingle_hashes(t)) for t in texts], type=pa.int64()
-                ),
-            }
-        )
-
-    out = {}
-    for b in ds.map_batches(cnt, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        out.update(zip(b.column(id_col).to_pylist(), b.column("n_shingles").to_pylist()))
-    return out
-
-
 _EMPTY_PAIRS = {
     "doc_a": pd.Series(dtype=np.int64),
     "doc_b": pd.Series(dtype=np.int64),
@@ -269,55 +294,144 @@ _EMPTY_PAIRS = {
 
 
 def _verify_pairs_exact(
-    ds: "ray.data.Dataset", candidates: pd.DataFrame, tau: float, id_col: str, text_col: str
+    ds: "ray.data.Dataset",
+    candidates: "ray.data.Dataset",
+    tau: float,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = PAIR_BUCKETS,
 ) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
-    true shingle sets.  Sets are driver-collected at sandbox scale (one
-    uint64 array per doc); at 10^12 docs the candidates are repartitioned by
-    doc bucket and joined against a doc-bucketed shingle parquet store."""
-    if candidates.empty:
+    """DISTRIBUTED exact-Jaccard verification of candidate (doc_a, doc_b)
+    pairs against true shingle sets — shared by the ngram and MinHash
+    families.  No shingle set and no pair list ever materializes on the
+    driver; the only driver-held state is the distinct candidate-doc id
+    array used as a semi-join pushdown filter (one int64 per near-dup doc;
+    a bloom filter replaces it at extreme scale).
+
+    Shape: (1) candidate pairs fan out into two side rows each, unioned
+    with candidate docs' text rows; (2) groupby(doc % B) attaches each
+    doc's shingle set (computed once, in the bucket task) to every pair
+    side that references it; (3) groupby(pair-bucket) brings a pair's two
+    sides together and computes exact Jaccard.  Every reduce is bucketed
+    (B groups, vectorized inside), so group count stays bounded and hot
+    docs amortize across their bucket."""
+    candidates = candidates.materialize()  # small post-pruning set, reused 2x
+    parts = [
+        np.unique(np.concatenate(
+            [b.column("doc_a").to_numpy(), b.column("doc_b").to_numpy()]
+        ))
+        for b in candidates.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
         return pd.DataFrame(_EMPTY_PAIRS)
-    # shingle sets only for docs that appear in candidate pairs (pushed-down
-    # is_in filter — the candidate doc set is tiny relative to the corpus)
-    import pyarrow.compute as _pc
+    cand_ref = ray.put(np.unique(np.concatenate(parts)))
 
-    cand_ids = pa.array(
-        np.unique(
-            np.concatenate(
-                [candidates["doc_a"].to_numpy(), candidates["doc_b"].to_numpy()]
-            )
+    def sides(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "pair_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "pair_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "text": pa.nulls(2 * len(a), type=pa.string()),
+            }
         )
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy()
+        sel = t.filter(pa.array(np.isin(ids, ray.get(cand_ref))))
+        n = sel.num_rows
+        return pa.table(
+            {
+                "doc": sel.column(id_col).cast(pa.int64()),
+                "pair_a": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+                "pair_b": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+                "text": sel.column(text_col).cast(pa.string()),
+            }
+        )
+
+    unioned = candidates.map_batches(sides, batch_format="pyarrow").union(
+        ds.map_batches(set_rows, batch_format="pyarrow")
     )
 
-    def only_cands(batch: pa.Table) -> pa.Table:
-        return batch.filter(_pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=cand_ids))
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc").to_numpy().astype(np.uint64)
+        return t.append_column(
+            "dbucket", pa.array((d % np.uint64(n_buckets)).astype(np.int64))
+        )
 
-    sets: Dict[int, np.ndarray] = {}
-    for bt in ds.map_batches(only_cands, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for d, t in zip(bt.column(id_col).to_pylist(), bt.column(text_col).to_pylist()):
-            sets[int(d)] = _shingle_hashes(t)
-    out_a: List[int] = []
-    out_b: List[int] = []
-    out_j: List[int] = []
-    for da, db in candidates[["doc_a", "doc_b"]].itertuples(index=False):
-        sa, sb = sets[int(da)], sets[int(db)]
-        if len(sa) == 0 or len(sb) == 0:
-            continue
-        ni = len(np.intersect1d(sa, sb, assume_unique=True))
-        jac = ni / (len(sa) + len(sb) - ni)
-        if jac >= tau:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_j.append(micros(jac))
-    out = pd.DataFrame(
-        {
-            "doc_a": pd.array(out_a, dtype=np.int64),
-            "doc_b": pd.array(out_b, dtype=np.int64),
-            "jaccard_micros": pd.array(out_j, dtype=np.int64),
+    def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
+        is_set = g["pair_a"].to_numpy() < 0
+        sets = {
+            int(d): _shingle_hashes(t)
+            for d, t in zip(g.loc[is_set, "doc"], g.loc[is_set, "text"])
         }
+        pr = g.loc[~is_set]
+        blobs = [
+            sets.get(int(d), np.zeros(0, dtype=np.uint64)).tobytes()
+            for d in pr["doc"]
+        ]
+        return pd.DataFrame(
+            {
+                "pair_a": pr["pair_a"].to_numpy(dtype=np.int64),
+                "pair_b": pr["pair_b"].to_numpy(dtype=np.int64),
+                "doc": pr["doc"].to_numpy(dtype=np.int64),
+                "blob": blobs,
+            }
+        )
+
+    attached = (
+        unioned.map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(attach_sets, batch_format="pandas")
     )
+
+    def add_vbucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "vbucket",
+            pa.array(_pair_bucket(
+                t.column("pair_a").to_numpy(), t.column("pair_b").to_numpy(), n_buckets
+            )),
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: List[int] = []
+        out_b: List[int] = []
+        out_j: List[int] = []
+        for (da, db), sub in g.groupby(["pair_a", "pair_b"], sort=False):
+            docs = sub["doc"].to_numpy()
+            ra = sub["blob"].to_numpy()[docs == da]
+            rb = sub["blob"].to_numpy()[docs == db]
+            if not len(ra) or not len(rb):
+                continue
+            sa = np.frombuffer(ra[0], dtype=np.uint64)
+            sb = np.frombuffer(rb[0], dtype=np.uint64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = ni / (len(sa) + len(sb) - ni)
+            if jac >= tau:
+                out_a.append(int(da))
+                out_b.append(int(db))
+                out_j.append(micros(jac))
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+                "jaccard_micros": np.asarray(out_j, dtype=np.int64),
+            }
+        )
+
+    out = (
+        attached.map_batches(add_vbucket, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -387,8 +501,8 @@ def minhash_lsh_pairs(
 
     Pipeline: map_batches[shingle → minhash sig → band keys] →
     groupby(band, band_hash) → candidate pairs → distinct →
-    verify with exact shingle sets (broadcast at sandbox scale; at 10^12
-    docs the verify joins candidates against a doc-bucketed shingle store).
+    verify with exact shingle sets via the shared bucketed-cogroup
+    verification (fully distributed — see _verify_pairs_exact).
     Output schema identical to ngram_jaccard_pairs; contents are a subset
     (LSH recall < 1 by construction).
     """
@@ -419,8 +533,6 @@ def minhash_lsh_pairs(
 
     rows = ds.map_batches(band_rows, batch_format="pyarrow")
     candidates = _bucketed_candidate_pairs(rows, "lshkey", id_col, max_group=256)
-    if candidates.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
     return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
 
 
@@ -489,7 +601,24 @@ def simhash_pairs(
 
     rows = ds.map_batches(sig_rows, batch_format="pyarrow")
     cand = _bucketed_candidate_pairs(rows, "shkey", id_col, max_group=256, extra_col="sig")
-    if cand.empty:
+
+    def ham_verify(t: pa.Table) -> pa.Table:
+        x = (
+            t.column("sig_a").to_numpy().astype(np.uint64)
+            ^ t.column("sig_b").to_numpy().astype(np.uint64)
+        )
+        ham = _popcount64(x)
+        keep = ham <= hamming_max
+        return pa.table(
+            {
+                "doc_a": pa.array(t.column("doc_a").to_numpy()[keep], type=pa.int64()),
+                "doc_b": pa.array(t.column("doc_b").to_numpy()[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = cand.map_batches(ham_verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype=np.int64),
@@ -497,16 +626,6 @@ def simhash_pairs(
                 "hamming": pd.Series(dtype=np.int64),
             }
         )
-    x = cand["sig_a"].to_numpy().astype(np.uint64) ^ cand["sig_b"].to_numpy().astype(np.uint64)
-    ham = np.vectorize(lambda v: bin(int(v)).count("1"))(x) if len(x) else np.zeros(0, dtype=np.int64)
-    keep = ham <= hamming_max
-    out = pd.DataFrame(
-        {
-            "doc_a": cand["doc_a"].to_numpy()[keep],
-            "doc_b": cand["doc_b"].to_numpy()[keep],
-            "hamming": ham[keep].astype(np.int64),
-        }
-    )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
