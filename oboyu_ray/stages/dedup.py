@@ -636,42 +636,136 @@ def embedding_cosine_pairs(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int = 16,
 ) -> pd.DataFrame:
-    """Exact cosine near-dup pairs (cos >= tau) via blocked matmul.
+    """EXACT cosine near-dup pairs (cos >= tau), routed through IVF cells —
+    no full-matrix broadcast, no driver-side embedding materialization.
 
-    The full normalized matrix is ray.put ONCE and read zero-copy in every
-    map task; each batch computes its block of the similarity matrix with a
-    single float64 matmul and emits only pairs (a < b) above tau.  O(n²/B)
-    per task; the 10^9-row variant replaces the broadcast with IVF cells.
-    Returns (vec_a, vec_b, cos_micros) sorted.
+    Scheme: train an IVF coarse quantizer (simsearch.ivf_train), measure
+    each cell's angular radius r_d = max angle(member, centroid) in one
+    partial-aggregation pass, then route every vector to (a) its home cell
+    as a member and (b) every foreign cell d whose SOUND bound
+    cos(angle(v, centroid_d) - r_d) >= tau as a probe.  A groupby(cell)
+    stage compares members pairwise and probes x members.  Exactness: if
+    cos(v, u) >= tau with u in cell d, the bound for (v, d) is >= cos(v, u)
+    >= tau, so BOTH directions of every qualifying pair are routed — the
+    ``probe.id < member.id`` rule therefore counts each cross-cell pair
+    exactly once (home pairs use i < j).  Pruning engages when embeddings
+    cluster (real near-dup corpora); worst case (isotropic vectors, radii
+    ~90°) degenerates to n_cells-way replication, still never a driver
+    bottleneck.  Returns (vec_a, vec_b, cos_micros) sorted.
     """
-    rows = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = rows[id_col].to_numpy(dtype=np.int64)
-    M = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    norms[norms == 0] = 1.0
-    Mn = M / norms[:, None]
-    ref = ray.put((ids, Mn))
+    from oboyu_ray.stages.simsearch import _normalize_rows, ivf_train
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        bn = np.linalg.norm(bm, axis=1)
-        bn[bn == 0] = 1.0
-        bm = bm / bn[:, None]
-        S = bm @ all_m.T
-        ai, bj = np.nonzero(S >= tau)
-        va = bids[ai]
-        vb = all_ids[bj]
-        keep = va < vb
+    C = ivf_train(ds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(C)
+
+    # pass 1: per-cell angular radius (per-batch partial max → driver combine;
+    # n_cells floats of driver state)
+    def radius_partial(batch: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        bm = _normalize_rows(
+            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        A = np.clip(bm @ cen.T, -1.0, 1.0)
+        cell = np.argmax(A, axis=1)
+        theta = np.arccos(A[np.arange(len(cell)), cell])
+        r = np.zeros(len(cen))
+        np.maximum.at(r, cell, theta)
         return pa.table(
             {
-                "vec_a": pa.array(va[keep], type=pa.int64()),
-                "vec_b": pa.array(vb[keep], type=pa.int64()),
-                "cos_micros": pa.array(micros(S[ai[keep], bj[keep]])),
+                "cell": pa.array(np.arange(len(cen)), type=pa.int64()),
+                "radius": pa.array(r, type=pa.float64()),
             }
         )
 
-    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    radii = np.zeros(len(C))
+    for b in ds.map_batches(radius_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.maximum.at(radii, b.column("cell").to_numpy(), b.column("radius").to_numpy())
+    rref = ray.put(radii)
+
+    # pass 2: route (member to home cell; probe to foreign cells the bound admits)
+    def route(batch: pa.Table) -> pa.Table:
+        cen, rad = ray.get(cref), ray.get(rref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = _normalize_rows(
+            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        A = np.clip(bm @ cen.T, -1.0, 1.0)
+        home = np.argmax(A, axis=1)
+        theta = np.arccos(A)  # (n, n_cells) angle to every centroid
+        bound = np.cos(np.maximum(theta - rad[None, :], 0.0))
+        probe = bound >= tau
+        probe[np.arange(len(home)), home] = False
+        vi, cj = np.nonzero(probe)
+        out_cell = np.concatenate([home, cj])
+        out_kind = np.concatenate(
+            [np.zeros(len(home), dtype=np.int64), np.ones(len(vi), dtype=np.int64)]
+        )
+        idx = np.concatenate([np.arange(len(home)), vi])
+        return pa.table(
+            {
+                "cell": pa.array(out_cell, type=pa.int64()),
+                "kind": pa.array(out_kind, type=pa.int64()),  # 0=member, 1=probe
+                id_col: pa.array(bids[idx], type=pa.int64()),
+                "vec": pa.array(list(bm[idx]), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["kind"] == 0]
+        prb = g[g["kind"] == 1]
+        mids = mem[id_col].to_numpy(dtype=np.int64)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        out_s: List[np.ndarray] = []
+        if len(mids) >= 2:
+            H = np.stack(mem["vec"].to_numpy())
+            S = H @ H.T
+            i, j = np.nonzero(S >= tau)
+            keep = mids[i] < mids[j]
+            out_a.append(mids[i][keep])
+            out_b.append(mids[j][keep])
+            out_s.append(S[i[keep], j[keep]])
+        if len(prb) and len(mids):
+            P = np.stack(prb["vec"].to_numpy())
+            pids = prb[id_col].to_numpy(dtype=np.int64)
+            S = P @ np.stack(mem["vec"].to_numpy()).T
+            i, j = np.nonzero(S >= tau)
+            keep = pids[i] < mids[j]  # cross-cell pair counted exactly once
+            out_a.append(pids[i][keep])
+            out_b.append(mids[j][keep])
+            out_s.append(S[i[keep], j[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.zeros(0, dtype=np.int64),
+                    "vec_b": np.zeros(0, dtype=np.int64),
+                    "cos_micros": np.zeros(0, dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_micros": micros(np.concatenate(out_s)),
+            }
+        )
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+                "cos_micros": pd.Series(dtype=np.int64),
+            }
+        )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
