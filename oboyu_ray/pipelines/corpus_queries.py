@@ -212,6 +212,26 @@ def q_simsearch_ivf(sf_dir: str) -> pd.DataFrame:
     return simsearch.ivf_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
 
 
+def _vector_index_dir(sf_dir: str) -> str:
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return f"/tmp/oboyu_vecindex/{os.path.basename(sf_dir.rstrip('/'))}-{st.st_size}-{st.st_mtime_ns}"
+
+
+def q_simsearch_ivf_persisted(sf_dir: str) -> pd.DataFrame:
+    """EXACT cosine top-k served from the persisted IVF-cell-partitioned
+    vector index (state/vector_index.py): build-if-absent into /tmp (keyed
+    by the embeddings file signature), then bounded-probe search that reads
+    only the cell files it needs.  Same output as brute force — shares the
+    SQL_SIMSEARCH_TOPK oracle."""
+    from oboyu_ray.state.vector_index import ivf_persisted_topk
+
+    return ivf_persisted_topk(
+        _embs(sf_dir), _vector_index_dir(sf_dir), k=TOPK, query_ids=QUERY_IDS
+    )
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.sessionize import sessionize
 
@@ -260,14 +280,18 @@ def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     hybrid_search_combiner.py:56-107 with rrf_k=60 (config/indexer.py:52);
     ties ordered by (rrf_micros DESC, doc_id ASC) — the documented
     deterministic choice replacing the reference's accidental dict order
-    (SURVEY §2-K4).  Output (query_id, doc_id, rrf_micros, rank<=10)."""
+    (SURVEY §2-K4).  Output (query_id, doc_id, rrf_micros, rank<=10).
+
+    The vector side is served from the PERSISTED IVF index (exact bounded
+    probe — identical results to brute force, so the hybrid oracle is
+    unchanged); the BM25 side reuses q_bm25_topk's memoized ranking."""
     import numpy as np
 
     from oboyu_ray.functions.ranking import DEFAULT_RRF_K, rrf_combine
     from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, q_bm25_topk
 
     bm = q_bm25_topk(sf_dir)
-    sim = q_simsearch_topk(sf_dir)
+    sim = q_simsearch_ivf_persisted(sf_dir)
     frames = []
     for i, qstr in enumerate(BM25_QUERIES[: len(QUERY_IDS)]):
         b = bm[bm["query_id"] == qstr].sort_values("rank")[["doc_id"]]
@@ -716,6 +740,7 @@ def corpus_queries() -> dict:
         "text_normalize": q_text_normalize,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "simsearch_ivf": q_simsearch_ivf,
+        "simsearch_ivf_persisted": q_simsearch_ivf_persisted,
         "sessionize": q_sessionize,
         "transcript_engine_topk": q_transcript_engine_topk,
         "doc_embeddings": q_doc_embeddings,
@@ -732,6 +757,9 @@ def corpus_oracle_sql() -> dict:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
+        # exact bounded-probe search over the persisted IVF index returns
+        # the brute-force answer — same oracle applies
+        "simsearch_ivf_persisted": SQL_SIMSEARCH_TOPK,
         "hybrid_rrf": _sql_hybrid_rrf(),
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,

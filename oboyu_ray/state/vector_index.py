@@ -1,0 +1,240 @@
+"""Persisted IVF vector index — the vector-search index artifact.
+
+Reference parity target: oboyu's embeddings table + vector index
+(`src/oboyu/indexer/storage/schema.py:71-90`) and its vector search path
+(`src/oboyu/retriever/storage/database_search_service.py:78-93`, DuckDB HNSW
+`array_cosine_similarity ... ORDER BY ... LIMIT k`).  Re-expressed
+Ray-Data-first: instead of a single-process HNSW graph, the index is an
+IVF-cell-PARTITIONED parquet layout — cell id is the partition key, so a
+query reads only the cell files it probes, which is the property that
+matters on a 256-node cluster (HNSW's pointer-chasing graph does not
+partition; IVF lists do).
+
+Layout under ``index_dir``::
+
+    manifest.json                   {n_cells, dim, n_vectors, normalized: true}
+    centroids.parquet               (cell, centroid list<float64>, radius, count)
+    cells/cell=NNNN/*.parquet       (vec_id, vec list<float64>, unit-normalized)
+
+Query path is EXACT top-k, not approximate: cells are probed in descending
+sound-bound order (bound = cos(max(0, angle(q, centroid) - radius)), radius
+= the cell's max member angle measured at build) and probing stops once a
+query's current k-th score meets the next cell's bound — the same
+block-max-style safe pruning the BM25 shards use, applied to vectors.  With
+clustered (near-dup-heavy) corpora most cells are never read; with
+isotropic vectors it degrades to a full scan that is still cell-streamed,
+never a broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from oboyu_ray.fixedpoint import micros
+from oboyu_ray.state.checkpoint import atomic_write_json
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def build_vector_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train the coarse quantizer, assign + measure radii, write the
+    cell-partitioned layout.  Idempotent: a complete manifest short-circuits
+    the build (remove the directory to force)."""
+    from oboyu_ray.stages.simsearch import ivf_train
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "cells"), exist_ok=True)
+
+    C = ivf_train(ds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        ids = batch.column(id_col).cast(pa.int64())
+        bm = _normalize_rows(
+            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        A = np.clip(bm @ cen.T, -1.0, 1.0)
+        cell = np.argmax(A, axis=1)
+        theta = np.arccos(A[np.arange(len(cell)), cell])
+        return pa.table(
+            {
+                "cell": pa.array(cell, type=pa.int64()),
+                "vec_id": ids,
+                "vec": pa.array(list(bm), type=pa.list_(pa.float64())),
+                "theta": pa.array(theta, type=pa.float64()),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned.write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"])
+
+    # per-cell radius/count from the written artifact (metadata-scale read)
+    radii = np.zeros(n_cells)
+    counts = np.zeros(n_cells, dtype=np.int64)
+    t = pq.read_table(os.path.join(tmp, "cells"), columns=["cell", "theta"])
+    cells = t.column("cell").to_numpy().astype(np.int64)
+    np.maximum.at(radii, cells, t.column("theta").to_numpy())
+    np.add.at(counts, cells, 1)
+
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(np.arange(n_cells), type=pa.int64()),
+                "centroid": pa.array(list(C), type=pa.list_(pa.float64())),
+                "radius": pa.array(radii, type=pa.float64()),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    man = {
+        "n_cells": int(n_cells),
+        "dim": int(C.shape[1]),
+        "n_vectors": int(counts.sum()),
+        "normalized": True,
+    }
+    atomic_write_json(os.path.join(tmp, "manifest.json"), man)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return man
+
+
+class VectorIndex:
+    """Query-side handle: loads centroids/radii (tiny), streams cell files
+    on demand.  ``search`` is exact top-k with sound-bound early stopping."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        order = np.argsort(t.column("cell").to_numpy())
+        self.C = np.stack(t.column("centroid").to_pylist())[order]
+        self.radii = t.column("radius").to_numpy()[order]
+        self.counts = t.column("count").to_numpy()[order]
+        self.cells_read = 0  # probe-efficiency telemetry (tests assert on it)
+
+    def _cell_files(self, cell: int) -> list:
+        d = os.path.join(self.index_dir, "cells", f"cell={cell}")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        query_ids: Optional[Sequence[int]] = None,
+        max_probe: Optional[int] = None,
+    ) -> pd.DataFrame:
+        """Exact cosine top-k for a (nq, dim) query matrix.
+
+        Returns (query_id, vec_id, cos_micros, rank) ranked by
+        (cos_micros DESC, vec_id ASC).  Cells stream in one at a time in
+        descending best-bound order; a query stops contributing once its
+        k-th score (in micros, the ranking unit) is >= the bound of every
+        unread cell.  ``max_probe`` caps probed cells (approximate mode);
+        None = exact."""
+        Q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+        nq = Q.shape[0]
+        qids = np.asarray(
+            query_ids if query_ids is not None else np.arange(nq), dtype=np.int64
+        )
+        A = np.clip(Q @ self.C.T, -1.0, 1.0)
+        bounds = np.cos(np.maximum(np.arccos(A) - self.radii[None, :], 0.0))
+        bounds[:, self.counts == 0] = -2.0  # below any real cosine
+        order = np.argsort(-bounds.max(axis=0))
+
+        # per-query candidate pools (score_micros, vec_id)
+        pool_s = [np.zeros(0, dtype=np.int64) for _ in range(nq)]
+        pool_v = [np.zeros(0, dtype=np.int64) for _ in range(nq)]
+        kth = np.full(nq, -np.inf)
+        self.cells_read = 0
+        probed = 0
+        for cell in order:
+            # >= (not >): a cell whose bound TIES the k-th score may hold an
+            # equal-score candidate with a smaller vec_id, which outranks the
+            # current pool under the (score DESC, vec_id ASC) order
+            need = micros(bounds[:, cell]) >= kth
+            if not need.any():
+                break
+            if max_probe is not None and probed >= max_probe:
+                break
+            files = self._cell_files(int(cell))
+            if not files:
+                continue
+            probed += 1
+            self.cells_read += 1
+            t = pq.read_table(files, columns=["vec_id", "vec"])
+            vids = t.column("vec_id").to_numpy().astype(np.int64)
+            M = np.stack(t.column("vec").to_pylist())
+            S = micros(Q[need] @ M.T)
+            for row, qi in enumerate(np.flatnonzero(need)):
+                s = np.concatenate([pool_s[qi], S[row]])
+                v = np.concatenate([pool_v[qi], vids])
+                sel = np.lexsort((v, -s))[:k]
+                pool_s[qi], pool_v[qi] = s[sel], v[sel]
+                if len(pool_s[qi]) >= k:
+                    kth[qi] = pool_s[qi][-1]
+        frames = []
+        for qi in range(nq):
+            n = len(pool_v[qi])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(n, qids[qi], dtype=np.int64),
+                        "vec_id": pool_v[qi],
+                        "cos_micros": pool_s[qi],
+                        "rank": np.arange(1, n + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+
+def ivf_persisted_topk(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    k: int = 10,
+    query_ids: Sequence[int] = (0, 1, 2, 3, 4),
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Build-if-absent + exact query over the persisted index; query vectors
+    fetched by id from the source dataset (matching brute_force_cosine_topk
+    semantics so the same SQL oracle applies)."""
+    from oboyu_ray.stages.simsearch import load_query_matrix
+
+    build_vector_index(ds, index_dir, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    idx = VectorIndex(index_dir)
+    return idx.search(Q, k=k, query_ids=qids)

@@ -451,3 +451,44 @@ def test_whitespace_class_pinned_vs_duckdb():
     py_keys = sorted({hashlib.md5(textstats._normalize(t).encode()).hexdigest() for t in raw})
     sq_keys = sorted(con.execute(SQL_DEDUP_EXACT).fetchdf()["key"].tolist())
     assert py_keys == sq_keys
+
+
+def test_vector_index_persisted_exact_and_prunes(tmp_path):
+    """Persisted IVF index: exact top-k vs brute force, and on clustered
+    data the bounded probe reads strictly fewer cells than a full scan."""
+    import ray
+
+    from oboyu_ray.state.vector_index import VectorIndex, build_vector_index
+    from oboyu_ray.stages.simsearch import brute_force_cosine_topk, load_query_matrix
+
+    rng = np.random.RandomState(3)
+    # 8 tight clusters -> small cell radii -> real pruning
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.concatenate(
+        [centers[i % 8] + rng.standard_normal(16) * 0.05 for i in range(400)]
+    ).reshape(400, 16)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(400), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    idx_dir = str(tmp_path / "vi")
+    man = build_vector_index(ds, idx_dir, n_cells=8)
+    assert man["n_vectors"] == 400
+    qids, Q = load_query_matrix(ds, (0, 1, 2))
+    idx = VectorIndex(idx_dir)
+    got = idx.search(Q, k=5, query_ids=qids)
+    want = brute_force_cosine_topk(ds, k=5, query_ids=(0, 1, 2))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+        check_dtype=False,
+    )
+    assert idx.cells_read < 8  # pruning engaged on clustered data
+
+    # idempotent: second build short-circuits on the manifest
+    man2 = build_vector_index(ds, idx_dir, n_cells=8)
+    assert man2 == man
