@@ -4,66 +4,110 @@ The "novel sketch" custom-operator axis of the brief: exact COUNT DISTINCT
 over 10^12 rows needs a full shuffle of the key column; an HLL register
 array is a fixed ~2^p bytes per batch, merges with an elementwise max, and
 answers within ~1.04/sqrt(2^p) relative error.  Expressed Ray-Data-first:
-``map_batches`` emits one register-array partial per batch (vectorized
-md5-based hashing), the driver (or any tree of combiners) merges with
-``np.maximum`` — associative, commutative, resumable.
+``map_batches`` emits one register-array partial per batch, the driver (or
+any tree of combiners) merges with ``np.maximum`` — associative,
+commutative, resumable.
 
-Estimator: the standard HLL-with-corrections formula (Flajolet et al. 2007
-small-range linear counting; large-range correction unnecessary at 64-bit
-hash truncated to 32 for the classic constants).
+Hashing is a fully vectorized 64-bit FNV-1a + splitmix64 finalizer computed
+directly over the Arrow string column's offsets/data buffers (O(max string
+length) numpy passes per batch, no per-row Python).  With 64-bit hashes the
+register rank spans the low 64-p bits, so the classic large-range
+correction is unnecessary at ANY practical cardinality (the 32-bit-hash
+variant saturates near 1.4e8 distinct — far below the target scale).
+Small-range linear counting applies as usual.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 HLL_P = 12  # 4096 registers → ~1.6% standard error
 HLL_M = 1 << HLL_P
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
-def _hash32(values) -> np.ndarray:
-    """Stable 32-bit hashes of string values (md5-based, vectorizable cost
-    is the per-value digest; fine for sketch workloads)."""
-    out = np.empty(len(values), dtype=np.uint32)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:4], "little")
-    return out
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _hash64(col) -> np.ndarray:
+    """Stable 64-bit hashes of a column's values, vectorized.
+
+    Accepts a pyarrow Array/ChunkedArray or a python sequence; values are
+    hashed as their UTF-8 string rendering (matching ``str(v)`` for
+    ints/strings).  FNV-1a over the raw string buffer — one numpy pass per
+    byte position up to the batch's max length — then splitmix64 to spread
+    entropy into the high bits the register index uses."""
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array([str(v) for v in col], type=pa.string())
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = col.cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64, count=arr.offset + n + 1)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lengths = off[1:] - off[:-1]
+    starts = off[:-1]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(lengths.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            m = lengths > i
+            b = data[starts[m] + i].astype(np.uint64)
+            h[m] = (h[m] ^ b) * _FNV_PRIME
+    return _splitmix64(h)
 
 
 def hll_partial(values) -> np.ndarray:
     """One batch of values → (HLL_M,) uint8 register array."""
+    h = _hash64(values)
     regs = np.zeros(HLL_M, dtype=np.uint8)
-    if len(values) == 0:
+    if len(h) == 0:
         return regs
-    h = _hash32(values)
-    idx = (h >> np.uint32(32 - HLL_P)).astype(np.int64)
-    rest = (h << np.uint32(HLL_P)).astype(np.uint32)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)).astype(np.uint64)
     # rank ρ = leading zeros of the shifted suffix + 1; an all-zero suffix
-    # gets the max rank 32-P+1.  rest = h << P keeps the suffix in the top
-    # bits, so its 32-bit leading-zero count IS the suffix's, and a nonzero
-    # suffix has ρ ≤ 32-P+1 automatically (the low P bits are zero).
-    lz = np.full(len(h), 32 - HLL_P + 1, dtype=np.int64)
+    # gets the max rank 64-P+1.  rest = h << P keeps the suffix in the top
+    # bits, so its 64-bit leading-zero count IS the suffix's, and a nonzero
+    # suffix has ρ ≤ 64-P+1 automatically (the low P bits are zero).
+    lz = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)
     nz = rest != 0
     r = rest[nz]
     bits = np.zeros(len(r), dtype=np.int64)  # bit_length - 1
-    for shift in (16, 8, 4, 2, 1):
-        step = (r >> np.uint32(shift)) != 0
+    for shift in (32, 16, 8, 4, 2, 1):
+        step = (r >> np.uint64(shift)) != 0
         bits[step] += shift
-        r = np.where(step, r >> np.uint32(shift), r)
+        r = np.where(step, r >> np.uint64(shift), r)
     bl = bits + 1  # bit_length of nonzero suffixes
-    lz[nz] = 32 - bl + 1  # leading zeros + 1
+    lz[nz] = 64 - bl + 1  # leading zeros + 1
     np.maximum.at(regs, idx, lz.astype(np.uint8))
     return regs
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Registers → cardinality estimate (with small-range correction)."""
+    """Registers → cardinality estimate (with small-range correction; no
+    large-range correction needed at 64-bit hash width)."""
     m = float(HLL_M)
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
@@ -84,7 +128,7 @@ def approx_distinct(
     partials — register arrays are associative/commutative state."""
 
     def partial(batch: pa.Table) -> Iterator[pa.Table]:
-        regs = hll_partial(batch.column(column).to_pylist())
+        regs = hll_partial(batch.column(column))
         yield pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
 
     merged = np.zeros(HLL_M, dtype=np.uint8)
