@@ -39,6 +39,7 @@ import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from oboyu_ray.state.codec import varint_decode
@@ -62,9 +63,19 @@ class _PartIndex:
     @staticmethod
     def _binary_views(col):
         arr = col.combine_chunks()
+        # offset width from the TYPE, not the buffer byte length (a padded
+        # buffer would silently mis-decode); sliced arrays index into the
+        # offsets buffer at arr.offset
+        if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+            width = np.int64
+        elif pa.types.is_binary(arr.type) or pa.types.is_string(arr.type):
+            width = np.int32
+        else:
+            raise TypeError(f"_binary_views: unsupported type {arr.type}")
         bufs = arr.buffers()
-        width = np.int64 if len(bufs[1]) >= 8 * (len(arr) + 1) else np.int32
-        off = np.frombuffer(bufs[1], dtype=width, count=len(arr) + 1).astype(np.int64)
+        off = np.frombuffer(bufs[1], dtype=width, count=arr.offset + len(arr) + 1)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
         data = (
             np.frombuffer(bufs[2], dtype=np.uint8)
             if bufs[2] is not None
