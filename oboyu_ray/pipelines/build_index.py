@@ -102,7 +102,12 @@ def _dirs(index_dir: str) -> Dict[str, str]:
 
 # --------------------------------------------------------------- conv map
 
-def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, object]:
+def build_conv_map(
+    transcript_files: List[str],
+    index_dir: str,
+    change_strategy: str = "timestamp",
+    sig_cache=None,
+) -> Dict[str, object]:
     """Conversation → starting doc_num offsets.
 
     Fast path (zero-shuffle): input files hold disjoint conversation ranges
@@ -118,7 +123,7 @@ def build_conv_map(transcript_files: List[str], index_dir: str) -> Dict[str, obj
     """
     out_dir = os.path.join(index_dir, "conv_map")
     done_marker = os.path.join(out_dir, "_DONE.json")
-    input_sig = files_sig(transcript_files)
+    input_sig = files_sig(transcript_files, change_strategy, sig_cache)
     if os.path.exists(done_marker):
         with open(done_marker) as f:
             info = json.load(f)
@@ -325,21 +330,122 @@ def _build_conv_map_shuffle(transcript_files: List[str], index_dir: str) -> Dict
     return info
 
 
-def load_conv_offsets(index_dir: str):
-    """(sorted conv_id array, conv_offset array) for broadcast.
+# conversations above which ConvMapHandle switches from broadcast arrays to
+# per-task range reads of the conv-map files (the map-side join of DESIGN §3)
+CONV_INMEM_LIMIT = 20_000_000
 
-    Numpy arrays instead of a dict: ray.put serializes them zero-copy-ish
-    and every ingest task does a vectorized ``searchsorted`` lookup instead
-    of deserializing + probing a python dict (the dict was the measured
-    ingest bottleneck at high parallelism).  At 10^10+ conversations this
-    becomes a hash-bucketed map-side join keyed on conv_id — same bucket
-    pattern as stages/dedup.py."""
-    out_dir = os.path.join(index_dir, "conv_map")
-    t = pq.read_table(out_dir, columns=["conv_id", "conv_offset"])
-    ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
-    offs = t.column("conv_offset").to_numpy().astype(np.int64)
-    order = np.argsort(ids, kind="stable")
-    return ids[order], offs[order]
+
+class ConvMapHandle:
+    """Conversation → doc-number-base lookup with a size-gated mode switch.
+
+    * **inmem** (≤ ``inmem_limit`` conversations): the whole conv_map loads
+      into sorted numpy arrays, the handle is ``ray.put`` once, every task
+      does a vectorized searchsorted — the measured-fast sandbox path.
+    * **range** (beyond the limit): the handle holds only per-FILE metadata
+      (path, min conv_id, first conv_offset — a few bytes per conv-map
+      file, read from parquet footers); a task reads just the conv-map
+      files covering ITS conversation range.  Nothing — driver or worker —
+      ever materializes the full conversation space, which at 10^10
+      conversations is tens of GB.  conv-map files are range-partitioned
+      and internally sorted by conv_id (and therefore by conv_offset), so
+      both directions are file-local searchsorted lookups.
+    """
+
+    def __init__(self, index_dir: str, inmem_limit: int = CONV_INMEM_LIMIT) -> None:
+        out_dir = os.path.join(index_dir, "conv_map")
+        self.files = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        min_convs: List[str] = []
+        first_offs: List[int] = []
+        total = 0
+        files = []
+        for f in self.files:
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            total += pf.metadata.num_rows
+            head = next(pf.iter_batches(batch_size=1, columns=["conv_id", "conv_offset"]))
+            min_convs.append(str(head.column("conv_id")[0]))
+            first_offs.append(int(head.column("conv_offset")[0].as_py()))
+            files.append(f)
+        self.files = files
+        self.min_convs = np.asarray(min_convs, dtype=np.str_)
+        self.first_offs = np.asarray(first_offs, dtype=np.int64)
+        self.n_convs = total
+        self.mode = "inmem" if total <= inmem_limit else "range"
+        self._ids = self._offs = None
+        self._by_off_ids = self._by_off = None
+        if self.mode == "inmem":
+            t = pq.read_table(out_dir, columns=["conv_id", "conv_offset"])
+            ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
+            offs = t.column("conv_offset").to_numpy().astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            self._ids, self._offs = ids[order], offs[order]
+            oorder = np.argsort(offs)
+            self._by_off = offs[oorder]
+            self._by_off_ids = ids[oorder]
+
+    @staticmethod
+    def _lookup_sorted(ids_sorted: np.ndarray, offs: np.ndarray, conv: np.ndarray) -> np.ndarray:
+        ix = np.searchsorted(ids_sorted, conv)
+        bad = (ix >= len(ids_sorted)) | (
+            ids_sorted[np.minimum(ix, len(ids_sorted) - 1)] != conv
+        )
+        if bad.any():
+            raise ValueError(f"conversation {conv[bad][0]!r} missing from conv_map")
+        return offs[ix]
+
+    def lookup_offsets(self, conv: np.ndarray) -> np.ndarray:
+        """conv_id array → conv_offset array (doc-number base per conv)."""
+        conv = np.asarray(conv, dtype=np.str_)
+        if self.mode == "inmem":
+            return self._lookup_sorted(self._ids, self._offs, conv)
+        u, inv = np.unique(conv, return_inverse=True)
+        fidx = np.searchsorted(self.min_convs, u, side="right") - 1
+        if (fidx < 0).any():
+            raise ValueError(f"conversation {u[fidx < 0][0]!r} missing from conv_map")
+        out = np.empty(len(u), dtype=np.int64)
+        for f in np.unique(fidx):
+            sel = fidx == f
+            t = pq.read_table(self.files[int(f)], columns=["conv_id", "conv_offset"])
+            ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
+            offs = t.column("conv_offset").to_numpy().astype(np.int64)
+            out[sel] = self._lookup_sorted(ids, offs, u[sel])
+        return out[inv]
+
+    def resolve(self, doc_nums: np.ndarray):
+        """doc_num array → (conv_id array, turn_idx array)."""
+        doc_nums = np.asarray(doc_nums, dtype=np.int64)
+        if self.mode == "inmem":
+            ix = np.searchsorted(self._by_off, doc_nums, side="right") - 1
+            return (
+                self._by_off_ids[ix].astype(object),
+                (doc_nums - self._by_off[ix]).astype(np.int64),
+            )
+        fidx = np.searchsorted(self.first_offs, doc_nums, side="right") - 1
+        if (fidx < 0).any():
+            raise ValueError("doc_num below the conversation space")
+        conv = np.empty(len(doc_nums), dtype=object)
+        turn = np.empty(len(doc_nums), dtype=np.int64)
+        for f in np.unique(fidx):
+            sel = fidx == f
+            t = pq.read_table(self.files[int(f)], columns=["conv_id", "conv_offset"])
+            offs = t.column("conv_offset").to_numpy().astype(np.int64)
+            ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+            ix = np.searchsorted(offs, doc_nums[sel], side="right") - 1
+            conv[sel] = ids[ix]
+            turn[sel] = doc_nums[sel] - offs[ix]
+        return conv, turn
+
+
+def load_conv_offsets(index_dir: str):
+    """Back-compat shim: (sorted conv_id array, conv_offset array) for
+    broadcast — the inmem arrays of ConvMapHandle."""
+    h = ConvMapHandle(index_dir, inmem_limit=np.iinfo(np.int64).max)
+    return h._ids, h._offs
 
 
 def _gc_stale_partitions(index_dir: str, part_ids: List[int]) -> None:
@@ -393,23 +499,24 @@ def _ingest_one_group(
     part_id = int(group["part_id"])
     files = list(group["files"])
     man = Manifest(index_dir, "ingest")
-    lineage = {"files": files_sig(files), "conv_fp": conv_fp}
+    # input signatures are precomputed on the driver (strategy-aware, cached)
+    # and shipped with the group; JSON roundtrip matches manifest storage
+    sig = json.loads(group["sig_json"]) if "sig_json" in group else files_sig(files)
+    lineage = {"files": sig, "conv_fp": conv_fp}
     out_path = os.path.join(index_dir, "docs", f"docs-{part_id:05d}.parquet")
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
         return pa.table({k: [v] for k, v in m.items()})
 
     t0 = time.time()
-    conv_ids_sorted, conv_offs = ray.get(conv_offsets_ref)
+    conv_map: ConvMapHandle = ray.get(conv_offsets_ref)
     tables = [pq.read_table(f, columns=["conv_id", "turn_idx", "role", "text", "ts"]) for f in files]
     t = pa.concat_tables(tables)
 
     conv = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
-    ix = np.searchsorted(conv_ids_sorted, conv)
-    bad = (ix >= len(conv_ids_sorted)) | (conv_ids_sorted[np.minimum(ix, len(conv_ids_sorted) - 1)] != conv)
-    if bad.any():
-        raise ValueError(f"conversation {conv[bad][0]!r} missing from conv_map")
-    doc_num = conv_offs[ix] + t.column("turn_idx").to_numpy().astype(np.int64)
+    # inmem: broadcast-array searchsorted; range: this task reads only the
+    # conv-map files covering its own conversations (missing convs raise)
+    doc_num = conv_map.lookup_offsets(conv) + t.column("turn_idx").to_numpy().astype(np.int64)
     if len(np.unique(doc_num)) != len(doc_num):
         raise ValueError(f"partition {part_id}: duplicate (conv_id, turn_idx) keys")
     order = np.argsort(doc_num, kind="stable")
@@ -442,6 +549,9 @@ def ingest(
     files_per_part: int = 1,
     conv_fp: int = 0,
     per_input_crc: Optional[Dict[str, int]] = None,
+    conv_inmem_limit: int = CONV_INMEM_LIMIT,
+    change_strategy: str = "timestamp",
+    sig_cache=None,
 ) -> List[Dict]:
     """Phase 0: transcripts → doc-partitioned docs tables.
 
@@ -450,7 +560,8 @@ def ingest(
     stores do.  Partition doc ranges are validated for density below; badly
     interleaved inputs should be pre-sorted once (documented assumption).
     """
-    conv_offsets_ref = ray.put(load_conv_offsets(index_dir))
+    conv_offsets_ref = ray.put(ConvMapHandle(index_dir, inmem_limit=conv_inmem_limit))
+    sig_map = files_sig(transcript_files, change_strategy, sig_cache)
     groups = []
     for i, s in enumerate(range(0, len(transcript_files), files_per_part)):
         file_idx = list(range(s, min(s + files_per_part, len(transcript_files))))
@@ -459,8 +570,14 @@ def ingest(
             fp = zlib_crc_of([per_input_crc.get(str(j), 0) for j in file_idx])
         else:
             fp = conv_fp  # global fallback (shuffle path / legacy)
+        part_files = transcript_files[s : s + files_per_part]
         groups.append(
-            {"part_id": i, "files": transcript_files[s : s + files_per_part], "fp": fp}
+            {
+                "part_id": i,
+                "files": part_files,
+                "fp": fp,
+                "sig_json": json.dumps({f: sig_map[f] for f in part_files}, sort_keys=True),
+            }
         )
 
     def run(batch: pa.Table) -> Iterator[pa.Table]:
@@ -849,22 +966,40 @@ def build_index(
     index_dir: str,
     cfg: BuildConfig = DEFAULT_BUILD_CONFIG,
     files_per_part: int = 1,
+    conv_inmem_limit: int = CONV_INMEM_LIMIT,
+    change_strategy: str = "timestamp",
 ) -> Dict[str, object]:
     """End-to-end build; returns the build report (also written to
     build_report.json).  Re-running after a crash resumes from committed
-    per-partition manifests."""
+    per-partition manifests.
+
+    ``change_strategy`` selects input change detection (reference
+    change_detector.py strategies): "timestamp" (size+mtime, default),
+    "hash" (sha256 content — touch-without-change rebuilds nothing) or
+    "smart" (hash under 10MB via a stat-keyed cache, timestamp above)."""
     os.makedirs(index_dir, exist_ok=True)
     _dirs(index_dir)
     t0 = time.time()
 
-    conv_info = build_conv_map(transcript_files, index_dir)
+    sig_cache = None
+    if change_strategy != "timestamp":
+        from oboyu_ray.state.checkpoint import SigCache
+
+        sig_cache = SigCache(os.path.join(index_dir, "manifests", "sig_cache.json"))
+
+    conv_info = build_conv_map(transcript_files, index_dir, change_strategy, sig_cache)
     t_conv = time.time()
 
     summaries = ingest(
         transcript_files, index_dir, cfg, files_per_part,
         conv_fp=int(conv_info.get("content_crc", 0)),
         per_input_crc=conv_info.get("per_input_crc"),
+        conv_inmem_limit=conv_inmem_limit,
+        change_strategy=change_strategy,
+        sig_cache=sig_cache,
     )
+    if sig_cache is not None:
+        sig_cache.save()
     n_docs = int(sum(s["n_docs"] for s in summaries))
     part_ids = [int(s["part_id"]) for s in summaries]
     _gc_stale_partitions(index_dir, part_ids)

@@ -95,23 +95,21 @@ class VocabLookup:
 
 
 class ConvResolver:
-    """doc_num ↔ (conv_id, turn_idx) via the conv_map offsets (searchsorted
-    over the sorted conv_offset array; at 10^10 conversations this becomes a
-    range read over the conv_map parquet, same layout)."""
+    """doc_num ↔ (conv_id, turn_idx) via ConvMapHandle: in-memory
+    searchsorted below the conversation-count threshold, per-call range
+    reads of only the covering conv-map files above it — neither build nor
+    query ever loads the full conversation space at scale."""
 
-    def __init__(self, index_dir: str) -> None:
-        t = pq.read_table(
-            os.path.join(index_dir, "conv_map"), columns=["conv_id", "conv_offset"]
+    def __init__(self, index_dir: str, conv_inmem_limit: Optional[int] = None) -> None:
+        from oboyu_ray.pipelines.build_index import CONV_INMEM_LIMIT, ConvMapHandle
+
+        self._handle = ConvMapHandle(
+            index_dir,
+            inmem_limit=CONV_INMEM_LIMIT if conv_inmem_limit is None else conv_inmem_limit,
         )
-        order = np.argsort(t.column("conv_offset").to_numpy())
-        self.offsets = t.column("conv_offset").to_numpy()[order]
-        self.conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)[order]
 
     def resolve(self, doc_nums: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        ix = np.searchsorted(self.offsets, doc_nums, side="right") - 1
-        conv = self.conv_ids[ix]
-        turn = doc_nums - self.offsets[ix]
-        return conv, turn.astype(np.int64)
+        return self._handle.resolve(np.asarray(doc_nums, dtype=np.int64))
 
 
 class QueryEngine:
@@ -122,8 +120,10 @@ class QueryEngine:
         index_dir: str,
         num_shards: Optional[int] = None,
         cfg: Optional[BM25Config] = None,
+        conv_inmem_limit: Optional[int] = None,
     ) -> None:
         self.index_dir = index_dir
+        self._conv_inmem_limit = conv_inmem_limit
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         with open(os.path.join(index_dir, "build_report.json")) as f:
@@ -159,7 +159,7 @@ class QueryEngine:
         self.b = float(bc.get("b", self.cfg.b))
         self.window_docs = int(self.report.get("config", {}).get("window_docs", 8192))
         self.vocab = VocabLookup(os.path.join(index_dir, "vocab"))
-        self.resolver = ConvResolver(index_dir)
+        self.resolver = ConvResolver(index_dir, conv_inmem_limit=self._conv_inmem_limit)
         self.tokenizer = get_tokenizer(self.cfg)
 
         parts = [int(p) for p in self.report["parts"]]

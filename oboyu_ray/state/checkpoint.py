@@ -17,18 +17,75 @@ import time
 from typing import Any, Dict, List, Optional
 
 
-def file_sig(path: str) -> List[int]:
-    """(size, mtime_ns) change signature — the reference's timestamp+size
-    change-detection strategy (change_detector.py:64-132).  Used in phase
-    lineage so a rewritten upstream artifact invalidates downstream
-    partition manifests; untouched artifacts keep their signature and the
-    downstream phase resumes as a no-op."""
+# reference smart strategy hashes only files under 10MB
+# (change_detector.py:160-167); larger files trust timestamp+size
+SMART_HASH_MAX = 10 * 1024 * 1024
+
+
+def content_hash(path: str, chunk_size: int = 8192) -> str:
+    """SHA-256 of file content in 8KB chunks — the reference's
+    calculate_file_hash (change_detector.py:224-247)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while chunk := f.read(chunk_size):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class SigCache:
+    """(path, size, mtime) → content hash memo, persisted as JSON, so the
+    hash/smart strategies re-hash a file only when its stat changes (the
+    role the reference's file_metadata table plays)."""
+
+    def __init__(self, path: Optional[str] = None) -> None:
+        self.path = path
+        self.data: Dict[str, str] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self.data = json.load(f)
+
+    def sha(self, path: str, st: os.stat_result) -> str:
+        key = f"{path}:{st.st_size}:{st.st_mtime_ns}"
+        if key not in self.data:
+            self.data[key] = content_hash(path)
+        return self.data[key]
+
+    def save(self) -> None:
+        if self.path:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            atomic_write_json(self.path, self.data)
+
+
+def file_sig(path: str, strategy: str = "timestamp", cache: Optional[SigCache] = None):
+    """Change signature used in phase lineage, mirroring the reference's
+    three change-detection strategies (change_detector.py:64-223):
+
+    * ``timestamp`` — [size, mtime_ns]: fast, but a touch-without-change
+      rebuilds the partition.
+    * ``hash`` — ["sha256", size, hexdigest]: content-addressed, stable
+      under touch; always reads the file (or hits the SigCache).
+    * ``smart`` — hash for files under 10MB (via the stat-keyed cache, so
+      unchanged files cost one stat), timestamp+size above.
+
+    A rewritten upstream artifact invalidates downstream partition
+    manifests; artifacts whose signature is unchanged resume as a no-op."""
     st = os.stat(path)
-    return [st.st_size, st.st_mtime_ns]
+    if strategy == "timestamp":
+        return [st.st_size, st.st_mtime_ns]
+    if strategy == "smart" and st.st_size >= SMART_HASH_MAX:
+        return [st.st_size, st.st_mtime_ns]
+    if strategy not in ("hash", "smart"):
+        raise ValueError(f"unknown change strategy {strategy!r}")
+    sha = cache.sha(path, st) if cache is not None else content_hash(path)
+    return ["sha256", st.st_size, sha]
 
 
-def files_sig(paths) -> Dict[str, List[int]]:
-    return {p: file_sig(p) for p in paths}
+def files_sig(
+    paths, strategy: str = "timestamp", cache: Optional[SigCache] = None
+) -> Dict[str, list]:
+    return {p: file_sig(p, strategy, cache) for p in paths}
 
 
 def atomic_write_json(path: str, obj: Dict[str, Any]) -> None:
