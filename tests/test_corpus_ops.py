@@ -492,3 +492,58 @@ def test_vector_index_persisted_exact_and_prunes(tmp_path):
     # idempotent: second build short-circuits on the manifest
     man2 = build_vector_index(ds, idx_dir, n_cells=8)
     assert man2 == man
+
+
+def test_mcp_stdio_transport(tmp_path):
+    """Drive search / index_directory / get_index_info through the MCP
+    JSON-RPC transport layer (newline-delimited, in-process streams) —
+    reference mcp/server.py tool surface (S7)."""
+    import io
+    import json as _json
+
+    from oboyu_ray.pipelines.mcp_server import serve
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    (root / "alpha.md").write_text(
+        "---\ntitle: Alpha\n---\nalpha search engine document with tokens"
+    )
+    (root / "beta.txt").write_text("beta indexing pipeline text with tokens")
+    index_dir = str(tmp_path / "idx")
+
+    reqs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "index_directory",
+                    "arguments": {"root": str(root), "index_dir": index_dir}}},
+        {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+         "params": {"name": "get_index_info", "arguments": {"index_dir": index_dir}}},
+        {"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha search", "index_dir": index_dir,
+                                  "top_k": 3}}},
+        {"jsonrpc": "2.0", "id": 6, "method": "tools/call",
+         "params": {"name": "nope", "arguments": {}}},
+        {"jsonrpc": "2.0", "id": 7, "method": "bogus/method"},
+    ]
+    inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
+    out = io.StringIO()
+    serve(inp, out)
+    resps = {m["id"]: m for m in map(_json.loads, out.getvalue().splitlines())}
+
+    assert resps[1]["result"]["serverInfo"]["name"] == "oboyu-ray"
+    assert [t["name"] for t in resps[2]["result"]["tools"]] == [
+        "search", "index_directory", "get_index_info",
+    ]
+    built = _json.loads(resps[3]["result"]["content"][0]["text"])
+    assert built["status"] == "ok" and built["documents_indexed"] > 0
+    info = _json.loads(resps[4]["result"]["content"][0]["text"])
+    assert info["document_count"] == built["documents_indexed"]
+    hits = _json.loads(resps[5]["result"]["content"][0]["text"])
+    assert hits["stats"]["count"] > 0
+    assert any("alpha" in r["content"] for r in hits["results"])
+    assert "alpha.md" in hits["results"][0]["uri"]
+    assert resps[6]["error"]["code"] == -32602
+    assert resps[7]["error"]["code"] == -32601
