@@ -202,3 +202,195 @@ def highlight_query(text: str, query: str, case_sensitive: bool = False) -> str:
 
 def remove_highlights(text: str) -> str:
     return re.sub(r"\*\*(.*?)\*\*", r"\1", text)
+
+
+# ------------------------------------------------------------- snippet strategies
+#
+# Reference retriever/search/snippet_strategies.py:11-239 (Strategy ABC with
+# fixed_length / sentence_boundary / paragraph_boundary) +
+# japanese_snippet_processor.py:7-139 boundary rules +
+# snippet_processor.py:109-165 match finding.  Conformance pinned against the
+# importlib-loaded reference classes in tests/test_textproc.py.
+
+from dataclasses import dataclass
+
+
+@dataclass
+class SnippetMatch:
+    """snippet_types.SnippetMatch — (start, end, text, score)."""
+
+    start: int
+    end: int
+    text: str
+    score: float = 0.0
+
+
+_JP_SENTENCE_ENDINGS = re.compile(r"[。！？]")
+_PARAGRAPH_BREAKS = re.compile(r"\n\s*\n")
+_JP_ANY = re.compile(r"[぀-ゟ゠-ヿ一-龯]")
+_EN_SENTENCE_END = re.compile(r"[.!?]\s+")
+
+
+def find_query_matches(content: str, query: str) -> List[SnippetMatch]:
+    """snippet_processor.py:109-165: exact-phrase occurrences score 1.0,
+    word-boundary single-word occurrences score 0.5 (words < 2 chars
+    skipped)."""
+    matches: List[SnippetMatch] = []
+    if not content or not query:
+        return matches
+    content_lower = content.lower()
+    query_lower = query.lower()
+    start = 0
+    while True:
+        pos = content_lower.find(query_lower, start)
+        if pos == -1:
+            break
+        matches.append(SnippetMatch(pos, pos + len(query), content[pos : pos + len(query)], 1.0))
+        start = pos + 1
+    for word in query.split():
+        if len(word) < 2:
+            continue
+        wl = word.lower()
+        start = 0
+        while True:
+            pos = content_lower.find(wl, start)
+            if pos == -1:
+                break
+            if (pos == 0 or not content[pos - 1].isalnum()) and (
+                pos + len(word) >= len(content) or not content[pos + len(word)].isalnum()
+            ):
+                matches.append(
+                    SnippetMatch(pos, pos + len(word), content[pos : pos + len(word)], 0.5)
+                )
+            start = pos + 1
+    return matches
+
+
+def is_japanese_text(text: str) -> bool:
+    """japanese_snippet_processor.py:54-68."""
+    return bool(text) and bool(_JP_ANY.search(text))
+
+
+def adjust_to_jp_sentence_boundaries(text: str) -> str:
+    """japanese_snippet_processor.py:92-114: cut at the LAST 。！？."""
+    ends = [m.end() for m in _JP_SENTENCE_ENDINGS.finditer(text)]
+    return text[: ends[-1]].strip() if ends else text
+
+
+def adjust_to_jp_paragraph_boundaries(text: str) -> str:
+    """japanese_snippet_processor.py:116-139: cut at the LAST blank line,
+    else fall back to sentence boundaries."""
+    starts = [m.start() for m in _PARAGRAPH_BREAKS.finditer(text)]
+    if starts:
+        return text[: starts[-1]].strip()
+    return adjust_to_jp_sentence_boundaries(text)
+
+
+def _avoid_word_breaks(text: str) -> str:
+    """snippet_strategies.py:156-181."""
+    if not text:
+        return text
+    if text[-1].isalnum():
+        for i in range(len(text) - 1, -1, -1):
+            if not text[i].isalnum():
+                return text[: i + 1].strip()
+        for i in range(len(text)):
+            if not text[i].isalnum():
+                return text[:i].strip()
+    return text.strip()
+
+
+def _adjust_to_en_sentence_boundaries(text: str) -> str:
+    """snippet_strategies.py:132-154: cut after the last '[.!?]\\s+', else
+    avoid breaking the final word."""
+    ms = list(_EN_SENTENCE_END.finditer(text))
+    if ms:
+        return text[: ms[-1].end()].strip()
+    return _avoid_word_breaks(text)
+
+
+def _adjust_to_en_paragraph_boundaries(text: str) -> str:
+    """snippet_strategies.py:220-239."""
+    ms = list(_PARAGRAPH_BREAKS.finditer(text))
+    if ms:
+        return text[: ms[-1].start()].strip()
+    return _adjust_to_en_sentence_boundaries(text)
+
+
+def snippet_fixed(content: str, matches: List[SnippetMatch], length: int = 300) -> str:
+    """snippet_strategies.py:57-92 FixedLengthStrategy: center the window on
+    the best-scoring match (first on ties, like Python max)."""
+    if not content:
+        return ""
+    if not matches:
+        return content if len(content) <= length else content[:length].strip()
+    best = max(matches, key=lambda m: m.score)
+    center = (best.start + best.end) // 2
+    half = length // 2
+    start = max(0, center - half)
+    end = min(len(content), start + length)
+    if end == len(content):
+        start = max(0, end - length)
+    return content[start:end].strip()
+
+
+def snippet_sentence(
+    content: str,
+    matches: List[SnippetMatch],
+    length: int = 300,
+    prefer_complete_sentences: bool = True,
+    japanese_aware: bool = True,
+) -> str:
+    """snippet_strategies.py:95-130 SentenceBoundaryStrategy: fixed window,
+    then boundary-adjust (JP rules when the snippet contains Japanese),
+    falling back to the fixed window if adjustment drops below 50% of the
+    target length."""
+    if not content:
+        return ""
+    initial = snippet_fixed(content, matches, length)
+    if not prefer_complete_sentences:
+        return initial
+    if japanese_aware and is_japanese_text(initial):
+        adjusted = adjust_to_jp_sentence_boundaries(initial)
+    else:
+        adjusted = _adjust_to_en_sentence_boundaries(initial)
+    if len(adjusted) < length * 0.5:
+        return initial
+    return adjusted
+
+
+def snippet_paragraph(
+    content: str,
+    matches: List[SnippetMatch],
+    length: int = 300,
+    prefer_complete_sentences: bool = True,
+    japanese_aware: bool = True,
+) -> str:
+    """snippet_strategies.py:184-218 ParagraphBoundaryStrategy: sentence
+    snippet, then paragraph-adjust, falling back below 30% of target."""
+    if not content:
+        return ""
+    initial = snippet_sentence(content, matches, length, prefer_complete_sentences, japanese_aware)
+    if japanese_aware and is_japanese_text(initial):
+        adjusted = adjust_to_jp_paragraph_boundaries(initial)
+    else:
+        adjusted = _adjust_to_en_paragraph_boundaries(initial)
+    if len(adjusted) < length * 0.3:
+        return initial
+    return adjusted
+
+
+SNIPPET_STRATEGIES = {
+    "fixed_length": snippet_fixed,
+    "sentence_boundary": snippet_sentence,
+    "paragraph_boundary": snippet_paragraph,
+}
+
+
+def generate_snippet(
+    content: str, query: str, length: int = 300, strategy: str = "sentence_boundary"
+) -> str:
+    """Query → matches → strategy snippet (reference default strategy is
+    sentence_boundary, snippet_types.SnippetConfig)."""
+    matches = find_query_matches(content, query)
+    return SNIPPET_STRATEGIES[strategy](content, matches, length)

@@ -124,8 +124,23 @@ def load_reference_retrieval():
     norm = _load("oboyu.retriever.search.score_normalizer", f"{REF}/retriever/search/score_normalizer.py")
     comb = _load("oboyu.retriever.search.hybrid_search_combiner", f"{REF}/retriever/search/hybrid_search_combiner.py")
     merg = _load("oboyu.retriever.search.result_merger", f"{REF}/retriever/search/result_merger.py")
+    # snippet strategy stack (relative imports resolve through sys.modules)
+    stypes = _load("oboyu.retriever.search.snippet_types", f"{REF}/retriever/search/snippet_types.py")
+    jproc = _load(
+        "oboyu.retriever.search.japanese_snippet_processor",
+        f"{REF}/retriever/search/japanese_snippet_processor.py",
+    )
+    ctx = _load("oboyu.retriever.search.context_provider", f"{REF}/retriever/search/context_provider.py")
+    strat = _load("oboyu.retriever.search.snippet_strategies", f"{REF}/retriever/search/snippet_strategies.py")
 
     ns = types.SimpleNamespace()
+    ns.SnippetConfig = stypes.SnippetConfig
+    ns.SnippetMatch = stypes.SnippetMatch
+    ns.JapaneseSnippetProcessor = jproc.JapaneseSnippetProcessor
+    ns.ContextProvider = ctx.ContextProvider
+    ns.FixedLengthStrategy = strat.FixedLengthStrategy
+    ns.SentenceBoundaryStrategy = strat.SentenceBoundaryStrategy
+    ns.ParagraphBoundaryStrategy = strat.ParagraphBoundaryStrategy
     ns.DocumentChunker = chunker.DocumentChunker
     ns.SnippetExtractor = snip.SnippetExtractor
     ns.TextHighlighter = hl.TextHighlighter

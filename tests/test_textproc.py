@@ -198,3 +198,49 @@ def test_rerank_stable_order_on_ties():
     out = rerank("same", cand, top_k=3)
     # equal scores keep the original (retrieval) order — reference stable sort
     assert out["doc_id"].tolist() == [9, 3, 5]
+
+
+def test_snippet_strategies_match_reference(ref):
+    """fixed/sentence/paragraph strategies + match finding conformance vs
+    the importlib-loaded reference snippet_strategies.py stack."""
+    from oboyu_ray.functions import textproc
+
+    jp = ref.JapaneseSnippetProcessor()
+    cp = ref.ContextProvider()
+    strategies = {
+        "fixed_length": (ref.FixedLengthStrategy(cp, jp), textproc.snippet_fixed),
+        "sentence_boundary": (ref.SentenceBoundaryStrategy(cp, jp), textproc.snippet_sentence),
+        "paragraph_boundary": (ref.ParagraphBoundaryStrategy(cp, jp), textproc.snippet_paragraph),
+    }
+    texts = [
+        "",
+        "short text only.",
+        ("The quick brown fox jumps over the lazy dog. " * 12)
+        + "\n\nSecond paragraph talks about indexing engines. " * 6,
+        "これは最初の文です。検索エンジンの話をします！二番目の段落へ続く？\n\n"
+        + "新しい段落です。日本語の文章区切りを確認します。" * 8,
+        "no sentence enders here just a very long runon " * 20,
+        "Mixed 日本語 and English sentences. 検索します。\n\nAnother paragraph entirely. " * 5,
+    ]
+    queries = ["quick fox", "検索", "paragraph", "indexing engines", "zz", ""]
+    for text in texts:
+        for query in queries:
+            ref_matches = [
+                ref.SnippetMatch(m.start, m.end, m.text, m.score)
+                for m in textproc.find_query_matches(text, query)
+            ]
+            for length in (60, 150, 300):
+                cfg = ref.SnippetConfig(length=length)
+                for name, (ref_strat, ours) in strategies.items():
+                    want = ref_strat.process(text, ref_matches, cfg)
+                    got = ours(text, textproc.find_query_matches(text, query), length)
+                    assert got == want, (name, length, query, text[:40])
+
+
+def test_generate_snippet_dispatch():
+    from oboyu_ray.functions.textproc import generate_snippet
+
+    text = "First sentence here. Second sentence with target word. Third one."
+    s = generate_snippet(text, "target", length=40)
+    assert "target" in s
+    assert generate_snippet("", "x") == ""
