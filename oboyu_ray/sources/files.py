@@ -37,7 +37,47 @@ try:  # availability gate, same pattern as the reference's optional deps
 except ImportError:
     HAS_FRONTMATTER = False
 
+try:  # PDF extraction gate — reference optimized_pdf_processor.py:18-24
+    import pymupdf  # type: ignore
+    import pymupdf4llm  # type: ignore
+
+    HAS_PDF = True
+except ImportError:
+    pymupdf = None
+    pymupdf4llm = None
+    HAS_PDF = False
+
 _FM_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n?", re.DOTALL)
+
+
+def extract_pdf(path: str) -> str:
+    """PDF → markdown text via pymupdf4llm (reference
+    optimized_pdf_processor.py:164-243).  Availability-gated exactly like
+    the reference: a clear ImportError with install guidance when the libs
+    are absent (true in this container); .pdf files are only DISCOVERED
+    when the gate is open, so the default pipeline never hits this."""
+    if not HAS_PDF:
+        raise ImportError(
+            "PDF processing requires pymupdf4llm; install with "
+            "pip install 'pymupdf4llm>=0.0.25'"
+        )
+    doc = pymupdf.open(path)
+    try:
+        return pymupdf4llm.to_markdown(doc)
+    finally:
+        doc.close()
+
+
+def generate_title(path: str, content: str, meta: Dict[str, str]) -> str:
+    """Reference crawler.py:251-275: front-matter title → first content line
+    (< 100 chars, no '.') → filename stem."""
+    if meta.get("title"):
+        return str(meta["title"])
+    if content and content.strip():
+        first_line = content.strip().splitlines()[0].strip()
+        if len(first_line) < 100 and "." not in first_line:
+            return first_line
+    return os.path.splitext(os.path.basename(path))[0]
 
 
 def discover_files(
@@ -47,8 +87,9 @@ def discover_files(
     max_depth: int = MAX_DEPTH,
     max_file_size: int = MAX_FILE_SIZE,
 ) -> List[str]:
-    """Recursive discovery with glob filters; deterministic sorted output."""
-    include = include_patterns or ["*.txt", "*.md"]
+    """Recursive discovery with glob filters; deterministic sorted output.
+    ``*.pdf`` joins the default include set only when the PDF gate is open."""
+    include = include_patterns or (["*.txt", "*.md"] + (["*.pdf"] if HAS_PDF else []))
     exclude = exclude_patterns or []
     root = os.path.abspath(root)
     out: List[str] = []
@@ -120,11 +161,14 @@ def read_documents(
         for row in batch.to_pylist():
             cols: Dict[str, List] = {"path": [], "title": [], "uri": [], "text": []}
             for path in row["files"]:
-                with open(path, "rb") as f:
-                    raw = f.read()
-                body, meta = parse_front_matter(decode_bytes(raw))
+                if path.lower().endswith(".pdf"):
+                    body, meta = extract_pdf(path), {}
+                else:
+                    with open(path, "rb") as f:
+                        raw = f.read()
+                    body, meta = parse_front_matter(decode_bytes(raw))
                 cols["path"].append(path)
-                cols["title"].append(meta.get("title", ""))
+                cols["title"].append(generate_title(path, body, meta))
                 cols["uri"].append(meta.get("uri", ""))
                 cols["text"].append(body)
             yield pa.table(

@@ -547,3 +547,25 @@ def test_mcp_stdio_transport(tmp_path):
     assert "alpha.md" in hits["results"][0]["uri"]
     assert resps[6]["error"]["code"] == -32602
     assert resps[7]["error"]["code"] == -32601
+
+
+def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
+    """M12: front-matter title -> first-line (<100 chars, no '.') -> stem
+    (reference crawler.py:251-275); S2 PDF path availability-gated."""
+    from oboyu_ray.sources.files import HAS_PDF, extract_pdf, generate_title, read_documents
+
+    assert generate_title("/x/doc.md", "body", {"title": "Meta Title"}) == "Meta Title"
+    assert generate_title("/x/doc.md", "A Fine Heading\nrest of body", {}) == "A Fine Heading"
+    # first line with a '.' or too long -> stem
+    assert generate_title("/x/notes.txt", "see file.py for details\nmore", {}) == "notes"
+    assert generate_title("/x/notes.txt", "x" * 120 + "\nrest", {}) == "notes"
+    assert generate_title("/x/empty.txt", "   ", {}) == "empty"
+
+    # read_documents applies the fallback chain
+    (tmp_path / "heading.txt").write_text("The Heading Line\nbody follows here")
+    df = read_documents([str(tmp_path / "heading.txt")]).to_pandas()
+    assert df["title"].iloc[0] == "The Heading Line"
+
+    if not HAS_PDF:  # true in this container
+        with pytest.raises(ImportError, match="pymupdf4llm"):
+            extract_pdf("/nonexistent.pdf")
