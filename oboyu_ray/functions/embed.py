@@ -67,6 +67,89 @@ class FakeEmbedder:
         )
 
 
+class EmbeddingCache:
+    """sha256-keyed per-text .npy cache — reference embedding.py:20-88
+    semantics (key = sha256(f"{model_name}:{text}"), one .npy per entry).
+
+    Ray-friendly: the cache is plain files on a shared path, so every actor
+    in the pool reads/writes it independently with no coordination (atomic
+    rename on write; a lost race just writes the same bytes twice)."""
+
+    def __init__(self, cache_dir: str) -> None:
+        import os
+
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _path(self, text: str, model_name: str) -> str:
+        import os
+
+        key = hashlib.sha256(f"{model_name}:{text}".encode()).hexdigest()
+        return os.path.join(self.cache_dir, f"{key}.npy")
+
+    def get(self, text: str, model_name: str):
+        import os
+
+        p = self._path(text, model_name)
+        if os.path.exists(p):
+            try:
+                return np.load(p).astype(np.float32)
+            except Exception:
+                os.unlink(p)  # corrupted entry — drop like the reference
+        return None
+
+    def set(self, text: str, model_name: str, embedding: np.ndarray) -> None:
+        import os
+
+        p = self._path(text, model_name)
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:  # np.save(path) would append '.npy'
+            np.save(f, embedding)
+        os.replace(tmp, p)
+
+
+class CachedEmbedder(FakeEmbedder):
+    """FakeEmbedder + the reference's embedding cache (T3): per-actor cache
+    handle in __init__, per-text get/encode/set in __call__.  The real-model
+    variant swaps ``_encode_one`` for the model call — the cache flow is the
+    part the reference implements and the part tested here."""
+
+    def __init__(
+        self,
+        cache_dir: str,
+        dim: int = DEFAULT_EMBED_DIM,
+        prefix: str = EMBED_PREFIX,
+        model_name: str = "fake-feature-hash",
+    ) -> None:
+        super().__init__(dim=dim, prefix=prefix)
+        self.cache = EmbeddingCache(cache_dir)
+        self.model_name = model_name
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        vecs: List[np.ndarray] = []
+        for t in texts:
+            cached = self.cache.get(t or "", self.model_name)
+            if cached is not None:
+                self.hits += 1
+                vecs.append(cached.astype(np.float64))
+                continue
+            self.misses += 1
+            v = self._encode_one(t)
+            self.cache.set(t or "", self.model_name, v.astype(np.float32))
+            vecs.append(v)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
 class RealEmbedderStub:
     """Seam for a real SentenceTransformer/ONNX model (absent here)."""
 
@@ -85,12 +168,18 @@ def embed_documents(
     dim: int = DEFAULT_EMBED_DIM,
     concurrency=(1, 4),
     batch_size: int = DEFAULT_EMBED_BATCH,
+    cache_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, text) → (doc_id, embedding: list<float32>[dim]) via the
-    actor-pool embed stage."""
+    actor-pool embed stage; pass ``cache_dir`` to enable the reference's
+    sha256-keyed embedding cache (T3)."""
+    cls = CachedEmbedder if cache_dir else FakeEmbedder
+    kwargs = {"dim": dim}
+    if cache_dir:
+        kwargs["cache_dir"] = cache_dir
     return docs.map_batches(
-        FakeEmbedder,
-        fn_constructor_kwargs={"dim": dim},
+        cls,
+        fn_constructor_kwargs=kwargs,
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

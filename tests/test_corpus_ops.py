@@ -569,3 +569,50 @@ def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
     if not HAS_PDF:  # true in this container
         with pytest.raises(ImportError, match="pymupdf4llm"):
             extract_pdf("/nonexistent.pdf")
+
+
+def test_embedding_cache(tmp_path):
+    """T3: sha256-keyed .npy embedding cache — identical vectors with and
+    without cache, cache hits on re-run, corrupted entries recovered."""
+    import ray
+
+    from oboyu_ray.functions.embed import CachedEmbedder, EmbeddingCache, embed_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": pa.array([f"document number {i} with words" for i in range(20)]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cache_dir = str(tmp_path / "embcache")
+    plain = embed_documents(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    cached1 = embed_documents(ds, cache_dir=cache_dir).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    cached2 = embed_documents(ds, cache_dir=cache_dir).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    for a, b in ((plain, cached1), (cached1, cached2)):
+        for va, vb in zip(a["embedding"], b["embedding"]):
+            assert (np.asarray(va) == np.asarray(vb)).all()
+
+    # cache populated, and the actor counts hits on a warm pass
+    import os
+
+    assert len(os.listdir(cache_dir)) == 20
+    emb = CachedEmbedder(cache_dir=cache_dir)
+    emb(t)
+    assert emb.hits == 20 and emb.misses == 0
+
+    # corrupted entry → dropped and regenerated (reference behavior)
+    c = EmbeddingCache(cache_dir)
+    p = c._path("document number 3 with words", "fake-feature-hash")
+    with open(p, "wb") as f:
+        f.write(b"garbage")
+    emb2 = CachedEmbedder(cache_dir=cache_dir)
+    out = emb2(t).to_pandas()
+    assert emb2.misses == 1
+    assert (
+        np.asarray(out["embedding"][3]) == np.asarray(plain["embedding"][3])
+    ).all()
