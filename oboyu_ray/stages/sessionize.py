@@ -23,17 +23,33 @@ import pyarrow as pa
 import ray.data
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
-SESSION_BUCKETS = 32
+SESSION_BUCKETS_MIN = 32
+SESSION_BUCKETS_MAX = 65_536
+SESSION_ROWS_PER_BUCKET = 2_000_000  # one bucket group ≈ a worker-heap-sized frame
 
 
 def sessionize(
     events: "ray.data.Dataset",
     gap_us: int = SESSION_GAP_US,
-    n_buckets: int = SESSION_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """(ts, user_id, event_id) → per-session summaries
     (user_id, session_idx, n_events, start_ts, end_ts); session_idx is
-    1-based per user in time order (ties by event_id)."""
+    1-based per user in time order (ties by event_id).
+
+    Bucket count scales with input size when not given (rows /
+    SESSION_ROWS_PER_BUCKET, clamped) so a bucket's map_groups frame stays
+    worker-heap-sized at any corpus scale instead of 1/32 of the table —
+    ``events.count()`` on a fresh parquet read is metadata-only."""
+    if n_buckets is None:
+        n_rows = events.count()
+        n_buckets = int(
+            np.clip(
+                n_rows // SESSION_ROWS_PER_BUCKET + 1,
+                SESSION_BUCKETS_MIN,
+                SESSION_BUCKETS_MAX,
+            )
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy().astype(np.int64)
