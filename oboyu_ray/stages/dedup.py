@@ -636,7 +636,7 @@ def embedding_cosine_pairs(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
 ) -> pd.DataFrame:
     """EXACT cosine near-dup pairs (cos >= tau), routed through IVF cells —
     no full-matrix broadcast, no driver-side embedding materialization.
@@ -656,7 +656,10 @@ def embedding_cosine_pairs(
     bottleneck.  Returns (vec_a, vec_b, cos_micros) sorted.
     """
     from oboyu_ray.stages.simsearch import _normalize_rows, ivf_train
+    from oboyu_ray.state.vector_index import auto_n_cells
 
+    if n_cells is None:
+        n_cells = auto_n_cells(ds.count())
     C = ivf_train(ds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cref = ray.put(C)
 

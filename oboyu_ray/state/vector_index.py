@@ -51,22 +51,31 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def auto_n_cells(n_vectors: int) -> int:
+    """IVF sizing rule: ~sqrt(N) cells (the standard IVF heuristic — cell
+    size and cell count grow together), clamped to [16, 65536]."""
+    return int(np.clip(int(np.sqrt(max(n_vectors, 1))), 16, 65_536))
+
+
 def build_vector_index(
     ds: "ray.data.Dataset",
     index_dir: str,
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Train the coarse quantizer, assign + measure radii, write the
-    cell-partitioned layout.  Idempotent: a complete manifest short-circuits
-    the build (remove the directory to force)."""
+    cell-partitioned layout.  ``n_cells=None`` → sqrt(N) sizing (count on a
+    fresh parquet read is metadata-only).  Idempotent: a complete manifest
+    short-circuits the build (remove the directory to force)."""
     from oboyu_ray.stages.simsearch import ivf_train
 
     manifest_path = os.path.join(index_dir, "manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
+    if n_cells is None:
+        n_cells = auto_n_cells(ds.count())
 
     tmp = index_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -225,7 +234,7 @@ def ivf_persisted_topk(
     index_dir: str,
     k: int = 10,
     query_ids: Sequence[int] = (0, 1, 2, 3, 4),
-    n_cells: int = 16,
+    n_cells: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
