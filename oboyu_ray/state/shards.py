@@ -14,10 +14,12 @@ Pruning (safe, exact — results equal brute force by construction):
    ``idf·max_tfnorm`` when idf > 0 and **0** when idf ≤ 0: any window can
    contain docs that lack the term (whose contribution is 0), so 0 is the
    only sound per-window bound for a negative-IDF term (df > N/2,
-   reference-legal).  Windows a term is absent from likewise contribute 0.
-   Per-block min_tfnorm stays in the artifact for a future refinement
-   (windows provably saturated by a term could use idf·min_tfnorm), unused
-   by this query path.
+   reference-legal) — EXCEPT when the block is saturated (its posting
+   count equals the docs present in the window): then every doc pays the
+   term and ``idf·min_tfnorm`` (< 0) is a sound, tighter bound.  Hot
+   particle terms saturate many windows, so this refinement prunes the
+   query shapes that hurt most.  Windows a term is absent from
+   contribute 0.
 2. Windows are processed in DESCENDING upper-bound order (MaxScore-style
    ordering on top of block-max WAND); once the bound of the next window is
    strictly below the current k-th best score θ, every remaining window is
@@ -55,10 +57,11 @@ class _PartIndex:
     term's blocks can be decoded in ONE vectorized pass — no per-row
     ``as_py()`` byte copies on the query path."""
 
-    __slots__ = ("win", "n", "max_tfnorm",
+    __slots__ = ("win", "n", "max_tfnorm", "min_tfnorm",
                  "term_slices", "n_windows", "win_base",
                  "docs_off", "docs_buf", "tfs_off", "tfs_buf",
-                 "row_starts", "window_docs", "dl_arr", "dl_base")
+                 "row_starts", "window_docs", "dl_arr", "dl_base",
+                 "wdc_base", "window_doc_counts")
 
     @staticmethod
     def _binary_views(col):
@@ -86,7 +89,8 @@ class _PartIndex:
     def __init__(self, index_dir: str, part_id: int, window_docs: int) -> None:
         blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
         t = pq.read_table(
-            blocks_path, columns=["term", "win", "n", "docs", "tfs", "max_tfnorm"]
+            blocks_path,
+            columns=["term", "win", "n", "docs", "tfs", "max_tfnorm", "min_tfnorm"],
         )
         self.win = t.column("win").to_numpy().astype(np.int64)
         self.n = t.column("n").to_numpy().astype(np.int64)
@@ -96,8 +100,11 @@ class _PartIndex:
         self.row_starts = np.zeros(len(self.n) + 1, dtype=np.int64)
         np.cumsum(self.n, out=self.row_starts[1:])
         self.max_tfnorm = t.column("max_tfnorm").to_numpy()
-        # min_tfnorm stays in the artifact but is not loaded: unused by the
-        # sound bound rule (negative-idf terms contribute 0 to window bounds)
+        # min_tfnorm feeds the saturated-window refinement: when a block's
+        # posting count equals the number of docs PRESENT in its window,
+        # every doc pays the term, and a negative-idf term's largest possible
+        # per-doc contribution is w·min_tfnorm (< 0) instead of 0
+        self.min_tfnorm = t.column("min_tfnorm").to_numpy()
         # dense per-part document lengths (blocks v2 stores no dl varints:
         # one 8-byte int per doc here replaces a varint per POSTING there)
         dls_path = os.path.join(index_dir, "dls", f"dls-{part_id:05d}.parquet")
@@ -108,9 +115,19 @@ class _PartIndex:
             self.dl_base = int(doc_nums.min())
             self.dl_arr = np.zeros(int(doc_nums.max()) - self.dl_base + 1, dtype=np.float64)
             self.dl_arr[doc_nums - self.dl_base] = dls
+            # docs present per window of THIS part (empty docs included — an
+            # empty doc cannot contain a term, so its presence simply keeps
+            # a window from ever counting as saturated: conservative)
+            self.wdc_base = int(doc_nums.min()) // window_docs
+            self.window_doc_counts = np.bincount(
+                doc_nums // window_docs - self.wdc_base,
+                minlength=int(doc_nums.max()) // window_docs - self.wdc_base + 1,
+            ).astype(np.int64)
         else:
             self.dl_base = 0
             self.dl_arr = np.zeros(0, dtype=np.float64)
+            self.wdc_base = 0
+            self.window_doc_counts = np.zeros(0, dtype=np.int64)
         self.window_docs = window_docs
         # term → contiguous block-row slice (blocks sorted by term, win).
         # Vectorized run detection over dictionary codes: only UNIQUE terms
@@ -251,13 +268,16 @@ class IndexShard:
                 continue
             # sparse per-window upper bound (block-max), only over windows
             # where at least one query term has a block.  SOUNDNESS under
-            # negative IDF: a window may always contain docs that LACK a
-            # term (contribution 0), so a negative-weight term's largest
-            # possible per-doc contribution in any window is 0 — it adds
-            # nothing to the bound.  (Using w·min_tfnorm here would
-            # under-state the bound and prune true top-k docs that lack the
-            # hot term — regression-tested in
-            # test_negative_idf_pruning_soundness.)
+            # negative IDF: a window may contain docs that LACK a term
+            # (contribution 0), so a negative-weight term's largest possible
+            # per-doc contribution is 0 — UNLESS the block is SATURATED
+            # (posting count == docs present in the window): then every doc
+            # pays the term and the largest contribution is w·min_tfnorm
+            # (w<0, tfnorm ≥ min_tfnorm ⇒ w·tfnorm ≤ w·min_tfnorm < 0),
+            # tightening the bound for hot-particle terms.  Unconditional
+            # w·min_tfnorm would under-state the bound and prune true top-k
+            # docs that lack the hot term — regression-tested in
+            # test_negative_idf_pruning_soundness.
             all_wins = np.concatenate([part.win[s:e] for _, s, e in hits])
             uniq_wins, inv = np.unique(all_wins, return_inverse=True)
             ub = np.zeros(len(uniq_wins), dtype=np.float64)
@@ -266,6 +286,20 @@ class IndexShard:
                 m = e - s
                 if w > 0:
                     np.add.at(ub, inv[pos : pos + m], w * part.max_tfnorm[s:e])
+                elif w < 0 and len(part.window_doc_counts):
+                    widx = part.win[s:e] - part.wdc_base
+                    clipped = np.clip(widx, 0, len(part.window_doc_counts) - 1)
+                    counts = np.where(
+                        (widx >= 0) & (widx < len(part.window_doc_counts)),
+                        part.window_doc_counts[clipped],
+                        -1,
+                    )
+                    sat = part.n[s:e] == counts
+                    if sat.any():
+                        np.add.at(
+                            ub, inv[pos : pos + m],
+                            np.where(sat, w * part.min_tfnorm[s:e], 0.0),
+                        )
                 pos += m
             # adaptive execution: when pruning cannot drop most windows
             # (common terms / unfilled heap), decode each term's whole block

@@ -731,3 +731,73 @@ def test_content_hash_change_detection(tmp_path):
     after_edit = {f: os.stat(os.path.join(docs_dir, f)).st_mtime_ns for f in os.listdir(docs_dir)}
     changed = [f for f in after_edit if after_edit[f] != after[f]]
     assert changed  # the edited partition rebuilt
+
+
+def test_saturated_window_min_tfnorm_bounds_exact(tmp_path):
+    """Saturated-window refinement: when EVERY doc in a window contains the
+    hot negative-idf term, its bound tightens to w*min_tfnorm — results
+    must stay exactly rank-identical to brute force (windows where any doc
+    lacks the term keep the 0 bound; test_negative_idf_pruning_soundness
+    covers that side)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.pipelines.bm25_batch import brute_force_scores
+
+    def write(rows, path):
+        pq.write_table(pa.table({
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array([datetime.datetime(2025, 1, 1)] * len(rows), type=pa.timestamp("us")),
+        }), path)
+
+    # part a: heap filler with rare + hot mixes.  part b: ALL docs carry the
+    # hot term (every 64-doc window saturated), with varying tf/dl so
+    # min_tfnorm is nontrivial; a few also carry the rare term.
+    rows_a = [("a0", t, "ホット rare2 filler" if t % 3 else "ホット rare2") for t in range(64)]
+    rows_b = []
+    for t in range(128):
+        if t % 17 == 0:
+            rows_b.append(("b0", t, "rare2 " + "ホット " * (1 + t % 4)))
+        else:
+            rows_b.append(("b0", t, "ホット " * (1 + t % 7)))
+    fa, fb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write(rows_a, fa)
+    write(rows_b, fb)
+    index_dir = str(tmp_path / "idx")
+    build_index([fa, fb], index_dir, BuildConfig(window_docs=64), files_per_part=1)
+
+    eng = QueryEngine(index_dir, num_shards=1)
+    try:
+        # saturation actually present: every window of part b is fully
+        # covered by the hot term
+        part = eng and True
+        from oboyu_ray.state.shards import _PartIndex
+
+        p = _PartIndex(index_dir, 1, 64)
+        s, e = p.term_slices["ホット"]
+        widx = p.win[s:e] - p.wdc_base
+        assert (p.n[s:e] == p.window_doc_counts[widx]).all()
+
+        stats = json.load(open(os.path.join(index_dir, "stats.json")))
+        docs_ds = ray.data.read_parquet(os.path.join(index_dir, "docs"))
+        for q in ("rare2 ホット", "ホット", "rare2"):
+            terms = eng.tokenizer.tokenize(q)
+            brute = brute_force_scores(
+                docs_ds, {q: terms}, CFG, id_col="doc_num", text_col="text",
+                stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+            ).sort_values(["score", "doc_num"], ascending=[False, True], kind="mergesort")
+            for k in (1, 5, 20):
+                got = eng.search_terms(terms, k=k)
+                expect = brute.head(k)
+                assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (q, k)
+                np.testing.assert_allclose(
+                    got["score"].to_numpy(), expect["score"].to_numpy(), rtol=1e-9
+                )
+    finally:
+        eng.close()
