@@ -616,3 +616,37 @@ def test_embedding_cache(tmp_path):
     assert (
         np.asarray(out["embedding"][3]) == np.asarray(plain["embedding"][3])
     ).all()
+
+
+def test_langid_reference_semantics():
+    """M1/T5: language detection decision order with the fasttext model
+    gated out (fallbacks) and with an injected fake model (confidence /
+    allowlist / __label__ handling) — reference language_detector.py."""
+    from oboyu_ray.functions.langid import HAS_FASTTEXT, detect_language, detect_language_batch
+
+    assert not HAS_FASTTEXT  # container reality the gate encodes
+    assert detect_language("short") == "en"  # <10 chars
+    assert detect_language("これは日本語のテキストです、長めに書きます") == "ja"  # ratio pre-check
+    assert detect_language("mostly english text here okay") == "en"  # no model -> fallback
+    assert detect_language("english text with 日 single char padding") == "ja"  # jp>0 fallback
+
+    class Fake:
+        def __init__(self, label, conf):
+            self.label, self.conf = label, conf
+
+        def predict(self, sample, k=1):
+            return ([self.label], [self.conf])
+
+    t = "the quick brown fox jumps over the lazy dog"
+    assert detect_language(t, model=Fake("__label__fr", 0.9)) == "fr"
+    assert detect_language(t, model=Fake("__label__ja", 0.9)) == "ja"
+    assert detect_language(t, model=Fake("__label__fr", 0.3)) == "fr"  # low-conf known
+    assert detect_language(t, model=Fake("__label__xx", 0.3)) == "xx"  # low-conf other
+    assert detect_language(t, model=Fake("de", 0.8)) == "de"  # no __label__ prefix
+
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "text": pa.array(["これは日本語のテキストです、長めに書きます", "plain english body text"])}
+    )
+    out = detect_language_batch(batch)
+    assert out.column("lang").to_pylist() == ["ja", "en"]
