@@ -112,6 +112,46 @@ class ConvResolver:
         return self._handle.resolve(np.asarray(doc_nums, dtype=np.int64))
 
 
+# shard fan-out width above which the driver stops merging every shard's
+# top-k itself and interposes aggregator actors (two-level merge, DESIGN §5:
+# per-node aggregator over its shards, driver over aggregators)
+MERGE_FANOUT = 64
+
+
+class MergeAggregator:
+    """Intermediate merge tier: owns a group of shard actors, fans a query
+    to them, merges their exact top-ks, returns one top-k — same query /
+    query_many interface as IndexShard, so the driver code is agnostic.
+    At 256 nodes one aggregator runs per node over its local shards and the
+    driver merges #nodes results instead of #shards."""
+
+    def __init__(self, shard_actors: List) -> None:
+        self.shards = shard_actors
+
+    def query(self, term_weights: Dict[str, float], k: int):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get([s.query.remote(term_weights, k) for s in self.shards]):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
+    def query_many(self, weight_dicts, k: int):
+        import ray as _ray
+
+        per_shard = _ray.get([s.query_many.remote(weight_dicts, k) for s in self.shards])
+        out = []
+        for j in range(len(weight_dicts)):
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            for shard_results in per_shard:
+                docs, scores = shard_results[j]
+                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+            out.append((top_docs, top_scores))
+        return out
+
+
 class QueryEngine:
     """Facade over the shard actor pool.  Create once, query many times."""
 
@@ -121,9 +161,11 @@ class QueryEngine:
         num_shards: Optional[int] = None,
         cfg: Optional[BM25Config] = None,
         conv_inmem_limit: Optional[int] = None,
+        merge_fanout: int = MERGE_FANOUT,
     ) -> None:
         self.index_dir = index_dir
         self._conv_inmem_limit = conv_inmem_limit
+        self._merge_fanout = max(1, merge_fanout)
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         with open(os.path.join(index_dir, "build_report.json")) as f:
@@ -176,6 +218,21 @@ class QueryEngine:
         avgdl = float(self.stats["avgdl"]) or 1.0
         ray.get([a.configure.remote(self.k1, self.b, avgdl) for a in self.actors])
 
+        # two-level merge beyond the fan-out width: ~sqrt-sized groups of
+        # shards behind aggregator actors (num_cpus=0 — they only wait+merge)
+        self.aggregators: List = []
+        if len(self.actors) > self._merge_fanout:
+            import math
+
+            n_groups = math.ceil(math.sqrt(len(self.actors)))
+            Agg = ray.remote(MergeAggregator)
+            self.aggregators = [
+                Agg.options(num_cpus=0).remote(self.actors[g::n_groups])
+                for g in range(n_groups)
+                if self.actors[g::n_groups]
+            ]
+        self._targets = self.aggregators or self.actors
+
     # ------------------------------------------------------------ querying
 
     def term_weights(self, terms: List[str]) -> Dict[str, float]:
@@ -195,7 +252,7 @@ class QueryEngine:
             return pd.DataFrame(
                 {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
             )
-        refs = [a.query.remote(weights, k) for a in self.actors]
+        refs = [a.query.remote(weights, k) for a in self._targets]
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in ray.get(refs):
@@ -215,7 +272,7 @@ class QueryEngine:
         ]
         if not live:
             return out
-        refs = [a.query_many.remote([w for _, w in live], k) for a in self.actors]
+        refs = [a.query_many.remote([w for _, w in live], k) for a in self._targets]
         per_shard = ray.get(refs)
         for j, (i, _) in enumerate(live):
             top_docs = np.empty(0, dtype=np.int64)
@@ -261,6 +318,10 @@ class QueryEngine:
         return out
 
     def close(self) -> None:
+        for a in self.aggregators:
+            ray.kill(a)
+        self.aggregators = []
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+        self._targets = []

@@ -801,3 +801,23 @@ def test_saturated_window_min_tfnorm_bounds_exact(tmp_path):
                 )
     finally:
         eng.close()
+
+
+def test_two_level_merge_identical(built, engine):
+    """Forcing merge_fanout=1 interposes aggregator actors (two-level
+    merge); results must be identical to the single-level engine for both
+    search and search_many."""
+    eng2 = QueryEngine(built["index_dir"], num_shards=2, merge_fanout=1)
+    try:
+        assert len(eng2.aggregators) >= 1
+        for q in QUERIES:
+            a = engine.search(q, k=10)
+            b = eng2.search(q, k=10)
+            assert a["doc_num"].tolist() == b["doc_num"].tolist(), q
+            assert (a["score"].to_numpy() == b["score"].to_numpy()).all(), q
+        many_a = engine.search_many(QUERIES, k=7)
+        many_b = eng2.search_many(QUERIES, k=7)
+        for x, y in zip(many_a, many_b):
+            assert x["doc_num"].tolist() == y["doc_num"].tolist()
+    finally:
+        eng2.close()
