@@ -157,6 +157,41 @@ WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= {JACCARD_TAU}
 """
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → transitive dedup clusters via distributed
+    connected components (stages/components.py): (doc_id, component,
+    is_canonical) with component = min doc id of the cluster.  Pairs come
+    from the oracled ngram-Jaccard operator; at corpus scale they stay a
+    Dataset end-to-end (the pandas hop here is the final driver result of
+    the pair query)."""
+    from oboyu_ray.stages.components import dedup_clusters
+
+    pairs_df = dedup.ngram_jaccard_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+    pairs = ray.data.from_pandas(pairs_df[["doc_a", "doc_b"]])
+    return dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = rf"""
+WITH RECURSIVE
+pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT node AS doc_id,
+       min(r)::BIGINT AS component,
+       (CASE WHEN node = min(r) THEN 1 ELSE 0 END)::BIGINT AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     # probabilistic candidate recall -> rows-only driver check; pytest
     # asserts subset-of-exact + high recall vs ngram_jaccard_pairs
@@ -726,6 +761,7 @@ def corpus_queries() -> dict:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -755,6 +791,7 @@ def corpus_oracle_sql() -> dict:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         # exact bounded-probe search over the persisted IVF index returns

@@ -1,0 +1,193 @@
+"""Distributed connected components — near-dup pairs → dedup clusters.
+
+The missing last step of every dedup family: pairwise matches (doc_a,
+doc_b) must become CLUSTERS (transitive closure) before "keep one copy per
+cluster" can run.  A driver-side union-find is the textbook answer and
+exactly the kind of driver-resident state this engine avoids; instead this
+is iterative **min-label propagation** expressed purely as bucketed Ray
+Data reduces:
+
+    labels  : (node, label) — initialized label = node
+    step    : every node sends its current label along its edges; each node
+              takes the min of (own label, incoming labels)
+    stop    : when a round changes no label (each reduce task counts its
+              own changes; a tiny aggregate sums them)
+
+Each round is two bucketed groupbys over (edges + labels) — the same
+B-bucket cogroup shape as dedup verification, so group counts stay bounded
+and hot nodes amortize inside their bucket.  Round count is the cluster
+diameter; near-dup clusters are dense and shallow (diameter ≤ ~3 in
+practice), and ``max_iters`` guards the pathological chain.
+
+Oracled: DuckDB computes the same fixpoint with a recursive CTE
+(reachability closure → min reachable id per node), so `dedup_clusters`
+is a value-checked driver query, not rows-only.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+CC_BUCKETS = 64
+CC_MAX_ITERS = 50
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_buckets: int = CC_BUCKETS,
+    max_iters: int = CC_MAX_ITERS,
+) -> pd.DataFrame:
+    """(doc_a, doc_b) edge Dataset → (doc_id, component) with component =
+    min node id of the connected component.  Nodes are the edge endpoints
+    (singletons are their own trivial component and need no row)."""
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            t.column(a_col).to_numpy().astype(np.int64),
+                            t.column(b_col).to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+                "other": pa.array(
+                    np.concatenate(
+                        [
+                            t.column(b_col).to_numpy().astype(np.int64),
+                            t.column(a_col).to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # labels init: every endpoint labels itself (duplicates collapse in the
+    # first min-reduce)
+    labels = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "label": t.column("node"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def bucket_of(col: np.ndarray) -> np.ndarray:
+        return (col.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+
+    for _ in range(max_iters):
+        # phase 1 (by sender): attach each node's label to its outgoing
+        # edges → messages keyed by the RECEIVER; labels pass through as a
+        # message-to-self so the receiver min includes its own label
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "other": pa.array(
+                        np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                    ),
+                    "label": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges.map_batches(
+            lambda t: t.append_column(
+                "label", pa.array(np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            is_lab = g["other"].to_numpy() < 0
+            lab = dict(
+                zip(
+                    g.loc[is_lab, "node"].to_numpy(dtype=np.int64),
+                    g.loc[is_lab, "label"].to_numpy(dtype=np.int64),
+                )
+            )
+            e = g.loc[~is_lab]
+            senders = e["node"].to_numpy(dtype=np.int64)
+            dests = e["other"].to_numpy(dtype=np.int64)
+            sent = np.fromiter((lab[s] for s in senders), dtype=np.int64, count=len(senders))
+            own_nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+            own_labels = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+            return pd.DataFrame(
+                {
+                    "dest": np.concatenate([dests, own_nodes]),
+                    # own label rides along marked (old) so the receiver can
+                    # count changes
+                    "msg": np.concatenate([sent, own_labels]),
+                    "is_old": np.concatenate(
+                        [np.zeros(len(dests), dtype=np.int64), np.ones(len(lab), dtype=np.int64)]
+                    ),
+                }
+            )
+
+        def add_nbucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "nb", pa.array(bucket_of(t.column("node").to_numpy()), type=pa.int64())
+            )
+
+        def add_dbucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "db", pa.array(bucket_of(t.column("dest").to_numpy()), type=pa.int64())
+            )
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("dest", sort=False)["msg"].min()
+            # every dest has an own-label pass-through row (labels were
+            # initialized from ALL edge endpoints), so old is total
+            old = g[g["is_old"] == 1].groupby("dest", sort=False)["msg"].min()
+            changed = int((new != old.reindex(new.index)).sum())
+            out = new.reset_index().rename(columns={"dest": "node", "msg": "label"})
+            out["changed"] = np.int64(0)
+            if len(out):
+                out.loc[out.index[0], "changed"] = np.int64(changed)
+            return out
+
+        new_labels = (
+            lab_rows.union(edge_rows)
+            .map_batches(add_nbucket, batch_format="pyarrow")
+            .groupby("nb")
+            .map_groups(send, batch_format="pandas")
+            .map_batches(add_dbucket, batch_format="pyarrow")
+            .groupby("db")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
+    out = out.drop_duplicates("doc_id").sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": np.int64, "component": np.int64})
+
+
+def dedup_clusters(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> pd.DataFrame:
+    """Pairs → (doc_id, component, is_canonical): canonical = the min doc_id
+    of each cluster (the keep-one-per-cluster rule of exact_dedup, applied
+    transitively)."""
+    cc = connected_components(pairs, a_col, b_col)
+    cc["is_canonical"] = (cc["doc_id"] == cc["component"]).astype(np.int64)
+    return cc

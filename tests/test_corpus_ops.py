@@ -650,3 +650,37 @@ def test_langid_reference_semantics():
     )
     out = detect_language_batch(batch)
     assert out.column("lang").to_pylist() == ["ja", "en"]
+
+
+def test_connected_components_chain_and_clusters():
+    """Min-label propagation CC: a 5-node chain (worst diameter), a
+    triangle, and an isolated pair — labels converge to the component min
+    regardless of bucketing."""
+    import ray
+
+    from oboyu_ray.stages.components import connected_components, dedup_clusters
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14),  # chain
+             (20, 21), (21, 22), (20, 22),            # triangle
+             (30, 31)]                                # pair
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+    }))
+    cc = connected_components(pairs, n_buckets=4)
+    got = dict(zip(cc["doc_id"], cc["component"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    cl = dedup_clusters(pairs)
+    canon = set(cl[cl["is_canonical"] == 1]["doc_id"])
+    assert canon == {10, 20, 30}
+
+
+def test_dedup_clusters_matches_recursive_oracle(entrymod, duck):
+    df = _as_df(entrymod.queries()["dedup_clusters"](SF))
+    ora = duck.execute(entrymod.oracle_sql()["dedup_clusters"]).fetchdf()
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert a.shape == b.shape and (a.values == b.values).all()
