@@ -48,6 +48,11 @@ def connected_components(
     """(doc_a, doc_b) edge Dataset → (doc_id, component) with component =
     min node id of the connected component.  Nodes are the edge endpoints
     (singletons are their own trivial component and need no row)."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64), "component": pd.Series(dtype=np.int64)}
+    )
+    if pairs.count() == 0:
+        return empty
     edges = pairs.map_batches(
         lambda t: pa.table(
             {
