@@ -492,6 +492,90 @@ def q_snippets(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- knowledge graph
+
+def q_kg_entities(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages import kg
+
+    return kg.kg_entities(_docs(sf_dir))
+
+
+def _kg_lexicon_sql() -> str:
+    from oboyu_ray.stages.kg import DEFAULT_LEXICON
+
+    return ", ".join(f"('{w}', '{t}')" for w, t in sorted(DEFAULT_LEXICON.items()))
+
+
+def _kg_lexicon_words_sql() -> str:
+    from oboyu_ray.stages.kg import DEFAULT_LEXICON
+
+    return ", ".join(f"'{w}'" for w in sorted(DEFAULT_LEXICON))
+
+
+def _sql_kg_entities() -> str:
+    from oboyu_ray.stages.kg import ENTITY_CONFIDENCE, WORD_RE_SQL as KG_WORD_SQL
+    from oboyu_ray.fixedpoint import micros as _micros
+
+    return f"""
+WITH lex(w, etype) AS (VALUES {_kg_lexicon_sql()}),
+tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{KG_WORD_SQL}')) AS w
+    FROM documents
+),
+hits AS (SELECT t.doc_id, t.w, l.etype FROM tok t JOIN lex l ON l.w = t.w),
+perdoc AS (
+    SELECT w AS name, etype AS entity_type, doc_id, count(*)::BIGINT AS mentions
+    FROM hits GROUP BY 1, 2, 3
+)
+SELECT md5(name || ':' || entity_type) AS entity_id,
+       name, entity_type,
+       sum(mentions)::BIGINT AS n_mentions,
+       count(*)::BIGINT AS n_docs,
+       {int(_micros(ENTITY_CONFIDENCE))}::BIGINT AS confidence_micros
+FROM perdoc GROUP BY 1, 2, 3
+"""
+
+
+def q_kg_relations(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages import kg
+
+    return kg.kg_relations(_docs(sf_dir))
+
+
+def _sql_kg_relations() -> str:
+    from oboyu_ray.stages.kg import (
+        RELATION_CONFIDENCE,
+        RELATION_TYPE,
+        WORD_RE_SQL as KG_WORD_SQL,
+    )
+    from oboyu_ray.fixedpoint import micros as _micros
+
+    return f"""
+WITH lex(w, etype) AS (VALUES {_kg_lexicon_sql()}),
+tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{KG_WORD_SQL}') AS ws
+    FROM documents
+),
+f AS (
+    SELECT doc_id, list_filter(ws, w -> w IN ({_kg_lexicon_words_sql()})) AS hs FROM tok
+),
+adj AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               list_transform(range(1, len(hs)), i -> hs[i] || ':' || hs[i + 1]),
+               p -> split_part(p, ':', 1) <> split_part(p, ':', 2)
+           ))) AS pairkey
+    FROM f WHERE len(hs) >= 2
+)
+SELECT split_part(pairkey, ':', 1) AS source_name,
+       split_part(pairkey, ':', 2) AS target_name,
+       '{RELATION_TYPE}' AS relation_type,
+       count(*)::BIGINT AS n_docs,
+       {int(_micros(RELATION_CONFIDENCE))}::BIGINT AS confidence_micros
+FROM adj GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
@@ -767,6 +851,8 @@ def corpus_queries() -> dict:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
+        "kg_entities": q_kg_entities,
+        "kg_relations": q_kg_relations,
         "multimodal_features": q_multimodal_features,
         "hybrid_rrf": q_hybrid_rrf,
         "chunking": q_chunking,
@@ -798,6 +884,8 @@ def corpus_oracle_sql() -> dict:
         # the brute-force answer — same oracle applies
         "simsearch_ivf_persisted": SQL_SIMSEARCH_TOPK,
         "hybrid_rrf": _sql_hybrid_rrf(),
+        "kg_entities": _sql_kg_entities(),
+        "kg_relations": _sql_kg_relations(),
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),

@@ -684,3 +684,72 @@ def test_dedup_clusters_matches_recursive_oracle(entrymod, duck):
     a = df[cols].sort_values(cols).reset_index(drop=True)
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     assert a.shape == b.shape and (a.values == b.values).all()
+
+
+def test_kg_edc_dedup_and_graphrag():
+    """T6/D4: EDC entity dedup (normalize -> candidates -> verify ->
+    connected-component canonicalization) and GraphRAG query expansion."""
+    from oboyu_ray.stages.kg import (
+        RealLLMExtractorStub,
+        RealLLMVerifierStub,
+        edc_dedup_entities,
+        entity_id,
+        expand_query_with_entities,
+        graphrag_search,
+        normalize_entity_name,
+    )
+
+    # normalization mirrors the reference rules
+    assert normalize_entity_name("トヨタ株式会社", "COMPANY") == normalize_entity_name("トヨタ", "COMPANY")
+    assert normalize_entity_name("田中さん", "PERSON") == "田中"
+    assert normalize_entity_name("Ｔｏｙｏｔａ", "COMPANY") == "Toyota"  # NFKC width fold
+    assert normalize_entity_name("Acme  Inc.", "COMPANY") == "Acme"
+
+    names = [
+        ("トヨタ株式会社", "COMPANY"),
+        ("トヨタ", "COMPANY"),
+        ("田中さん", "PERSON"),
+        ("田中", "PERSON"),
+        ("spark", "TECHNOLOGY"),
+    ]
+    ents = pd.DataFrame(
+        {
+            "entity_id": [entity_id(n, t) for n, t in names],
+            "name": [n for n, _ in names],
+            "entity_type": [t for _, t in names],
+        }
+    )
+    out = edc_dedup_entities(ents)
+    by_name = out.set_index("name")
+    assert by_name.loc["トヨタ株式会社", "canonical_id"] == by_name.loc["トヨタ", "canonical_id"]
+    assert by_name.loc["田中さん", "canonical_id"] == by_name.loc["田中", "canonical_id"]
+    assert by_name.loc["spark", "is_canonical"] == 1
+    # exactly one canonical per component
+    assert (out.groupby("canonical_id")["is_canonical"].sum() == 1).all()
+
+    # graphrag expansion: query entity + 1-hop neighbors
+    entities = pd.DataFrame({"name": ["spark", "table", "vector"], "entity_type": ["TECHNOLOGY"] * 3})
+    relations = pd.DataFrame(
+        {"source_name": ["spark", "table"], "target_name": ["table", "vector"],
+         "relation_type": ["CO_OCCURS_WITH"] * 2}
+    )
+    exp = expand_query_with_entities("spark merge", entities, relations, expand_depth=1)
+    assert exp["matched_entities"] == ["spark"]
+    assert "table" in exp["expanded_entities"] and "vector" not in exp["expanded_entities"]
+    exp2 = expand_query_with_entities("spark merge", entities, relations, expand_depth=2)
+    assert "vector" in exp2["expanded_entities"]
+
+    class FakeEngine:
+        def search(self, q, k=10):
+            self.last = q
+            return pd.DataFrame({"doc_id": [], "score": []})
+
+    eng = FakeEngine()
+    _, exp3 = graphrag_search("spark merge", eng, entities, relations, k=5)
+    assert "table" in eng.last and eng.last.startswith("spark merge")
+
+    # model seams raise with guidance
+    with pytest.raises(NotImplementedError):
+        RealLLMExtractorStub()(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(NotImplementedError):
+        RealLLMVerifierStub().verify("a", "b")
