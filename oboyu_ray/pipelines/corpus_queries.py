@@ -576,6 +576,74 @@ FROM adj GROUP BY 1, 2
 """
 
 
+GRAPHRAG_QUERIES = ["spark merge", "customer table scan", "vector window", "zzznohit"]
+
+
+def q_graphrag_expand(sf_dir: str) -> pd.DataFrame:
+    """GraphRAG query expansion over the extracted KG: per fixed query, the
+    matched entities (query tokens that are KG entities) plus 1-hop
+    neighbors over CO_OCCURS_WITH relations.  Output (query_id, entity,
+    is_matched) — SQL-oracled (joins over the same kg tables)."""
+    from oboyu_ray.stages.kg import expand_query_with_entities
+
+    ents = q_kg_entities(sf_dir).to_pandas()
+    rels = q_kg_relations(sf_dir).to_pandas()
+    rows = []
+    for qi, q in enumerate(GRAPHRAG_QUERIES):
+        exp = expand_query_with_entities(q, ents, rels, max_entities=10**6, expand_depth=1)
+        matched = set(exp["matched_entities"])
+        for e in exp["expanded_entities"]:
+            rows.append((qi, e, 1 if e in matched else 0))
+    return pd.DataFrame(
+        {
+            "query_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "entity": pd.array([r[1] for r in rows], dtype=str),
+            "is_matched": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def _sql_graphrag_expand() -> str:
+    from oboyu_ray.stages.kg import WORD_RE_SQL as KG_WORD_SQL
+
+    qvals = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(GRAPHRAG_QUERIES)
+    )
+    kg_rel = _sql_kg_relations()
+    kg_ent = _sql_kg_entities()
+    return f"""
+WITH qs(query_id, q) AS (VALUES {qvals}),
+ents AS ({kg_ent}),
+rels AS ({kg_rel}),
+qtok AS (
+    SELECT query_id, unnest(regexp_extract_all(lower(q), '{KG_WORD_SQL}')) AS w
+    FROM qs
+),
+matched AS (
+    SELECT DISTINCT q.query_id, e.name AS entity
+    FROM qtok q JOIN ents e ON e.name = q.w
+),
+hop AS (
+    SELECT DISTINCT m.query_id, r.target_name AS entity
+    FROM matched m JOIN rels r ON r.source_name = m.entity
+    UNION
+    SELECT DISTINCT m.query_id, r.source_name AS entity
+    FROM matched m JOIN rels r ON r.target_name = m.entity
+),
+allents AS (
+    SELECT query_id, entity, 1 AS is_matched FROM matched
+    UNION ALL
+    SELECT h.query_id, h.entity, 0 AS is_matched
+    FROM hop h
+    WHERE NOT EXISTS (
+        SELECT 1 FROM matched m WHERE m.query_id = h.query_id AND m.entity = h.entity
+    )
+)
+SELECT query_id::BIGINT AS query_id, entity, is_matched::BIGINT AS is_matched
+FROM allents
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_features(sf_dir: str) -> "ray.data.Dataset":
@@ -853,6 +921,7 @@ def corpus_queries() -> dict:
         "simsearch_lsh": q_simsearch_lsh,
         "kg_entities": q_kg_entities,
         "kg_relations": q_kg_relations,
+        "graphrag_expand": q_graphrag_expand,
         "multimodal_features": q_multimodal_features,
         "hybrid_rrf": q_hybrid_rrf,
         "chunking": q_chunking,
@@ -886,6 +955,7 @@ def corpus_oracle_sql() -> dict:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "kg_entities": _sql_kg_entities(),
         "kg_relations": _sql_kg_relations(),
+        "graphrag_expand": _sql_graphrag_expand(),
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
