@@ -32,6 +32,25 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_MEMO: dict = {}
+
+
+def _memo(sf_dir: str, name: str, builder):
+    """Per-(input signature) memo for intermediates shared by several
+    driver queries (ngram pairs feed dedup_ngram_jaccard AND
+    dedup_clusters; the kg tables feed three queries) — one corpus at a
+    time, keyed on the documents file signature."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (name, sf_dir, st.st_size, st.st_mtime_ns)
+    if key not in _MEMO:
+        if any(k[1] != sf_dir for k in _MEMO):
+            _MEMO.clear()
+        _MEMO[key] = builder()
+    return _MEMO[key]
+
+
 def _embs(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -128,7 +147,10 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+    return _memo(
+        sf_dir, "ngram_pairs",
+        lambda: dedup.ngram_jaccard_pairs(_docs(sf_dir), tau=JACCARD_TAU),
+    ).copy()
 
 
 SQL_DEDUP_NGRAM_JACCARD = rf"""
@@ -166,7 +188,7 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     the pair query)."""
     from oboyu_ray.stages.components import dedup_clusters
 
-    pairs_df = dedup.ngram_jaccard_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+    pairs_df = q_dedup_ngram_jaccard(sf_dir)
     pairs = ray.data.from_pandas(pairs_df[["doc_a", "doc_b"]])
     return dedup_clusters(pairs)
 
@@ -494,10 +516,12 @@ def q_snippets(sf_dir: str) -> "ray.data.Dataset":
 
 # ---------------------------------------------------------------- knowledge graph
 
-def q_kg_entities(sf_dir: str) -> "ray.data.Dataset":
+def q_kg_entities(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.stages import kg
 
-    return kg.kg_entities(_docs(sf_dir))
+    return _memo(
+        sf_dir, "kg_entities", lambda: kg.kg_entities(_docs(sf_dir)).to_pandas()
+    ).copy()
 
 
 def _kg_lexicon_sql() -> str:
@@ -536,10 +560,12 @@ FROM perdoc GROUP BY 1, 2, 3
 """
 
 
-def q_kg_relations(sf_dir: str) -> "ray.data.Dataset":
+def q_kg_relations(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.stages import kg
 
-    return kg.kg_relations(_docs(sf_dir))
+    return _memo(
+        sf_dir, "kg_relations", lambda: kg.kg_relations(_docs(sf_dir)).to_pandas()
+    ).copy()
 
 
 def _sql_kg_relations() -> str:
@@ -586,8 +612,8 @@ def q_graphrag_expand(sf_dir: str) -> pd.DataFrame:
     is_matched) — SQL-oracled (joins over the same kg tables)."""
     from oboyu_ray.stages.kg import expand_query_with_entities
 
-    ents = q_kg_entities(sf_dir).to_pandas()
-    rels = q_kg_relations(sf_dir).to_pandas()
+    ents = q_kg_entities(sf_dir)
+    rels = q_kg_relations(sf_dir)
     rows = []
     for qi, q in enumerate(GRAPHRAG_QUERIES):
         exp = expand_query_with_entities(q, ents, rels, max_entities=10**6, expand_depth=1)
