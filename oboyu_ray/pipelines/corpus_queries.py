@@ -824,6 +824,37 @@ GROUP BY 1
 """
 
 
+def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """Backward as-of join (event → user's latest order at or before the
+    event timestamp; -1 sentinels when none) — the custom operator Ray
+    Data lacks, as a bucketed cogroup.  SQL-oracled via LEFT JOIN
+    LATERAL."""
+    from oboyu_ray.stages.relational import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return asof_join(ev, orders)
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       coalesce(o.k, -1)::BIGINT AS o_orderkey,
+       coalesce(o.cents, -1)::BIGINT AS price_cents
+FROM events e LEFT JOIN LATERAL (
+    SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON TRUE
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct user_id count over events (the
     mergeable-sketch operator; ~1.6% standard error at p=12).  Rows-only
@@ -954,6 +985,7 @@ def corpus_queries() -> dict:
         "snippets": q_snippets,
         "events_window": q_events_window,
         "orders_by_nation": q_orders_by_nation,
+        "asof_join": q_asof_join,
         "text_normalize": q_text_normalize,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "simsearch_ivf": q_simsearch_ivf,
@@ -984,6 +1016,7 @@ def corpus_oracle_sql() -> dict:
         "graphrag_expand": _sql_graphrag_expand(),
         "events_window": SQL_EVENTS_WINDOW,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
+        "asof_join": SQL_ASOF_JOIN,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
         "sessionize": SQL_SESSIONIZE,
         # the normalize oracle expresses the stdlib fallback chain; register

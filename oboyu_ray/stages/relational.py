@@ -127,3 +127,108 @@ def orders_by_nation_broadcast(
             Sum("sum_partial", alias_name="revenue_cents"),
         )
     )
+
+
+ASOF_BUCKETS = 64
+
+
+def asof_join(
+    events: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    n_buckets: int = ASOF_BUCKETS,
+) -> "ray.data.Dataset":
+    """Backward as-of join: for every event, the user's LATEST order with
+    o_orderdate <= event ts (ties broken by larger o_orderkey); unmatched
+    events emit -1 sentinels.
+
+    Ray Data has no as-of join; the brief names it as the canonical custom
+    operator.  Expressed as the engine's standard bucketed cogroup: both
+    sides hash-bucket on the join key (user), one map_groups per bucket
+    sorts its orders once and answers every event with a vectorized
+    searchsorted — no driver state, no all-pairs, hot users bounded by
+    their own row counts.  Output: (event_id, user_id, o_orderkey,
+    price_cents).
+    """
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "user": pa.array(u, type=pa.int64()),
+                "rid": t.column("event_id").cast(pa.int64()),
+                "ts_us": pa.array(
+                    t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "price_cents": pa.array(np.full(len(u), -1, dtype=np.int64)),
+            }
+        )
+
+    def or_rows(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "kind": pa.array(np.ones(len(u), dtype=np.int64)),
+                "user": pa.array(u, type=pa.int64()),
+                "rid": t.column("o_orderkey").cast(pa.int64()),
+                "ts_us": pa.array(
+                    t.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "price_cents": pa.array(
+                    np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["kind"] == 0]
+        od = g[g["kind"] == 1].sort_values(["user", "ts_us", "rid"], kind="mergesort")
+        out_eid: list = []
+        out_user: list = []
+        out_okey: list = []
+        out_cents: list = []
+        od_by_user = {u: sub for u, sub in od.groupby("user", sort=False)}
+        for u, esub in ev.groupby("user", sort=False):
+            osub = od_by_user.get(u)
+            eids = esub["rid"].to_numpy(dtype=np.int64)
+            ets = esub["ts_us"].to_numpy(dtype=np.int64)
+            if osub is None or not len(osub):
+                out_eid.extend(eids)
+                out_user.extend([u] * len(eids))
+                out_okey.extend([-1] * len(eids))
+                out_cents.extend([-1] * len(eids))
+                continue
+            odates = osub["ts_us"].to_numpy(dtype=np.int64)
+            okeys = osub["rid"].to_numpy(dtype=np.int64)
+            ocents = osub["price_cents"].to_numpy(dtype=np.int64)
+            # sorted by (date, key): side="right" - 1 lands on the max key
+            # among the latest admissible date — the tie rule
+            ix = np.searchsorted(odates, ets, side="right") - 1
+            ok = ix >= 0
+            out_eid.extend(eids)
+            out_user.extend([u] * len(eids))
+            out_okey.extend(np.where(ok, okeys[np.maximum(ix, 0)], -1))
+            out_cents.extend(np.where(ok, ocents[np.maximum(ix, 0)], -1))
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(out_eid, dtype=np.int64),
+                "user_id": np.asarray(out_user, dtype=np.int64),
+                "o_orderkey": np.asarray(out_okey, dtype=np.int64),
+                "price_cents": np.asarray(out_cents, dtype=np.int64),
+            }
+        )
+
+    return (
+        events.map_batches(ev_rows, batch_format="pyarrow")
+        .union(orders.map_batches(or_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(bucket_asof, batch_format="pandas")
+    )

@@ -753,3 +753,32 @@ def test_kg_edc_dedup_and_graphrag():
         RealLLMExtractorStub()(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(NotImplementedError):
         RealLLMVerifierStub().verify("a", "b")
+
+
+def test_asof_join_edges():
+    """As-of join semantics at the edges: exact-timestamp match included,
+    ties broken by larger order key, events before any order -> -1."""
+    import datetime
+
+    import ray
+
+    from oboyu_ray.stages.relational import asof_join
+
+    T = lambda d: datetime.datetime(2025, 1, d)
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], type=pa.int64()),
+        "ts": pa.array([T(1), T(5), T(10), T(5)], type=pa.timestamp("us")),
+    }))
+    orders = pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103], type=pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 9], type=pa.int64()),
+        "o_orderdate": pa.array([T(5), T(5), T(8), T(1)], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], type=pa.float64()),
+    })
+    out = asof_join(ev, ray.data.from_arrow(orders)).to_pandas().set_index("event_id")
+    assert out.loc[1, "o_orderkey"] == -1            # before any order
+    assert out.loc[2, "o_orderkey"] == 101           # tie at T5 -> max key
+    assert out.loc[3, "o_orderkey"] == 102           # latest <= T10
+    assert out.loc[4, "o_orderkey"] == -1            # user with no orders
+    assert out.loc[2, "price_cents"] == 2000
