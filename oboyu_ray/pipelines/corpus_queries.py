@@ -803,6 +803,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_window_hopping(sf_dir: str) -> "ray.data.Dataset":
+    from oboyu_ray.stages.relational import events_hopping_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return events_hopping_window_agg(ev)
+
+
+SQL_EVENTS_WINDOW_HOPPING = """
+WITH e AS (
+    SELECT epoch_us(ts)::BIGINT AS tu, event_type,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+    FROM events
+),
+x AS (SELECT tu, event_type, vm, unnest(range(0, 4)) AS i FROM e),
+w AS (
+    SELECT make_timestamp((tu // 900000000) * 900000000 - i * 900000000) AS window_ts,
+           event_type, vm
+    FROM x
+)
+SELECT window_ts, event_type, count(*)::BIGINT AS n_events,
+       sum(vm)::BIGINT AS sum_value_micros
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.relational import orders_by_nation_broadcast
 
@@ -984,6 +1011,7 @@ def corpus_queries() -> dict:
         "chunking": q_chunking,
         "snippets": q_snippets,
         "events_window": q_events_window,
+        "events_window_hopping": q_events_window_hopping,
         "orders_by_nation": q_orders_by_nation,
         "asof_join": q_asof_join,
         "text_normalize": q_text_normalize,
@@ -1015,6 +1043,7 @@ def corpus_oracle_sql() -> dict:
         "kg_relations": _sql_kg_relations(),
         "graphrag_expand": _sql_graphrag_expand(),
         "events_window": SQL_EVENTS_WINDOW,
+        "events_window_hopping": SQL_EVENTS_WINDOW_HOPPING,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "asof_join": SQL_ASOF_JOIN,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),

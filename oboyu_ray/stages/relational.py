@@ -232,3 +232,71 @@ def asof_join(
         .groupby("bucket")
         .map_groups(bucket_asof, batch_format="pandas")
     )
+
+
+HOP_US = 15 * 60 * 1_000_000   # 15-minute hop
+HOP_WINDOW_US = 60 * 60 * 1_000_000  # 60-minute window → 4 hops per window
+
+
+def events_hopping_window_agg(
+    events: "ray.data.Dataset",
+    window_us: int = HOP_WINDOW_US,
+    hop_us: int = HOP_US,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregation: every event contributes to the
+    window_us/hop_us overlapping windows covering it.  Same
+    partial-then-global shape as the tumbling aggregate — replication
+    happens INSIDE the batch before partial aggregation, so the shuffle
+    moves (windows × types) partials, not k× raw events.  Output
+    (window_ts, event_type, n_events, sum_value_micros)."""
+    assert window_us % hop_us == 0
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        vm = micros(batch.column("value").to_numpy(zero_copy_only=False))
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        base = (tu // hop_us) * hop_us
+        n = len(tu)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, n
+        )
+        t = pa.table(
+            {
+                "window_us": pa.array(starts, type=pa.int64()),
+                "event_type": pa.array(np.repeat(et, k)),
+                "vm": pa.array(np.repeat(vm, k), type=pa.int64()),
+            }
+        )
+        g = t.group_by(["window_us", "event_type"]).aggregate(
+            [("vm", "count"), ("vm", "sum")]
+        )
+        return pa.table(
+            {
+                "window_us": g.column("window_us"),
+                "event_type": g.column("event_type"),
+                "n_partial": g.column("vm_count").cast(pa.int64()),
+                "sum_partial": g.column("vm_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(
+            Sum("n_partial", alias_name="n_events"),
+            Sum("sum_partial", alias_name="sum_value_micros"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_ts": t.column("window_us").cast(pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_value_micros": t.column("sum_value_micros").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
