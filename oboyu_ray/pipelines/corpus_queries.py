@@ -77,6 +77,25 @@ FROM documents
 """
 
 
+SAMPLE_THRESHOLD_HEX = "28"  # ≈ 15.6%
+
+
+def q_sample_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic hash sampling: reproducible Bernoulli-by-key subset of
+    the documents table (no RNG state — re-runs and both engines see the
+    identical sample)."""
+    return _docs(sf_dir).map_batches(
+        lambda b: textstats.sample_by_hash(b, threshold_hex=SAMPLE_THRESHOLD_HEX),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE_DOCUMENTS = f"""
+SELECT doc_id, text FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_THRESHOLD_HEX}'
+"""
+
+
 def q_text_quality(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
 
@@ -994,6 +1013,7 @@ def corpus_queries() -> dict:
     return {
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "sample_documents": q_sample_documents,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1029,6 +1049,7 @@ def corpus_oracle_sql() -> dict:
     return {
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
+        "sample_documents": SQL_SAMPLE_DOCUMENTS,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -165,3 +165,20 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
             "winnow_fingerprint": pa.array(wfps, type=pa.string()),
         }
     )
+
+
+def sample_by_hash(
+    batch: pa.Table, id_col: str = "doc_id", threshold_hex: str = "28"
+) -> pa.Table:
+    """Deterministic Bernoulli-by-key sampling: keep rows whose
+    md5(str(key)) hex digest sorts below ``threshold_hex`` (e.g. "28" ≈
+    15.6% rate at 2-hex granularity, longer prefixes for finer rates).
+    Reproducible across runs/engines — the property a training-data
+    pipeline needs from its samplers (re-runs and oracle checks see the
+    SAME sample; no RNG state to coordinate across tasks).  SQL twin:
+    ``WHERE md5(CAST(key AS VARCHAR)) < 'threshold'``."""
+    keys = batch.column(id_col).to_pylist()
+    keep = [
+        hashlib.md5(str(k).encode("utf-8")).hexdigest() < threshold_hex for k in keys
+    ]
+    return batch.filter(pa.array(keep, type=pa.bool_()))
