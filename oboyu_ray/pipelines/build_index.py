@@ -378,6 +378,14 @@ class ConvMapHandle:
         self.mode = "inmem" if total <= inmem_limit else "range"
         self._ids = self._offs = None
         self._by_off_ids = self._by_off = None
+        # range mode: small LRU of decoded conv-map files — repeated
+        # resolves (query serving) touch the same hot files; at cluster
+        # scale this is the node-local cache of its conversation range
+        self._file_cache: "dict[int, tuple]" = {}
+        # top-k results scatter across ~k files; cap must exceed the
+        # per-query working set or FIFO thrashes (each entry is one file's
+        # conv range — a few hundred KB)
+        self._file_cache_cap = 64
         if self.mode == "inmem":
             t = pq.read_table(out_dir, columns=["conv_id", "conv_offset"])
             ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
@@ -387,6 +395,20 @@ class ConvMapHandle:
             oorder = np.argsort(offs)
             self._by_off = offs[oorder]
             self._by_off_ids = ids[oorder]
+
+    def _read_file(self, f: int):
+        """(conv_ids object array, conv_offset int64 array) of file ``f``,
+        through the LRU (FIFO-evicting dict — insertion order suffices)."""
+        hit = self._file_cache.get(f)
+        if hit is not None:
+            return hit
+        t = pq.read_table(self.files[int(f)], columns=["conv_id", "conv_offset"])
+        ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        offs = t.column("conv_offset").to_numpy().astype(np.int64)
+        while len(self._file_cache) >= self._file_cache_cap:
+            self._file_cache.pop(next(iter(self._file_cache)))
+        self._file_cache[f] = (ids, offs)
+        return ids, offs
 
     @staticmethod
     def _lookup_sorted(ids_sorted: np.ndarray, offs: np.ndarray, conv: np.ndarray) -> np.ndarray:
@@ -410,10 +432,8 @@ class ConvMapHandle:
         out = np.empty(len(u), dtype=np.int64)
         for f in np.unique(fidx):
             sel = fidx == f
-            t = pq.read_table(self.files[int(f)], columns=["conv_id", "conv_offset"])
-            ids = np.asarray(t.column("conv_id").to_pylist(), dtype=np.str_)
-            offs = t.column("conv_offset").to_numpy().astype(np.int64)
-            out[sel] = self._lookup_sorted(ids, offs, u[sel])
+            ids, offs = self._read_file(int(f))
+            out[sel] = self._lookup_sorted(ids.astype(np.str_), offs, u[sel])
         return out[inv]
 
     def resolve(self, doc_nums: np.ndarray):
@@ -432,9 +452,7 @@ class ConvMapHandle:
         turn = np.empty(len(doc_nums), dtype=np.int64)
         for f in np.unique(fidx):
             sel = fidx == f
-            t = pq.read_table(self.files[int(f)], columns=["conv_id", "conv_offset"])
-            offs = t.column("conv_offset").to_numpy().astype(np.int64)
-            ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+            ids, offs = self._read_file(int(f))
             ix = np.searchsorted(offs, doc_nums[sel], side="right") - 1
             conv[sel] = ids[ix]
             turn[sel] = doc_nums[sel] - offs[ix]
