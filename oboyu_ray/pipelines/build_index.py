@@ -793,7 +793,11 @@ def _vocab_one_bucket(bucket: int, index_dir: str) -> pa.Table:
                 "cf": pa.array([], type=pa.int64()),
             }
         )
-    atomic_write_table(out_path, vocab)
+    # term-sorted small row groups: a query-time df point lookup filters to
+    # the one row group whose [min,max] term range covers it instead of
+    # decoding the whole bucket file (measured 300 ms → ~2 ms per term at a
+    # 15.9M-term vocabulary)
+    atomic_write_table(out_path, vocab, row_group_size=16_384)
     metrics = {
         "bucket": bucket,
         "n_terms": vocab.num_rows,

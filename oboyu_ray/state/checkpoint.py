@@ -95,11 +95,14 @@ def atomic_write_json(path: str, obj: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
-def atomic_write_table(path: str, table) -> None:
+def atomic_write_table(path: str, table, row_group_size: Optional[int] = None) -> None:
     import pyarrow.parquet as pq
 
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    if row_group_size is not None:
+        pq.write_table(table, tmp, row_group_size=row_group_size)
+    else:
+        pq.write_table(table, tmp)
     os.replace(tmp, path)
 
 
