@@ -340,24 +340,36 @@ def edc_dedup_entities(
     for _, g in df.groupby(["normalized_name", "entity_type"], sort=False):
         nodes = sorted(g["node"].tolist())
         pairs.extend((nodes[0], n) for n in nodes[1:])
-    # (b) near-name candidates within a type (fake-embedding cosine over
-    #     names), LLM-verify seam applied per pair
+    # (b) near-name candidates within a type via the DISTRIBUTED cell-routed
+    #     cosine operator (no driver matmul — the same scaling fix r1's
+    #     review demanded of embedding dedup applies to entity tables, which
+    #     grow with the corpus vocabulary): fake char-feature embeddings of
+    #     normalized names, exact pairs ≥ threshold, then the LLM-verify
+    #     seam per surviving pair (pairs, not candidates, are driver-small)
     from oboyu_ray.functions.embed import FakeEmbedder
+    from oboyu_ray.stages.dedup import embedding_cosine_pairs
 
     emb = FakeEmbedder(dim=64, prefix="")
+    name_by_node = dict(zip(df["node"], df["normalized_name"]))
     for _, g in df.groupby("entity_type", sort=False):
         if len(g) < 2:
             continue
         # character-unigram features: single-word names share characters,
         # whole-word hashing would make every distinct name orthogonal
-        M = np.stack([emb._encode_one(" ".join(list(n))) for n in g["normalized_name"]])
-        S = M @ M.T
-        ii, jj = np.nonzero(np.triu(S >= similarity_threshold, k=1))
-        for i, j in zip(ii, jj):
-            na, nb = g["normalized_name"].iloc[i], g["normalized_name"].iloc[j]
-            ok, conf = token_jaccard_verify(na, nb)
+        vecs = [emb._encode_one(" ".join(list(n))) for n in g["normalized_name"]]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(g["node"].to_numpy(dtype=np.int64), type=pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float64())),
+                }
+            )
+        )
+        cand = embedding_cosine_pairs(ds, tau=similarity_threshold)
+        for a, b in cand[["vec_a", "vec_b"]].itertuples(index=False):
+            ok, conf = token_jaccard_verify(name_by_node[int(a)], name_by_node[int(b)])
             if ok and conf >= verification_threshold:
-                pairs.append((int(g["node"].iloc[i]), int(g["node"].iloc[j])))
+                pairs.append((int(a), int(b)))
 
     if pairs:
         pairs_ds = ray.data.from_arrow(

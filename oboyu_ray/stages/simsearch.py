@@ -135,9 +135,10 @@ def ivf_train(
     """Deterministic distributed k-means (Lloyd) over normalized vectors —
     the IVF coarse quantizer.  Each iteration: broadcast centroids, one
     map_batches pass emits per-batch partial (sum, count) per cell, driver
-    combines.  Initialization = the ``n_cells`` lowest vec_ids (seedless,
-    reproducible).  Returns (n_cells, dim) float64 centroids."""
-    init = ds.filter(lambda r: int(r[id_col]) < n_cells).to_pandas()
+    combines.  Initialization = the first ``n_cells`` rows in input order,
+    sorted by id (seedless, reproducible, and id-agnostic — callers may
+    key vectors by arbitrary int64 ids, e.g. hashed entity ids)."""
+    init = ds.limit(n_cells).to_pandas()
     init = init.sort_values(id_col)
     C = _normalize_rows(np.stack(init[vec_col].to_numpy()).astype(np.float64))
 
