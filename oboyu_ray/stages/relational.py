@@ -189,40 +189,37 @@ def asof_join(
     import pandas as pd
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["kind"] == 0]
-        od = g[g["kind"] == 1].sort_values(["user", "ts_us", "rid"], kind="mergesort")
-        out_eid: list = []
-        out_user: list = []
-        out_okey: list = []
-        out_cents: list = []
-        od_by_user = {u: sub for u, sub in od.groupby("user", sort=False)}
-        for u, esub in ev.groupby("user", sort=False):
-            osub = od_by_user.get(u)
-            eids = esub["rid"].to_numpy(dtype=np.int64)
-            ets = esub["ts_us"].to_numpy(dtype=np.int64)
-            if osub is None or not len(osub):
-                out_eid.extend(eids)
-                out_user.extend([u] * len(eids))
-                out_okey.extend([-1] * len(eids))
-                out_cents.extend([-1] * len(eids))
-                continue
-            odates = osub["ts_us"].to_numpy(dtype=np.int64)
-            okeys = osub["rid"].to_numpy(dtype=np.int64)
-            ocents = osub["price_cents"].to_numpy(dtype=np.int64)
-            # sorted by (date, key): side="right" - 1 lands on the max key
-            # among the latest admissible date — the tie rule
-            ix = np.searchsorted(odates, ets, side="right") - 1
-            ok = ix >= 0
-            out_eid.extend(eids)
-            out_user.extend([u] * len(eids))
-            out_okey.extend(np.where(ok, okeys[np.maximum(ix, 0)], -1))
-            out_cents.extend(np.where(ok, ocents[np.maximum(ix, 0)], -1))
+        """Vectorized bucket merge — no per-user Python loop (a bucket may
+        hold millions of users): sort (user, time, kind[orders first],
+        order key), forward-fill the last order position, validate the
+        carry stayed within the event's user run."""
+        user = g["user"].to_numpy(dtype=np.int64)
+        time_ = g["ts_us"].to_numpy(dtype=np.int64)
+        kind = g["kind"].to_numpy(dtype=np.int64)  # 0=event, 1=order
+        rid = g["rid"].to_numpy(dtype=np.int64)
+        cents = g["price_cents"].to_numpy(dtype=np.int64)
+        n = len(user)
+        # orders BEFORE events on (user, time) ties → equal-date orders are
+        # admissible; among equal-date orders ascending key + ffill-takes-
+        # last ⇒ the max-key tie rule
+        is_order = kind == 1
+        tie = np.where(is_order, 0, 1)
+        order = np.lexsort((rid, tie, time_, user))
+        u_s = user[order]
+        o_s = is_order[order]
+        pos = np.where(o_s, np.arange(n), -1)
+        last = np.maximum.accumulate(pos)  # last order position so far
+        ev_sel = ~o_s
+        carry = last[ev_sel]
+        ok = carry >= 0
+        ok[ok] &= u_s[carry[ok]] == u_s[ev_sel][ok]  # same-user carry only
+        src = order[np.maximum(carry, 0)]
         return pd.DataFrame(
             {
-                "event_id": np.asarray(out_eid, dtype=np.int64),
-                "user_id": np.asarray(out_user, dtype=np.int64),
-                "o_orderkey": np.asarray(out_okey, dtype=np.int64),
-                "price_cents": np.asarray(out_cents, dtype=np.int64),
+                "event_id": rid[order][ev_sel],
+                "user_id": u_s[ev_sel],
+                "o_orderkey": np.where(ok, rid[src], -1),
+                "price_cents": np.where(ok, cents[src], -1),
             }
         )
 
