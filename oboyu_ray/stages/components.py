@@ -53,31 +53,20 @@ def connected_components(
     )
     if pairs.count() == 0:
         return empty
-    edges = pairs.map_batches(
-        lambda t: pa.table(
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        if len(a) and (a.min() < 0 or b.min() < 0):
+            # negative ids collide with the sentinel encoding below
+            raise ValueError("connected_components requires non-negative node ids")
+        return pa.table(
             {
-                "node": pa.array(
-                    np.concatenate(
-                        [
-                            t.column(a_col).to_numpy().astype(np.int64),
-                            t.column(b_col).to_numpy().astype(np.int64),
-                        ]
-                    ),
-                    type=pa.int64(),
-                ),
-                "other": pa.array(
-                    np.concatenate(
-                        [
-                            t.column(b_col).to_numpy().astype(np.int64),
-                            t.column(a_col).to_numpy().astype(np.int64),
-                        ]
-                    ),
-                    type=pa.int64(),
-                ),
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "other": pa.array(np.concatenate([b, a]), type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     # labels init: every endpoint labels itself (duplicates collapse in the
     # first min-reduce)
