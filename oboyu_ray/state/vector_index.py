@@ -181,6 +181,12 @@ class VectorIndex:
         bounds = np.cos(np.maximum(np.arccos(A) - self.radii[None, :], 0.0))
         bounds[:, self.counts == 0] = -2.0  # below any real cosine
         order = np.argsort(-bounds.max(axis=0))
+        # per-query suffix maxima over the probe order: the sound stop rule
+        # is "every query's k-th beats the best bound it could still see" —
+        # stopping on the CURRENT cell's bounds alone is unsound, because the
+        # max-over-queries probe order is not monotone per query (a later
+        # cell can out-bound this one for some query)
+        suffix = np.maximum.accumulate(bounds[:, order][:, ::-1], axis=1)[:, ::-1]
 
         # per-query candidate pools (score_micros, vec_id)
         pool_s = [np.zeros(0, dtype=np.int64) for _ in range(nq)]
@@ -188,13 +194,15 @@ class VectorIndex:
         kth = np.full(nq, -np.inf)
         self.cells_read = 0
         probed = 0
-        for cell in order:
-            # >= (not >): a cell whose bound TIES the k-th score may hold an
-            # equal-score candidate with a smaller vec_id, which outranks the
-            # current pool under the (score DESC, vec_id ASC) order
+        for i, cell in enumerate(order):
+            # >= (not >): bounds TYING the k-th score may hold an equal-score
+            # candidate with a smaller vec_id, which outranks the pool under
+            # the (score DESC, vec_id ASC) order
+            if not (micros(suffix[:, i]) >= kth).any():
+                break  # no query can improve from ANY remaining cell
             need = micros(bounds[:, cell]) >= kth
             if not need.any():
-                break
+                continue  # this cell helps no one; later cells still might
             if max_probe is not None and probed >= max_probe:
                 break
             files = self._cell_files(int(cell))

@@ -782,3 +782,40 @@ def test_asof_join_edges():
     assert out.loc[3, "o_orderkey"] == 102           # latest <= T10
     assert out.loc[4, "o_orderkey"] == -1            # user with no orders
     assert out.loc[2, "price_cents"] == 2000
+
+
+def test_vector_index_exact_on_divergent_queries(tmp_path):
+    """Soundness regression: queries with very different bound/kth profiles
+    must not early-stop past a cell another query still needs (the
+    max-over-queries probe order is not per-query monotone). Random
+    off-cluster queries vs brute force."""
+    import ray
+
+    from oboyu_ray.state.vector_index import VectorIndex, build_vector_index
+
+    rng = np.random.RandomState(17)
+    centers = rng.standard_normal((6, 12)) * 4
+    vecs = np.stack([centers[i % 6] + rng.standard_normal(12) * 0.3 for i in range(300)])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+    }))
+    idx_dir = str(tmp_path / "vi2")
+    build_vector_index(ds, idx_dir, n_cells=6)
+    idx = VectorIndex(idx_dir)
+
+    # mixed query set: one near a cluster center (tight kth fast), several
+    # random isotropic (loose bounds everywhere) — the divergent shape
+    Q = np.vstack([centers[0], rng.standard_normal((6, 12))])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    from oboyu_ray.fixedpoint import micros as _micros
+
+    got = idx.search(Q, k=7)
+    for qi in range(len(Q)):
+        su = _micros(S[qi])
+        want_order = np.lexsort((np.arange(300), -su))[:7]
+        g = got[got["query_id"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == list(want_order), qi
+        assert g["cos_micros"].tolist() == [int(su[j]) for j in want_order], qi
