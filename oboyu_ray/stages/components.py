@@ -26,8 +26,6 @@ is a value-checked driver query, not rows-only.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

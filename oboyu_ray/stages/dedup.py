@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
