@@ -19,9 +19,10 @@ expressed Ray-Data-first:
 * simhash            — 64-bit SimHash over word features, bit-band blocking
                        (4 × 16-bit bands → COMPLETE for hamming ≤ 3 by
                        pigeonhole), hamming verification.
-* embedding_cosine   — exact cosine near-dup pairs over an embedding column
-                       via blocked matmul against a broadcast normalized
-                       matrix (ray.put once, zero-copy numpy in every task).
+* embedding_cosine   — EXACT cosine near-dup pairs over an embedding
+                       column, routed through IVF cells with sound
+                       centroid-radius bounds (no matrix broadcast, no
+                       driver materialization — see its docstring).
                        SQL-oracled with list_cosine_similarity.
 
 Scale notes: the shingle groupby pre-aggregates pairs per group and never
