@@ -269,9 +269,10 @@ def lsh_cosine_topk(
         out_q: List[int] = []
         out_v: List[int] = []
         out_s: List[int] = []
+        from oboyu_ray.stages.dedup import _popcount64
+
         for qi in range(qn.shape[0]):
-            x = bsig ^ q_sig[qi]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64((bsig ^ q_sig[qi]).astype(np.uint64))
             sel = np.flatnonzero(ham <= probe_hamming)
             if len(sel) == 0:
                 continue
