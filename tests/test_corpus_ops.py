@@ -819,3 +819,49 @@ def test_vector_index_exact_on_divergent_queries(tmp_path):
         g = got[got["query_id"] == qi].sort_values("rank")
         assert g["vec_id"].tolist() == list(want_order), qi
         assert g["cos_micros"].tolist() == [int(su[j]) for j in want_order], qi
+
+
+def test_connected_components_random_graphs():
+    """Property test: CC against a driver union-find reference on random
+    graphs (the union-find stays in the TEST as an oracle — the operator
+    under test never builds driver state)."""
+    import ray
+
+    from oboyu_ray.stages.components import connected_components
+
+    rng = np.random.RandomState(23)
+    for trial in range(2):
+        n_nodes = 300
+        n_edges = int(rng.randint(200, 600))
+        a = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        # min id per component, only for nodes that appear in edges
+        touched = sorted(set(a.tolist()) | set(b.tolist()))
+        comp_min = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in touched}
+
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+        }))
+        cc = connected_components(pairs, n_buckets=8)
+        got = dict(zip(cc["doc_id"], cc["component"]))
+        assert got == want, trial
