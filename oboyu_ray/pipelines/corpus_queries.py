@@ -472,6 +472,166 @@ SELECT query_id, doc_id, rrf_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---------------------------------------------------------------- rerank (T4/K2)
+
+RERANK_K = 10
+
+
+class _PinnedCrossEncoder:
+    """FakeCrossEncoder with the whitespace class PINNED to the oracle's
+    ASCII set (the module default uses Python's Unicode split; for a
+    value-hashed driver query both engines must tokenize identically —
+    same rule as the textstats pinning)."""
+
+    def predict(self, pairs):
+        import numpy as np
+
+        from oboyu_ray.stages.textstats import NON_WS_RE
+
+        out = np.zeros(len(pairs), dtype=np.float64)
+        for i, (q, d) in enumerate(pairs):
+            qs = set(NON_WS_RE.findall((q or "").lower()))
+            ds = set(NON_WS_RE.findall((d or "").lower()))
+            union = len(qs | ds)
+            out[i] = (len(qs & ds) / union) if union else 0.0
+        return out
+
+
+def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
+    """K2 reranked search as a value-checked driver query: BM25
+    top-(k×multiplier) candidates per fixed query, cross-encoder re-score
+    (deterministic fake, token-set Jaccard), re-sort by (rerank score
+    DESC, original BM25 rank ASC — the reference's stable re-sort),
+    truncate to k.  Output (query_id, doc_id, rerank_micros, rank)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.fixedpoint import micros as _micros
+    from oboyu_ray.functions.rerank import DEFAULT_TOP_K_MULTIPLIER, rerank
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG
+
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    bm = brute_force_topk(docs, queries, k=RERANK_K * DEFAULT_TOP_K_MULTIPLIER, cfg=CFG)
+    if bm.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64"),
+             "rerank_micros": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")}
+        )
+    ids = sorted(set(bm["doc_id"].tolist()))
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).to_pandas()
+    frames = []
+    enc = _PinnedCrossEncoder()
+    for qstr in BM25_QUERIES:
+        cand = bm[bm["query_id"] == qstr].sort_values("rank").merge(texts, on="doc_id")
+        if cand.empty:
+            continue
+        # no truncation inside rerank(): final ranking happens at MICROS
+        # precision below (float-precision truncation could disagree with
+        # the fixed-point oracle on ties)
+        out = rerank(qstr, cand, len(cand), encoder=enc)
+        out = out.assign(
+            rerank_micros=_micros(out["rerank_score"].to_numpy(dtype=np.float64))
+        )
+        # fixed-point rank (micros DESC, bm25 rank ASC) so both engines
+        # agree on ties exactly
+        out = out.sort_values(
+            ["rerank_micros", "rank"], ascending=[False, True], kind="mergesort"
+        ).head(RERANK_K)
+        out["query_id"] = qstr
+        out["new_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        frames.append(out[["query_id", "doc_id", "rerank_micros", "new_rank"]]
+                      .rename(columns={"new_rank": "rank"}))
+    res = pd.concat(frames, ignore_index=True)
+    return res.astype({"doc_id": "int64", "rerank_micros": "int64", "rank": "int64"})
+
+
+def _sql_rerank_topk() -> str:
+    from oboyu_ray.functions.rerank import DEFAULT_TOP_K_MULTIPLIER
+    from oboyu_ray.pipelines.bm25_batch import tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG, SQL_POSTINGS_CTE
+    from oboyu_ray.stages.textstats import NON_WS_RE
+
+    tokenized = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qstr in BM25_QUERIES:
+        for t in sorted(set(tokenized[qstr])):
+            rows.append(f"('{qstr}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    qtok_rows = []
+    qlen_rows = []
+    for qstr in BM25_QUERIES:
+        toks = sorted(set(NON_WS_RE.findall(qstr.lower())))
+        qlen_rows.append(f"('{qstr}', {len(toks)})")
+        for t in toks:
+            qtok_rows.append(f"('{qstr}', '{t}')")
+    k1, b = CFG.k1, CFG.b
+    kk = RERANK_K * DEFAULT_TOP_K_MULTIPLIER
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+gstats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+gstats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM gstats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN gstats2 s
+),
+bscores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+cand AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS bm_rank
+    FROM bscores QUALIFY bm_rank <= {kk}
+),
+qtok(query_id, tok) AS (VALUES {", ".join(qtok_rows)}),
+qlen(query_id, nq) AS (VALUES {", ".join(qlen_rows)}),
+dtoks AS (
+    SELECT c.query_id, c.doc_id, c.bm_rank,
+           list_distinct(regexp_extract_all(lower(d.text), '[^ \t\n\r\f\v]+')) AS toks
+    FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+),
+dtok AS (SELECT query_id, doc_id, unnest(toks) AS tok FROM dtoks),
+inter AS (
+    SELECT d.query_id, d.doc_id, count(*)::BIGINT AS ni
+    FROM dtok d JOIN qtok q ON q.query_id = d.query_id AND q.tok = d.tok
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT t.query_id, t.doc_id, t.bm_rank,
+           coalesce(i.ni, 0)::DOUBLE
+             / (l.nq + len(t.toks) - coalesce(i.ni, 0)) AS jac
+    FROM dtoks t
+    JOIN qlen l ON l.query_id = t.query_id
+    LEFT JOIN inter i ON i.query_id = t.query_id AND i.doc_id = t.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(jac * 1e6 + 0.5) AS BIGINT) AS rerank_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(jac * 1e6 + 0.5) AS BIGINT) DESC, bm_rank ASC
+           )::BIGINT AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, rerank_micros, rank FROM ranked WHERE rank <= {RERANK_K}
+"""
+
+
 # ---------------------------------------------------------------- chunking & snippets
 
 CHUNK_SIZE_Q = 120
@@ -1036,6 +1196,7 @@ def corpus_queries() -> dict:
         "asof_join": q_asof_join,
         "text_normalize": q_text_normalize,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "rerank_topk": q_rerank_topk,
         "simsearch_ivf": q_simsearch_ivf,
         "simsearch_ivf_persisted": q_simsearch_ivf_persisted,
         "sessionize": q_sessionize,
@@ -1068,6 +1229,7 @@ def corpus_oracle_sql() -> dict:
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "asof_join": SQL_ASOF_JOIN,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
+        "rerank_topk": _sql_rerank_topk(),
         "sessionize": SQL_SESSIONIZE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
