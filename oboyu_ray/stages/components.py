@@ -15,9 +15,14 @@ Data reduces:
 
 Each round is two bucketed groupbys over (edges + labels) — the same
 B-bucket cogroup shape as dedup verification, so group counts stay bounded
-and hot nodes amortize inside their bucket.  Round count is the cluster
-diameter; near-dup clusters are dense and shallow (diameter ≤ ~3 in
-practice), and ``max_iters`` guards the pathological chain.
+and hot nodes amortize inside their bucket.  Plain propagation needs
+O(diameter) rounds; every round here is followed by a **pointer-doubling
+shortcut** (label[v] ← min(label[v], label[label[v]]), one more bucketed
+cogroup keyed by the label), which squares the covered distance per round
+— O(log diameter) rounds total, so even pathological chains converge well
+inside ``max_iters``.  If the loop still exhausts ``max_iters`` without a
+fixpoint it RAISES rather than return unconverged labels (an unconverged
+result would silently mis-canonicalize downstream dedup).
 
 Oracled: DuckDB computes the same fixpoint with a recursive CTE
 (reachability closure → min reachable id per node), so `dedup_clusters`
@@ -42,6 +47,7 @@ def connected_components(
     b_col: str = "doc_b",
     n_buckets: int = CC_BUCKETS,
     max_iters: int = CC_MAX_ITERS,
+    _stats: dict | None = None,
 ) -> pd.DataFrame:
     """(doc_a, doc_b) edge Dataset → (doc_id, component) with component =
     min node id of the connected component.  Nodes are the edge endpoints
@@ -81,7 +87,83 @@ def connected_components(
     def bucket_of(col: np.ndarray) -> np.ndarray:
         return (col.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
 
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "db", pa.array(bucket_of(t.column("dest").to_numpy()), type=pa.int64())
+        )
+
+    def shortcut_round(labels):
+        """Pointer doubling: label[v] ← min(label[v], label[label[v]]).
+        One bucketed cogroup keyed by the label value: each node asks the
+        bucket owning its label for that label's own label."""
+        ask = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "dest": t.column("label"),
+                    "asker": t.column("node"),
+                    "cur": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        lookup = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "dest": t.column("node"),
+                    "asker": pa.array(
+                        np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                    ),
+                    "cur": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def do_shortcut(g: pd.DataFrame) -> pd.DataFrame:
+            is_lookup = g["asker"].to_numpy() < 0
+            lab = dict(
+                zip(
+                    g.loc[is_lookup, "dest"].to_numpy(dtype=np.int64),
+                    g.loc[is_lookup, "cur"].to_numpy(dtype=np.int64),
+                )
+            )
+            a = g.loc[~is_lookup]
+            dests = a["dest"].to_numpy(dtype=np.int64)
+            cur = a["cur"].to_numpy(dtype=np.int64)
+            short = np.fromiter(
+                (lab.get(d, d) for d in dests), dtype=np.int64, count=len(dests)
+            )
+            new = np.minimum(cur, short)
+            out = pd.DataFrame(
+                {"node": a["asker"].to_numpy(dtype=np.int64), "label": new}
+            )
+            out["changed"] = np.int64(0)
+            if len(out):
+                out.loc[out.index[0], "changed"] = np.int64(int((new != cur).sum()))
+            return out
+
+        res = (
+            ask.union(lookup)
+            .map_batches(add_dbucket, batch_format="pyarrow")
+            .groupby("db")
+            .map_groups(do_shortcut, batch_format="pandas")
+            .materialize()
+        )
+        n = int(res.sum("changed") or 0)
+        # union doubles the upstream block count every round — without this
+        # repartition the label set fragments into 2^iters tiny blocks and
+        # per-round task overhead grows exponentially (measured: 21 s/round
+        # by round 9 on a 300-node chain).  One bounded repartition per
+        # iteration keeps rounds O(1) blocks.
+        out = (
+            res.drop_columns(["changed"]).repartition(n_buckets).materialize()
+        )
+        return out, n
+
+    converged = False
+    iters = 0
     for _ in range(max_iters):
+        iters += 1
         # phase 1 (by sender): attach each node's label to its outgoing
         # edges → messages keyed by the RECEIVER; labels pass through as a
         # message-to-self so the receiver min includes its own label
@@ -135,11 +217,6 @@ def connected_components(
                 "nb", pa.array(bucket_of(t.column("node").to_numpy()), type=pa.int64())
             )
 
-        def add_dbucket(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "db", pa.array(bucket_of(t.column("dest").to_numpy()), type=pa.int64())
-            )
-
         def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
             new = g.groupby("dest", sort=False)["msg"].min()
             # every dest has an own-label pass-through row (labels were
@@ -162,10 +239,24 @@ def connected_components(
             .map_groups(reduce_min, batch_format="pandas")
             .materialize()
         )
-        n_changed = int(new_labels.sum("changed") or 0)
+        n_prop = int(new_labels.sum("changed") or 0)
         labels = new_labels.drop_columns(["changed"]).materialize()
-        if n_changed == 0:
+        if n_prop == 0:
+            converged = True
             break
+        # pointer-doubling shortcut — squares the propagated distance, so
+        # total rounds are O(log diameter) instead of O(diameter)
+        labels, _ = shortcut_round(labels)
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "labels would be wrong — raise max_iters (round count is "
+            "O(log diameter) with pointer doubling, so this indicates a "
+            "pathological input or a bug)"
+        )
+    if _stats is not None:
+        _stats["iters"] = iters
 
     out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
     out = out.drop_duplicates("doc_id").sort_values("doc_id").reset_index(drop=True)

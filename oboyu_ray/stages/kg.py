@@ -194,10 +194,20 @@ def kg_entities(docs: "ray.data.Dataset", lexicon=None) -> "ray.data.Dataset":
         )
         return g
 
-    agg = (
+    # Two-level distributed reduction.  The map-side partial() shrinks
+    # mention rows to per-(name, type, doc) counts WITHIN a batch, but Ray's
+    # dynamic block splitting can slice one doc's mention rows across blocks
+    # — so the same (name, type, doc) key may yield several partial rows.
+    # A first groupby on the full key merges those (Sum is the correct
+    # combiner for mention counts); only then is Count() per (name, type) a
+    # true distinct-doc count.  Both shuffles share the leading key.
+    per_doc = (
         rows.map_batches(partial, batch_format="pyarrow")
-        .groupby(["name", "entity_type"])
-        .aggregate(Sum("mentions", alias_name="n_mentions"), Count(alias_name="n_docs"))
+        .groupby(["name", "entity_type", "doc_id"])
+        .aggregate(Sum("mentions", alias_name="mentions"))
+    )
+    agg = per_doc.groupby(["name", "entity_type"]).aggregate(
+        Sum("mentions", alias_name="n_mentions"), Count(alias_name="n_docs")
     )
 
     def finalize(t: pa.Table) -> pa.Table:

@@ -677,6 +677,28 @@ def test_connected_components_chain_and_clusters():
     assert canon == {10, 20, 30}
 
 
+def test_connected_components_pointer_doubling_chain():
+    """A 300-node path (diameter 299) must converge in O(log n) rounds via
+    the pointer-doubling shortcut, and an exhausted max_iters must RAISE
+    instead of returning unconverged labels (r2 ADVICE)."""
+    import ray
+
+    from oboyu_ray.stages.components import connected_components
+
+    n = 300
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(list(range(n - 1)), type=pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), type=pa.int64()),
+    }))
+    stats = {}
+    cc = connected_components(pairs, n_buckets=8, _stats=stats)
+    assert (cc["component"] == 0).all() and len(cc) == n
+    assert stats["iters"] <= 15, stats  # O(log 300), not O(300)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, n_buckets=8, max_iters=2)
+
+
 def test_dedup_clusters_matches_recursive_oracle(entrymod, duck):
     df = _as_df(entrymod.queries()["dedup_clusters"](SF))
     ora = duck.execute(entrymod.oracle_sql()["dedup_clusters"]).fetchdf()
@@ -684,6 +706,37 @@ def test_dedup_clusters_matches_recursive_oracle(entrymod, duck):
     a = df[cols].sort_values(cols).reset_index(drop=True)
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     assert a.shape == b.shape and (a.values == b.values).all()
+
+
+def test_kg_entities_ndocs_under_block_splitting():
+    """Regression (r2 ADVICE high): n_docs must count DISTINCT docs even
+    when one doc's mention rows are sliced across blocks by Ray's dynamic
+    block splitting.  A doc with 3000 mentions must still count as 1 doc."""
+    import ray
+    from ray.data.context import DataContext
+
+    from oboyu_ray.stages.kg import kg_entities
+
+    # the context must be shrunk BEFORE the dataset is created (Ray snapshots
+    # DataContext at dataset creation); 4 KB forces the 3000-mention doc's
+    # extractor output into ~38 blocks, reproducing the straddle
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024
+    try:
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["spark " * 3000, "spark table", "table join"], type=pa.string()
+            ),
+        }))
+        out = kg_entities(docs).to_pandas().set_index("name")
+    finally:
+        ctx.target_max_block_size = old
+    assert int(out.loc["spark", "n_docs"]) == 2
+    assert int(out.loc["spark", "n_mentions"]) == 3001
+    assert int(out.loc["table", "n_docs"]) == 2
+    assert int(out.loc["join", "n_docs"]) == 1
 
 
 def test_kg_edc_dedup_and_graphrag():
