@@ -259,7 +259,10 @@ WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_TAU}
 # ---------------------------------------------------------------- similarity search
 
 def q_simsearch_topk(sf_dir: str) -> pd.DataFrame:
-    return simsearch.brute_force_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+    return simsearch.brute_force_cosine_topk(
+        _embs(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 _QIDS = ", ".join(str(q) for q in QUERY_IDS)
@@ -285,7 +288,10 @@ SELECT query_id, vec_id, cos_micros, rank FROM r WHERE rank <= {TOPK}
 def q_simsearch_ivf(sf_dir: str) -> pd.DataFrame:
     # approximate (IVF coarse-quantized probe) -> rows-only; recall vs brute
     # force asserted in pytest
-    return simsearch.ivf_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+    return simsearch.ivf_cosine_topk(
+        _embs(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 def _vector_index_dir(sf_dir: str) -> str:
@@ -304,7 +310,8 @@ def q_simsearch_ivf_persisted(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.state.vector_index import ivf_persisted_topk
 
     return ivf_persisted_topk(
-        _embs(sf_dir), _vector_index_dir(sf_dir), k=TOPK, query_ids=QUERY_IDS
+        _embs(sf_dir), _vector_index_dir(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
     )
 
 
@@ -343,7 +350,10 @@ FROM s GROUP BY 1, 2
 def q_simsearch_lsh(sf_dir: str) -> pd.DataFrame:
     # approximate (multi-probe hyperplane LSH) -> rows-only; recall vs brute
     # force asserted in pytest
-    return simsearch.lsh_cosine_topk(_embs(sf_dir), k=TOPK, query_ids=QUERY_IDS)
+    return simsearch.lsh_cosine_topk(
+        _embs(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 # ---------------------------------------------------------------- hybrid RRF
@@ -1092,20 +1102,20 @@ def q_doc_embeddings(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.fixedpoint import micros
     from oboyu_ray.functions.embed import embed_documents
 
+    from oboyu_ray.functions.arrowvec import vec_matrix
+
     def summarize(batch: pa.Table) -> pa.Table:
-        vecs = [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        M = vec_matrix(batch.column("embedding"))
+        M32 = np.ascontiguousarray(M, dtype=np.float32)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "dim": pa.array([len(v) for v in vecs], type=pa.int64()),
+                "dim": pa.array(np.full(len(M), M.shape[1], dtype=np.int64)),
                 "l2_micros": pa.array(
-                    [micros(np.linalg.norm(v)) for v in vecs], type=pa.int64()
+                    micros(np.linalg.norm(M, axis=1)), type=pa.int64()
                 ),
                 "vec_md5": pa.array(
-                    [
-                        hashlib.md5(np.asarray(v, dtype=np.float32).tobytes()).hexdigest()
-                        for v in vecs
-                    ],
+                    [hashlib.md5(row.tobytes()).hexdigest() for row in M32],
                     type=pa.string(),
                 ),
             }

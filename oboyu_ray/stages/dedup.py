@@ -51,6 +51,7 @@ import ray
 import ray.data
 
 from oboyu_ray.fixedpoint import micros
+from oboyu_ray.functions.arrowvec import matrix_to_fixed_list, vec_matrix
 from oboyu_ray.stages.textstats import WORD_RE, _normalize
 
 # ---------------------------------------------------------------- shingles
@@ -668,9 +669,7 @@ def embedding_cosine_pairs(
     # n_cells floats of driver state)
     def radius_partial(batch: pa.Table) -> pa.Table:
         cen = ray.get(cref)
-        bm = _normalize_rows(
-            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        )
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         A = np.clip(bm @ cen.T, -1.0, 1.0)
         cell = np.argmax(A, axis=1)
         theta = np.arccos(A[np.arange(len(cell)), cell])
@@ -694,9 +693,7 @@ def embedding_cosine_pairs(
     def route(batch: pa.Table) -> pa.Table:
         cen, rad = ray.get(cref), ray.get(rref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bm = _normalize_rows(
-            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        )
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         A = np.clip(bm @ cen.T, -1.0, 1.0)
         home = np.argmax(A, axis=1)
         theta = np.arccos(A)  # (n, n_cells) angle to every centroid
@@ -714,7 +711,7 @@ def embedding_cosine_pairs(
                 "cell": pa.array(out_cell, type=pa.int64()),
                 "kind": pa.array(out_kind, type=pa.int64()),  # 0=member, 1=probe
                 id_col: pa.array(bids[idx], type=pa.int64()),
-                "vec": pa.array(list(bm[idx]), type=pa.list_(pa.float64())),
+                "vec": matrix_to_fixed_list(bm[idx]),
             }
         )
 

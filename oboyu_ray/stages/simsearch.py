@@ -18,16 +18,19 @@ order cannot flip ranks across engines.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
 from oboyu_ray.fixedpoint import micros
+from oboyu_ray.functions.arrowvec import matrix_to_fixed_list, vec_matrix
 
 DEFAULT_QUERY_IDS = (0, 1, 2, 3, 4)
 
@@ -43,13 +46,35 @@ def load_query_matrix(
     query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_path: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Fetch the query vectors by id (tiny filtered read)."""
-    qset = set(int(q) for q in query_ids)
-    rows = ds.filter(lambda r: int(r[id_col]) in qset).to_pandas()
-    rows = rows.sort_values(id_col)
-    ids = rows[id_col].to_numpy(dtype=np.int64)
-    M = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    """Fetch the query vectors by id.
+
+    With ``source_path`` (the parquet file/dir the dataset was read from —
+    the caller's assertion that ``ds`` is an untransformed read of it) the
+    fetch is a row-group-pushdown ``pq.read_table(filters=...)``: only row
+    groups whose min/max stats cover a query id leave storage.  Without it,
+    a vectorized ``pc.is_in`` scan inside ``map_batches`` — still a full
+    pass, but Arrow-kernel speed, never the per-row Python filter path.
+    """
+    qlist = sorted({int(q) for q in query_ids})
+    if source_path is not None:
+        t = pq.read_table(
+            source_path, columns=[id_col, vec_col], filters=[(id_col, "in", qlist)]
+        )
+    else:
+        value_set = pa.array(qlist, type=pa.int64())
+
+        def pick(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=value_set)
+            return b.select([id_col, vec_col]).filter(mask)
+
+        refs = ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        t = pa.concat_tables(ray.get(refs))
+    order = pc.sort_indices(t.column(id_col))
+    t = t.take(order)
+    ids = t.column(id_col).to_numpy().astype(np.int64)
+    M = vec_matrix(t.column(vec_col))
     return ids, M
 
 
@@ -59,21 +84,21 @@ def brute_force_cosine_topk(
     query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_path: Optional[str] = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k per query vector.
 
     Returns (query_id, vec_id, cos_micros, rank) with rank 1..k by
     (cos_micros DESC, vec_id ASC); self-matches included (rank 1, ~1.0).
     """
-    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col, source_path)
     Qn = _normalize_rows(Q)
     ref = ray.put((qids, Qn))
 
     def block_topk(batch: pa.Table) -> pa.Table:
         q_ids, qn = ray.get(ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        bm = _normalize_rows(bm)
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         S = qn @ bm.T  # (num_q, batch)
         su = micros(S)
         out_q: List[int] = []
@@ -138,18 +163,16 @@ def ivf_train(
     combines.  Initialization = the first ``n_cells`` rows in input order,
     sorted by id (seedless, reproducible, and id-agnostic — callers may
     key vectors by arbitrary int64 ids, e.g. hashed entity ids)."""
-    init = ds.limit(n_cells).to_pandas()
-    init = init.sort_values(id_col)
-    C = _normalize_rows(np.stack(init[vec_col].to_numpy()).astype(np.float64))
+    init = pa.concat_tables(ray.get(ds.limit(n_cells).to_arrow_refs()))
+    init = init.take(pc.sort_indices(init.column(id_col)))
+    C = _normalize_rows(vec_matrix(init.column(vec_col)))
 
     for _ in range(iters):
         ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
             cen = ray.get(ref)
-            bm = _normalize_rows(
-                np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-            )
+            bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
             cell = np.argmax(bm @ cen.T, axis=1)
             sums = np.zeros_like(cen)
             np.add.at(sums, cell, bm)
@@ -157,7 +180,7 @@ def ivf_train(
             return pa.table(
                 {
                     "cell": pa.array(np.arange(len(cen)), type=pa.int64()),
-                    "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "sum": matrix_to_fixed_list(sums),
                     "count": pa.array(counts, type=pa.int64()),
                 }
             )
@@ -181,6 +204,7 @@ def ivf_cosine_topk(
     n_probe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_path: Optional[str] = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k: vectors are assigned to their nearest centroid
     cell; a query scores only vectors in its ``n_probe`` closest cells —
@@ -189,7 +213,7 @@ def ivf_cosine_topk(
     matching files.  Same output schema as brute force; recall pinned in
     tests."""
     C = ivf_train(ds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col, source_path)
     Qn = _normalize_rows(Q)
     qcells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
     ref = ray.put((qids, Qn, C, qcells))
@@ -197,7 +221,7 @@ def ivf_cosine_topk(
     def block_topk(batch: pa.Table) -> pa.Table:
         q_ids, qn, cen, q_cells = ray.get(ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bm = _normalize_rows(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         cell = np.argmax(bm @ cen.T, axis=1)
         out_q: List[int] = []
         out_v: List[int] = []
@@ -247,13 +271,14 @@ def lsh_cosine_topk(
     probe_hamming: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_path: Optional[str] = None,
 ) -> pd.DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures; a map task
     scores a vector only if its signature is within ``probe_hamming`` bits
     of the query's (multi-probe LSH).  Same output schema as brute force;
     recall measured in tests.  At scale the signature becomes the partition
     key of a bucketed parquet layout so probes touch only matching files."""
-    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col, source_path)
     Qn = _normalize_rows(Q)
     dim = Qn.shape[1]
     planes = _hyperplanes(dim)
@@ -263,8 +288,7 @@ def lsh_cosine_topk(
     def block_topk(batch: pa.Table) -> pa.Table:
         q_ids, qn, q_sig, pl = ray.get(ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bm = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        bm = _normalize_rows(bm)
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         bsig = _signatures(bm, pl)
         out_q: List[int] = []
         out_v: List[int] = []

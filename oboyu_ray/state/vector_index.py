@@ -42,6 +42,7 @@ import ray
 import ray.data
 
 from oboyu_ray.fixedpoint import micros
+from oboyu_ray.functions.arrowvec import matrix_to_fixed_list, vec_matrix
 from oboyu_ray.state.checkpoint import atomic_write_json
 
 
@@ -82,14 +83,16 @@ def build_vector_index(
     os.makedirs(os.path.join(tmp, "cells"), exist_ok=True)
 
     C = ivf_train(ds, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    # a corpus smaller than the requested cell count trains fewer centroids
+    # (init takes the first n_cells rows); size every per-cell array by the
+    # ACTUAL centroid count or the centroids table columns disagree in length
+    n_cells = int(C.shape[0])
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
         cen = ray.get(cref)
         ids = batch.column(id_col).cast(pa.int64())
-        bm = _normalize_rows(
-            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        )
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
         A = np.clip(bm @ cen.T, -1.0, 1.0)
         cell = np.argmax(A, axis=1)
         theta = np.arccos(A[np.arange(len(cell)), cell])
@@ -97,7 +100,7 @@ def build_vector_index(
             {
                 "cell": pa.array(cell, type=pa.int64()),
                 "vec_id": ids,
-                "vec": pa.array(list(bm), type=pa.list_(pa.float64())),
+                "vec": matrix_to_fixed_list(bm),
                 "theta": pa.array(theta, type=pa.float64()),
             }
         )
@@ -117,7 +120,7 @@ def build_vector_index(
         pa.table(
             {
                 "cell": pa.array(np.arange(n_cells), type=pa.int64()),
-                "centroid": pa.array(list(C), type=pa.list_(pa.float64())),
+                "centroid": matrix_to_fixed_list(C),
                 "radius": pa.array(radii, type=pa.float64()),
                 "count": pa.array(counts, type=pa.int64()),
             }
@@ -146,7 +149,7 @@ class VectorIndex:
             self.manifest = json.load(f)
         t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
         order = np.argsort(t.column("cell").to_numpy())
-        self.C = np.stack(t.column("centroid").to_pylist())[order]
+        self.C = vec_matrix(t.column("centroid"))[order]
         self.radii = t.column("radius").to_numpy()[order]
         self.counts = t.column("count").to_numpy()[order]
         self.cells_read = 0  # probe-efficiency telemetry (tests assert on it)
@@ -212,7 +215,7 @@ class VectorIndex:
             self.cells_read += 1
             t = pq.read_table(files, columns=["vec_id", "vec"])
             vids = t.column("vec_id").to_numpy().astype(np.int64)
-            M = np.stack(t.column("vec").to_pylist())
+            M = vec_matrix(t.column("vec"))
             S = micros(Q[need] @ M.T)
             for row, qi in enumerate(np.flatnonzero(need)):
                 s = np.concatenate([pool_s[qi], S[row]])
@@ -245,6 +248,7 @@ def ivf_persisted_topk(
     n_cells: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_path: Optional[str] = None,
 ) -> pd.DataFrame:
     """Build-if-absent + exact query over the persisted index; query vectors
     fetched by id from the source dataset (matching brute_force_cosine_topk
@@ -252,6 +256,6 @@ def ivf_persisted_topk(
     from oboyu_ray.stages.simsearch import load_query_matrix
 
     build_vector_index(ds, index_dir, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col)
+    qids, Q = load_query_matrix(ds, query_ids, id_col, vec_col, source_path)
     idx = VectorIndex(index_dir)
     return idx.search(Q, k=k, query_ids=qids)

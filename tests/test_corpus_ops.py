@@ -494,6 +494,52 @@ def test_vector_index_persisted_exact_and_prunes(tmp_path):
     assert man2 == man
 
 
+def test_vector_index_tiny_corpus(tmp_path):
+    """Regression (r2 ADVICE): a corpus smaller than the minimum auto cell
+    count (16) must still build — per-cell arrays are sized by the trained
+    centroid count, not the requested one."""
+    import ray
+
+    from oboyu_ray.state.vector_index import VectorIndex, build_vector_index
+    from oboyu_ray.stages.simsearch import brute_force_cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((5, 8))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(5), type=pa.int64()),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+    }))
+    idx_dir = str(tmp_path / "tiny")
+    man = build_vector_index(ds, idx_dir)  # auto sizing clamps to 16 > 5
+    assert man["n_vectors"] == 5 and man["n_cells"] <= 5
+    idx = VectorIndex(idx_dir)
+    got = idx.search(vecs[:2], k=3, query_ids=(0, 1))
+    want = brute_force_cosine_topk(ds, k=3, query_ids=(0, 1))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+        check_dtype=False,
+    )
+
+
+def test_arrowvec_vec_matrix():
+    """Zero-copy list-column decode: variable list, fixed_size_list, sliced
+    and chunked inputs all reshape to the same matrix; ragged rows raise."""
+    from oboyu_ray.functions.arrowvec import matrix_to_fixed_list, vec_matrix
+
+    M = np.arange(24, dtype=np.float32).reshape(6, 4)
+    var = pa.array([r.tolist() for r in M], type=pa.list_(pa.float32()))
+    assert (vec_matrix(var) == M).all()
+    assert (vec_matrix(var.slice(2, 3)) == M[2:5]).all()
+    assert (vec_matrix(pa.chunked_array([var.slice(0, 2), var.slice(2, 4)])) == M).all()
+    fixed = matrix_to_fixed_list(M, dtype=pa.float32())
+    assert pa.types.is_fixed_size_list(fixed.type)
+    assert (vec_matrix(fixed) == M).all()
+    assert (vec_matrix(fixed.slice(1, 4)) == M[1:5]).all()
+    with pytest.raises(ValueError, match="ragged"):
+        vec_matrix(pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64())))
+
+
 def test_mcp_stdio_transport(tmp_path):
     """Drive search / index_directory / get_index_info through the MCP
     JSON-RPC transport layer (newline-delimited, in-process streams) —
