@@ -4,7 +4,7 @@ merging.
 Driver-side operators over small top-k frames (ids + scores) — matching the
 reference, where these run over ≤ limit×multiplier results
 (SURVEY §2-J5/K3/§2.8).  Semantics verified against importlib-loaded
-reference classes in tests/test_ranking.py:
+reference classes in tests/test_textproc.py:
 
 * rrf_combine        — Reciprocal Rank Fusion, rrf_k=60 default:
                        S(d) = Σ_lists 1/(k + rank_list(d)), ranks 1-based in

@@ -40,8 +40,7 @@ extreme scale) and the final verified pair list.
 from __future__ import annotations
 
 import hashlib
-import zlib
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -72,33 +71,60 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64)
 
 
-def _word_trigrams(text: str) -> List[str]:
-    words = WORD_RE.findall((text or "").lower())
-    if len(words) < SHINGLE_WORDS:
-        return []
-    return list(
-        {
-            " ".join(words[i : i + SHINGLE_WORDS])
-            for i in range(len(words) - SHINGLE_WORDS + 1)
-        }
-    )
+def _flat_word_hashes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
+    """Every word of every text hashed in ONE vectorized pass.
+
+    Tokenization stays per-doc (WORD_RE.findall is a C-speed call), but the
+    hashing — the former per-word Python md5 hotspot — is the bulk FNV-1a +
+    splitmix64 kernel from ``sketch._hash64`` over a single packed Arrow
+    string array.  Returns (word_hashes uint64 flat, word counts per text).
+    """
+    from oboyu_ray.stages.sketch import _hash64
+
+    words: List[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = WORD_RE.findall((t or "").lower())
+        counts[i] = len(w)
+        words.extend(w)
+    if not words:
+        return np.zeros(0, dtype=np.uint64), counts
+    return _hash64(pa.array(words, type=pa.string())), counts
+
+
+def _batch_shingle_hashes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
+    """Distinct word-trigram shingle hashes for a whole batch, vectorized.
+
+    Trigram hash = order-sensitive splitmix64 chain over the three word
+    hashes (64-bit: crc32 collides too easily at corpus scale).  Returns
+    (doc_idx int64, hashes uint64) with doc_idx ascending and hashes sorted
+    unique within each doc run — ready for ``np.searchsorted`` slicing.
+    """
+    from oboyu_ray.stages.sketch import _splitmix64
+
+    wh, counts = _flat_word_hashes(texts)
+    n = len(wh)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    starts = np.cumsum(counts) - counts
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    valid = pos <= np.repeat(counts, counts) - SHINGLE_WORDS
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    h = _splitmix64(wh[idx] ^ _splitmix64(wh[idx + 1] ^ _splitmix64(wh[idx + 2])))
+    d = doc_of[idx]
+    order = np.lexsort((h, d))
+    h, d = h[order], d[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    return d[keep], h[keep]
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
-    """Distinct word-trigram shingles as stable uint64 hashes (md5-based:
-    crc32 collides too easily at corpus scale)."""
-    tris = _word_trigrams(text)
-    if not tris:
-        return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-            for t in tris
-        ),
-        dtype=np.uint64,
-        count=len(tris),
-    )
-    return np.unique(out)
+    """Single-doc convenience wrapper over the batch kernel."""
+    return _batch_shingle_hashes([text])[1]
 
 
 # ---------------------------------------------------------------- exact
@@ -270,18 +296,12 @@ def shingle_rows(
     """flat (shingle: uint64-as-int64, doc) rows, distinct per doc."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sh: List[int] = []
-        docs: List[int] = []
-        for d, t in zip(ids, texts):
-            h = _shingle_hashes(t).view(np.int64)
-            sh.extend(h.tolist())
-            docs.extend([int(d)] * len(h))
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        d, h = _batch_shingle_hashes(batch.column(text_col).to_pylist())
         return pa.table(
             {
-                "shingle": pa.array(sh, type=pa.int64()),
-                id_col: pa.array(docs, type=pa.int64()),
+                "shingle": pa.array(h.view(np.int64), type=pa.int64()),
+                id_col: pa.array(ids[d], type=pa.int64()),
             }
         )
 
@@ -366,9 +386,12 @@ def _verify_pairs_exact(
 
     def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
         is_set = g["pair_a"].to_numpy() < 0
+        set_docs = g.loc[is_set, "doc"].to_numpy(dtype=np.int64)
+        di, dh = _batch_shingle_hashes(g.loc[is_set, "text"].tolist())
+        bounds = np.searchsorted(di, np.arange(len(set_docs) + 1))
         sets = {
-            int(d): _shingle_hashes(t)
-            for d, t in zip(g.loc[is_set, "doc"], g.loc[is_set, "text"])
+            int(set_docs[i]): dh[bounds[i] : bounds[i + 1]]
+            for i in range(len(set_docs))
         }
         pr = g.loc[~is_set]
         blobs = [
@@ -399,30 +422,59 @@ def _verify_pairs_exact(
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        out_a: List[int] = []
-        out_b: List[int] = []
-        out_j: List[int] = []
-        for (da, db), sub in g.groupby(["pair_a", "pair_b"], sort=False):
-            docs = sub["doc"].to_numpy()
-            ra = sub["blob"].to_numpy()[docs == da]
-            rb = sub["blob"].to_numpy()[docs == db]
-            if not len(ra) or not len(rb):
-                continue
-            sa = np.frombuffer(ra[0], dtype=np.uint64)
-            sb = np.frombuffer(rb[0], dtype=np.uint64)
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            ni = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac = ni / (len(sa) + len(sb) - ni)
-            if jac >= tau:
-                out_a.append(int(da))
-                out_b.append(int(db))
-                out_j.append(micros(jac))
+        """Exact Jaccard for every candidate pair in the bucket, with NO
+        per-pair Python loop: both endpoint sets are already sorted-unique
+        uint64 blobs, so |A∩B| for ALL pairs at once is one lexsort over
+        (pair, hash) + an adjacent-duplicate count."""
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.zeros(0, dtype=np.int64),
+                "doc_b": np.zeros(0, dtype=np.int64),
+                "jaccard_micros": np.zeros(0, dtype=np.int64),
+            }
+        )
+        pa_ids = g["pair_a"].to_numpy(dtype=np.int64)
+        pb_ids = g["pair_b"].to_numpy(dtype=np.int64)
+        docs = g["doc"].to_numpy(dtype=np.int64)
+        blobs = g["blob"].to_numpy()
+        side = np.where(docs == pa_ids, 0, np.where(docs == pb_ids, 1, -1))
+        keys = np.stack([pa_ids, pb_ids], axis=1)
+        uniq, pidx = np.unique(keys, axis=0, return_inverse=True)
+        # first blob row per (pair, side); pairs missing a side are dropped
+        slot = np.full((len(uniq), 2), -1, dtype=np.int64)
+        valid = side >= 0
+        order = np.lexsort((side[valid], pidx[valid]))
+        vrows = np.flatnonzero(valid)[order]
+        ps, ss = pidx[vrows], side[vrows]
+        first = np.r_[True, (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])]
+        slot[ps[first], ss[first]] = vrows[first]
+        sizes = np.fromiter((len(b) // 8 for b in blobs), dtype=np.int64, count=len(blobs))
+        ok = (slot[:, 0] >= 0) & (slot[:, 1] >= 0)
+        ok &= (sizes[slot[:, 0]] > 0) & (sizes[slot[:, 1]] > 0)
+        pok = np.flatnonzero(ok)
+        if len(pok) == 0:
+            return empty
+        la = sizes[slot[pok, 0]]
+        lb = sizes[slot[pok, 1]]
+        hcat = np.concatenate(
+            [
+                np.frombuffer(blobs[slot[p, s]], dtype=np.uint64)
+                for p in pok
+                for s in (0, 1)
+            ]
+        )
+        pair_rep = np.repeat(np.arange(len(pok)), la + lb)
+        o = np.lexsort((hcat, pair_rep))
+        hs, pr = hcat[o], pair_rep[o]
+        dup = (hs[1:] == hs[:-1]) & (pr[1:] == pr[:-1])
+        ni = np.bincount(pr[1:][dup], minlength=len(pok))
+        jac = ni / (la + lb - ni)
+        keep = jac >= tau
         return pd.DataFrame(
             {
-                "doc_a": np.asarray(out_a, dtype=np.int64),
-                "doc_b": np.asarray(out_b, dtype=np.int64),
-                "jaccard_micros": np.asarray(out_j, dtype=np.int64),
+                "doc_a": uniq[pok[keep], 0],
+                "doc_b": uniq[pok[keep], 1],
+                "jaccard_micros": micros(jac[keep]).astype(np.int64),
             }
         )
 
@@ -471,6 +523,7 @@ def ngram_jaccard_pairs(
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 4 rows per band
 _MERSENNE = np.uint64((1 << 61) - 1)
+MINHASH_SLAB = 1 << 16  # shingles per (shingles × num_perm) hash-matrix pass
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
@@ -512,24 +565,49 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        lsh_keys: List[int] = []
-        docs: List[int] = []
-        for d, t in zip(ids, texts):
-            sh = _shingle_hashes(t)
-            if len(sh) == 0:
-                continue
-            sig = _minhash_sig(sh, a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                # (band, band-content-hash) folded into one int64 key
-                lsh_keys.append((bi << 33) | zlib.crc32(chunk.tobytes()))
-                docs.append(int(d))
+        from oboyu_ray.stages.sketch import _splitmix64
+
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        d, sh = _batch_shingle_hashes(batch.column(text_col).to_pylist())
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "lshkey": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        # per-doc run boundaries (docs without shingles are absent from d,
+        # matching the old per-doc `continue`)
+        doc_starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        present = d[doc_starts]
+        # signature = segment-min of (a*x+b) & M61 — slabbed so the
+        # (shingles × num_perm) hash matrix stays bounded per pass
+        sig_parts: List[np.ndarray] = []
+        i = 0
+        while i < len(doc_starts):
+            j = i + 1
+            while j < len(doc_starts) and doc_starts[j] - doc_starts[i] < MINHASH_SLAB:
+                j += 1
+            lo = doc_starts[i]
+            hi = doc_starts[j] if j < len(doc_starts) else len(sh)
+            with np.errstate(over="ignore"):
+                H = (sh[lo:hi, None] * a[None, :] + b[None, :]) & _MERSENNE
+            sig_parts.append(np.minimum.reduceat(H, doc_starts[i:j] - lo, axis=0))
+            i = j
+        sig = np.concatenate(sig_parts)  # (n_docs_present, num_perm)
+        # band key = (band, 32-bit fold of the band's rows) — chained
+        # splitmix64 over each row, vectorized across all docs at once
+        chunk = sig.reshape(len(present), bands, rows_per_band)
+        acc = np.zeros((len(present), bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = _splitmix64(acc ^ chunk[:, :, r])
+        keys = (np.arange(bands, dtype=np.int64)[None, :] << 33) | (
+            acc & np.uint64(0xFFFFFFFF)
+        ).astype(np.int64)
         return pa.table(
             {
-                "lshkey": pa.array(lsh_keys, type=pa.int64()),
-                id_col: pa.array(docs, type=pa.int64()),
+                "lshkey": pa.array(keys.ravel(), type=pa.int64()),
+                id_col: pa.array(np.repeat(ids[present], bands), type=pa.int64()),
             }
         )
 
@@ -544,23 +622,38 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits each → complete for hamming <= 3
 
 
-def _simhash(text: str) -> int:
-    """64-bit SimHash over word features weighted by term frequency."""
-    words = WORD_RE.findall((text or "").lower())
-    if not words:
-        return 0
-    from collections import Counter
+def _batch_simhash(texts: Sequence[Optional[str]]) -> np.ndarray:
+    """64-bit SimHash over word features weighted by term frequency, for a
+    whole batch in one vectorized pass (wordless docs hash to 0).
 
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for w, tf in Counter(words).items():
-        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
-        bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
-        acc += (bits.astype(np.int64) * 2 - 1) * tf
-    out = 0
-    for i in range(SIMHASH_BITS):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    Per-(doc, word) term frequencies come from a sort + run-length pass;
+    the 64 bit-planes accumulate via ``np.add.reduceat`` over the per-doc
+    runs — no per-word Python loop anywhere."""
+    wh, counts = _flat_word_hashes(texts)
+    sig = np.zeros(len(texts), dtype=np.uint64)
+    if len(wh) == 0:
+        return sig
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((wh, doc_of))
+    h, d = wh[order], doc_of[order]
+    new = np.ones(len(h), dtype=bool)
+    new[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    grp = np.cumsum(new) - 1
+    tf = np.bincount(grp).astype(np.int32)
+    hu, du = h[new], d[new]  # distinct (doc, word-hash) pairs, doc-sorted
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    bits = ((hu[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+    w = (2 * bits - 1) * tf[:, None]
+    dstarts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+    acc = np.add.reduceat(w, dstarts, axis=0)  # (docs_present, 64)
+    on = (acc > 0).astype(np.uint64)
+    sig[du[dstarts]] = (on << bit_idx[None, :]).sum(axis=1).astype(np.uint64)
+    return sig
+
+
+def _simhash(text: str) -> int:
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(_batch_simhash([text])[0])
 
 
 def simhash_pairs(
@@ -579,25 +672,20 @@ def simhash_pairs(
     assert hamming_max < SIMHASH_BANDS, "blocking completeness needs hamming < bands"
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        keys: List[int] = []
-        docs: List[int] = []
-        sigs: List[int] = []
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        s = _batch_simhash(batch.column(text_col).to_pylist())  # (n_docs,)
         width = SIMHASH_BITS // SIMHASH_BANDS
-        mask = (1 << width) - 1
-        for d, t in zip(ids, texts):
-            s = _simhash(t)
-            for bi in range(SIMHASH_BANDS):
-                # (band, band-bits) folded into one int64 key
-                keys.append((bi << (width + 1)) | ((s >> (bi * width)) & mask))
-                docs.append(int(d))
-                sigs.append(s)
+        mask = np.uint64((1 << width) - 1)
+        bi = np.arange(SIMHASH_BANDS, dtype=np.uint64)
+        # (band, band-bits) folded into one int64 key, all docs at once
+        keys = (bi.astype(np.int64)[None, :] << (width + 1)) | (
+            (s[:, None] >> (bi[None, :] * np.uint64(width))) & mask
+        ).astype(np.int64)
         return pa.table(
             {
-                "shkey": pa.array(keys, type=pa.int64()),
-                id_col: pa.array(docs, type=pa.int64()),
-                "sig": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+                "shkey": pa.array(keys.ravel(), type=pa.int64()),
+                id_col: pa.array(np.repeat(ids, SIMHASH_BANDS), type=pa.int64()),
+                "sig": pa.array(np.repeat(s.view(np.int64), SIMHASH_BANDS)),
             }
         )
 

@@ -49,6 +49,15 @@ class SigCache:
     def sha(self, path: str, st: os.stat_result) -> str:
         key = f"{path}:{st.st_size}:{st.st_mtime_ns}"
         if key not in self.data:
+            # evict superseded stat keys for the same path so touch/rewrite
+            # cycles don't grow the persisted cache without bound
+            prefix = f"{path}:"
+            stale = [
+                k for k in self.data
+                if k.startswith(prefix) and k.rsplit(":", 2)[0] == path
+            ]
+            for k in stale:
+                del self.data[k]
             self.data[key] = content_hash(path)
         return self.data[key]
 

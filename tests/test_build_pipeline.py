@@ -821,3 +821,26 @@ def test_two_level_merge_identical(built, engine):
             assert x["doc_num"].tolist() == y["doc_num"].tolist()
     finally:
         eng2.close()
+
+
+def test_sigcache_evicts_superseded_stat_keys(tmp_path):
+    """Regression (r2 ADVICE): touch/rewrite cycles must not grow the
+    persisted sig cache — a new stat key for a path evicts the old ones."""
+    import os
+
+    from oboyu_ray.state.checkpoint import SigCache
+
+    f = tmp_path / "a.parquet"
+    f.write_bytes(b"hello")
+    cache = SigCache(str(tmp_path / "sig_cache.json"))
+    s1 = cache.sha(str(f), os.stat(str(f)))
+    for i in range(5):
+        os.utime(str(f), ns=(1_000_000_000 * (i + 1),) * 2)
+        assert cache.sha(str(f), os.stat(str(f))) == s1
+        assert len(cache.data) == 1  # superseded keys evicted
+    f.write_bytes(b"world!")
+    s2 = cache.sha(str(f), os.stat(str(f)))
+    assert s2 != s1 and len(cache.data) == 1
+    cache.save()
+    reloaded = SigCache(str(tmp_path / "sig_cache.json"))
+    assert reloaded.data == cache.data
