@@ -41,22 +41,29 @@ CC_BUCKETS = 64
 CC_MAX_ITERS = 50
 
 
-def connected_components(
+def connected_components_ds(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     n_buckets: int = CC_BUCKETS,
     max_iters: int = CC_MAX_ITERS,
     _stats: dict | None = None,
-) -> pd.DataFrame:
-    """(doc_a, doc_b) edge Dataset → (doc_id, component) with component =
-    min node id of the connected component.  Nodes are the edge endpoints
-    (singletons are their own trivial component and need no row)."""
-    empty = pd.DataFrame(
-        {"doc_id": pd.Series(dtype=np.int64), "component": pd.Series(dtype=np.int64)}
-    )
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b) edge Dataset → (doc_id, component) Dataset with
+    component = min node id of the connected component.  Nodes are the edge
+    endpoints (singletons are their own trivial component and need no row).
+    The labels never land on the driver — consumers that need a driver
+    frame use ``connected_components``; Dataset-native flows (EDC entity
+    dedup) cogroup against this result directly."""
     if pairs.count() == 0:
-        return empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "component": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     def to_edges(t: pa.Table) -> pa.Table:
         a = t.column(a_col).to_numpy().astype(np.int64)
         b = t.column(b_col).to_numpy().astype(np.int64)
@@ -258,7 +265,35 @@ def connected_components(
     if _stats is not None:
         _stats["iters"] = iters
 
-    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "component": t.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_buckets: int = CC_BUCKETS,
+    max_iters: int = CC_MAX_ITERS,
+    _stats: dict | None = None,
+) -> pd.DataFrame:
+    """Driver-frame wrapper over ``connected_components_ds`` (labels are
+    |nodes-with-edges|-sized — small relative to the corpus for near-dup
+    graphs, so a driver frame is the convenient query-result shape)."""
+    out = connected_components_ds(
+        pairs, a_col, b_col, n_buckets, max_iters, _stats
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "component": pd.Series(dtype=np.int64)}
+        )
     out = out.drop_duplicates("doc_id").sort_values("doc_id").reset_index(drop=True)
     return out.astype({"doc_id": np.int64, "component": np.int64})
 

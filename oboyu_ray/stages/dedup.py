@@ -127,6 +127,41 @@ def _shingle_hashes(text: str) -> np.ndarray:
     return _batch_shingle_hashes([text])[1]
 
 
+def _batch_char_bigram_hashes(
+    texts: Sequence[Optional[str]],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Distinct character-bigram hashes per text, batch-vectorized — the
+    feature set of the EDC name-merge verifier (kg.token_jaccard_verify):
+    lowercase, spaces removed, bigrams; a string shorter than 2 chars is its
+    own single feature.  Same (doc_idx, sorted-unique hashes) contract as
+    ``_batch_shingle_hashes`` so ``_verify_pairs_exact`` can use either."""
+    from oboyu_ray.stages.sketch import _hash64, _splitmix64
+
+    cleaned = [(t or "").lower().replace(" ", "") for t in texts]
+    counts = np.fromiter((len(s) for s in cleaned), dtype=np.int64, count=len(cleaned))
+    blob = "".join(cleaned)
+    if not blob:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    ch = _hash64(pa.array(list(blob), type=pa.string()))
+    starts = np.cumsum(counts) - counts
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(len(ch), dtype=np.int64) - np.repeat(starts, counts)
+    # bigram rows: positions 0..len-2 of each doc; len-1 docs contribute
+    # their single char as the whole-string feature
+    big = pos <= np.repeat(counts, counts) - 2
+    idx = np.flatnonzero(big)
+    h = _splitmix64(ch[idx] ^ _splitmix64(ch[idx + 1]))
+    d = doc_of[idx]
+    single = np.flatnonzero(np.repeat(counts, counts) == 1)
+    h = np.concatenate([h, _splitmix64(ch[single])])
+    d = np.concatenate([d, doc_of[single]])
+    order = np.lexsort((h, d))
+    h, d = h[order], d[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    return d[keep], h[keep]
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
@@ -322,10 +357,12 @@ def _verify_pairs_exact(
     id_col: str,
     text_col: str,
     n_buckets: int = PAIR_BUCKETS,
+    shingler=None,
 ) -> pd.DataFrame:
     """DISTRIBUTED exact-Jaccard verification of candidate (doc_a, doc_b)
     pairs against true shingle sets — shared by the ngram and MinHash
-    families.  No shingle set and no pair list ever materializes on the
+    families (word-trigram shingler, the default) and EDC name merging
+    (char-bigram shingler).  No shingle set and no pair list ever materializes on the
     driver; the only driver-held state is the distinct candidate-doc id
     array used as a semi-join pushdown filter (one int64 per near-dup doc;
     a bloom filter replaces it at extreme scale).
@@ -337,6 +374,7 @@ def _verify_pairs_exact(
     sides together and computes exact Jaccard.  Every reduce is bucketed
     (B groups, vectorized inside), so group count stays bounded and hot
     docs amortize across their bucket."""
+    shingler = shingler or _batch_shingle_hashes
     candidates = candidates.materialize()  # small post-pruning set, reused 2x
     parts = [
         np.unique(np.concatenate(
@@ -387,7 +425,7 @@ def _verify_pairs_exact(
     def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
         is_set = g["pair_a"].to_numpy() < 0
         set_docs = g.loc[is_set, "doc"].to_numpy(dtype=np.int64)
-        di, dh = _batch_shingle_hashes(g.loc[is_set, "text"].tolist())
+        di, dh = shingler(g.loc[is_set, "text"].tolist())
         bounds = np.searchsorted(di, np.arange(len(set_docs) + 1))
         sets = {
             int(set_docs[i]): dh[bounds[i] : bounds[i + 1]]

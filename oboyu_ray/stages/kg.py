@@ -318,92 +318,249 @@ def token_jaccard_verify(name_a: str, name_b: str) -> Tuple[bool, float]:
     return j >= 0.5, j
 
 
+EDC_BUCKETS = 32
+EDC_COLUMNS = [
+    "entity_id", "name", "entity_type", "normalized_name",
+    "canonical_id", "canonical_name", "is_canonical",
+]
+
+
+def edc_dedup_entities_ds(
+    entities: "ray.data.Dataset",
+    similarity_threshold: float = 0.85,
+    verification_threshold: float = 0.8,
+    n_buckets: int = EDC_BUCKETS,
+) -> "ray.data.Dataset":
+    """EDC pipeline over an entities Dataset (entity_id, name, entity_type)
+    — Dataset-native end to end (reference parity target:
+    edc_deduplication_service.py:112-357, an O(n²) in-process loop).
+
+    normalize (map_batches) → merge edges from (a) exact normalized-name
+    groups, a bucketed reduce, and (b) near-name candidates via the
+    distributed cell-routed cosine operator, verified by char-bigram
+    Jaccard inside the pair-bucketed cogroup (the LLM-verify seam's
+    deterministic fake) → canonical components via the Dataset-native
+    connected-components operator → component attach + canonical pick as
+    two more bucketed cogroups.  Entity tables grow with corpus vocabulary,
+    so no stage holds the table on the driver; the only driver-held
+    intermediates are the verified MERGE PAIRS (|near-dup merges|-sized,
+    the same pattern as embedding_cosine_pairs) and per-type counts.
+
+    Returns the table + (normalized_name, canonical_id, canonical_name,
+    is_canonical)."""
+    from oboyu_ray.functions.embed import FakeEmbedder
+    from oboyu_ray.stages.components import connected_components_ds
+    from oboyu_ray.stages.dedup import (
+        _batch_char_bigram_hashes,
+        _verify_pairs_exact,
+        embedding_cosine_pairs,
+    )
+    from oboyu_ray.stages.sketch import _hash64, _splitmix64
+
+    def prep_batch(t: pa.Table) -> pa.Table:
+        names = t.column("name").to_pylist()
+        types = t.column("entity_type").to_pylist()
+        norm = [normalize_entity_name(n, ty) for n, ty in zip(names, types)]
+        # stable non-negative int64 node ids for the component step
+        node = (_hash64(t.column("entity_id")) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "entity_id": t.column("entity_id").cast(pa.string()),
+                "name": t.column("name").cast(pa.string()),
+                "entity_type": t.column("entity_type").cast(pa.string()),
+                "normalized_name": pa.array(norm, type=pa.string()),
+                "node": pa.array(node, type=pa.int64()),
+            }
+        )
+
+    prep = entities.map_batches(prep_batch, batch_format="pyarrow").materialize()
+
+    # (a) exact normalized-name groups within a type → always merge.
+    # Bucketed by hash(normalized_name, type) so each reduce task handles
+    # B⁻¹ of the key space; inside a bucket the min-node-per-key edge list
+    # is one vectorized sort + run-length pass.
+    def add_kb(t: pa.Table) -> pa.Table:
+        kh = _splitmix64(
+            _hash64(t.column("normalized_name")) ^ _hash64(t.column("entity_type"))
+        )
+        return t.append_column(
+            "kb", pa.array((kh % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def exact_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["entity_type", "normalized_name", "node"], kind="mergesort")
+        new_key = (
+            g["entity_type"].ne(g["entity_type"].shift())
+            | g["normalized_name"].ne(g["normalized_name"].shift())
+        ).to_numpy()
+        nodes = g["node"].to_numpy(dtype=np.int64)
+        first = np.maximum.accumulate(np.where(new_key, np.arange(len(g)), 0))
+        rest = ~new_key
+        return pd.DataFrame({"doc_a": nodes[first[rest]], "doc_b": nodes[rest]})
+
+    exact_edge_ds = (
+        prep.map_batches(add_kb, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(exact_edges, batch_format="pandas")
+    )
+
+    # (b) near-name candidates within a type via the DISTRIBUTED cell-routed
+    # cosine operator over fake char-feature embeddings of normalized names
+    # (character-unigram features: single-word names share characters,
+    # whole-word hashing would make every distinct name orthogonal).  Types
+    # are a bounded enum (reference entity types), so the per-type loop is
+    # O(1) driver iterations, each fully distributed.
+    tdf = prep.groupby("entity_type").count().to_pandas()
+    cnt_col = [c for c in tdf.columns if c != "entity_type"][0]
+    cand_frames: List[pd.DataFrame] = []
+    for ty, cnt in zip(tdf["entity_type"], tdf[cnt_col]):
+        if int(cnt) < 2:
+            continue
+
+        def embed_names(t: pa.Table, ty=ty) -> pa.Table:
+            sel = t.filter(pc.equal(t.column("entity_type"), ty))
+            emb = FakeEmbedder(dim=64, prefix="")
+            vecs = [
+                emb._encode_one(" ".join(n)).tolist()
+                for n in sel.column("normalized_name").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "vec_id": sel.column("node"),
+                    "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+                }
+            )
+
+        cand = embedding_cosine_pairs(
+            prep.map_batches(embed_names, batch_format="pyarrow"),
+            tau=similarity_threshold,
+        )
+        if len(cand):
+            cand_frames.append(
+                cand.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})[
+                    ["doc_a", "doc_b"]
+                ]
+            )
+
+    # verify candidates with the LLM-seam fake (char-bigram Jaccard ≥
+    # max(0.5, verification_threshold)) INSIDE the pair-bucketed cogroup —
+    # names attach by node bucket, Jaccard computes per pair bucket.
+    edge_sets = [exact_edge_ds]
+    if cand_frames:
+        verified = _verify_pairs_exact(
+            prep,
+            ray.data.from_pandas(pd.concat(cand_frames, ignore_index=True)),
+            tau=max(0.5, verification_threshold),
+            id_col="node",
+            text_col="normalized_name",
+            shingler=_batch_char_bigram_hashes,
+        )
+        if len(verified):
+            edge_sets.append(
+                ray.data.from_pandas(verified[["doc_a", "doc_b"]].astype(np.int64))
+            )
+
+    edges = edge_sets[0]
+    for e in edge_sets[1:]:
+        edges = edges.union(e)
+    labels = connected_components_ds(edges)
+
+    # component attach (node-bucketed cogroup: label rows meet entity rows;
+    # unlabeled nodes are their own singleton component) …
+    def ent_rows(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "component", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "entity_id": pa.nulls(n, type=pa.string()),
+                "name": pa.nulls(n, type=pa.string()),
+                "entity_type": pa.nulls(n, type=pa.string()),
+                "normalized_name": pa.nulls(n, type=pa.string()),
+                "node": t.column("doc_id").cast(pa.int64()),
+                "component": t.column("component").cast(pa.int64()),
+            }
+        )
+
+    def add_nb(t: pa.Table) -> pa.Table:
+        nb = t.column("node").to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        return t.append_column("nb", pa.array(nb.astype(np.int64)))
+
+    def attach_component(g: pd.DataFrame) -> pd.DataFrame:
+        is_label = g["entity_id"].isna().to_numpy()
+        comp = dict(
+            zip(
+                g.loc[is_label, "node"].to_numpy(dtype=np.int64),
+                g.loc[is_label, "component"].to_numpy(dtype=np.int64),
+            )
+        )
+        e = g.loc[~is_label].copy()
+        nodes = e["node"].to_numpy(dtype=np.int64)
+        e["component"] = np.fromiter(
+            (comp.get(n, n) for n in nodes), dtype=np.int64, count=len(nodes)
+        )
+        return e.drop(columns=["nb"])
+
+    attached = (
+        prep.map_batches(ent_rows, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        .map_batches(add_nb, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(attach_component, batch_format="pandas")
+    )
+
+    # … then canonical pick per component (component-bucketed cogroup:
+    # canonical = the min-node member, matching exact_dedup's keep-first
+    # rule; all members of a component share its bucket by construction).
+    def add_cb(t: pa.Table) -> pa.Table:
+        cb = t.column("component").to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        return t.append_column("cb", pa.array(cb.astype(np.int64)))
+
+    def canonicalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "node"], kind="mergesort")
+        canon = g.groupby("component", sort=False)[["entity_id", "name"]].first()
+        g = g.merge(
+            canon.rename(
+                columns={"entity_id": "canonical_id", "name": "canonical_name"}
+            ),
+            left_on="component",
+            right_index=True,
+        )
+        g["is_canonical"] = (g["entity_id"] == g["canonical_id"]).astype(np.int64)
+        return g[EDC_COLUMNS]
+
+    return (
+        attached.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(canonicalize, batch_format="pandas")
+    )
+
+
 def edc_dedup_entities(
-    entities: pd.DataFrame,
+    entities,
     similarity_threshold: float = 0.85,
     verification_threshold: float = 0.8,
 ) -> pd.DataFrame:
-    """EDC pipeline over an entities table (entity_id, name, entity_type):
-    normalize → candidates (same normalized name, or fake-embedding cosine
-    ≥ threshold within a type) → verify (token-Jaccard fake) → canonical
-    components via distributed connected components.
-
-    Returns the table + (normalized_name, canonical_id, canonical_name,
-    is_canonical).  Candidate generation and the transitive closure are
-    the distributed operators; the per-pair verification here is a
-    vectorizable pure function.
-    """
-    from oboyu_ray.stages.components import connected_components
-
-    df = entities.reset_index(drop=True).copy()
-    df["normalized_name"] = [
-        normalize_entity_name(n, t) for n, t in zip(df["name"], df["entity_type"])
-    ]
-    # stable int64 node ids for the component step
-    df["node"] = [
-        int.from_bytes(hashlib.md5(e.encode()).digest()[:8], "little") >> 1
-        for e in df["entity_id"]
-    ]
-
-    pairs: List[Tuple[int, int]] = []
-    # (a) exact normalized-name groups within a type → always merge
-    for _, g in df.groupby(["normalized_name", "entity_type"], sort=False):
-        nodes = sorted(g["node"].tolist())
-        pairs.extend((nodes[0], n) for n in nodes[1:])
-    # (b) near-name candidates within a type via the DISTRIBUTED cell-routed
-    #     cosine operator (no driver matmul — the same scaling fix r1's
-    #     review demanded of embedding dedup applies to entity tables, which
-    #     grow with the corpus vocabulary): fake char-feature embeddings of
-    #     normalized names, exact pairs ≥ threshold, then the LLM-verify
-    #     seam per surviving pair (pairs, not candidates, are driver-small)
-    from oboyu_ray.functions.embed import FakeEmbedder
-    from oboyu_ray.stages.dedup import embedding_cosine_pairs
-
-    emb = FakeEmbedder(dim=64, prefix="")
-    name_by_node = dict(zip(df["node"], df["normalized_name"]))
-    for _, g in df.groupby("entity_type", sort=False):
-        if len(g) < 2:
-            continue
-        # character-unigram features: single-word names share characters,
-        # whole-word hashing would make every distinct name orthogonal
-        vecs = [emb._encode_one(" ".join(list(n))) for n in g["normalized_name"]]
-        ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "vec_id": pa.array(g["node"].to_numpy(dtype=np.int64), type=pa.int64()),
-                    "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float64())),
-                }
-            )
-        )
-        cand = embedding_cosine_pairs(ds, tau=similarity_threshold)
-        for a, b in cand[["vec_a", "vec_b"]].itertuples(index=False):
-            ok, conf = token_jaccard_verify(name_by_node[int(a)], name_by_node[int(b)])
-            if ok and conf >= verification_threshold:
-                pairs.append((int(a), int(b)))
-
-    if pairs:
-        pairs_ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([a for a, _ in pairs], type=pa.int64()),
-                    "doc_b": pa.array([b for _, b in pairs], type=pa.int64()),
-                }
-            )
-        )
-        cc = connected_components(pairs_ds)
-        comp = dict(zip(cc["doc_id"], cc["component"]))
-    else:
-        comp = {}
-    df["component"] = [comp.get(n, n) for n in df["node"]]
-    canon = (
-        df.sort_values(["component", "node"], kind="mergesort")
-        .groupby("component", sort=False)
-        .first()[["entity_id", "name"]]
-        .rename(columns={"entity_id": "canonical_id", "name": "canonical_name"})
+    """Driver-frame wrapper over ``edc_dedup_entities_ds`` — accepts a
+    pandas frame or a Dataset, returns a pandas frame (the convenient shape
+    for query results and the GraphRAG funnel)."""
+    ds = (
+        entities
+        if isinstance(entities, ray.data.Dataset)
+        else ray.data.from_pandas(entities.reset_index(drop=True))
     )
-    df = df.merge(canon, left_on="component", right_index=True)
-    df["is_canonical"] = (df["entity_id"] == df["canonical_id"]).astype(np.int64)
-    return df.drop(columns=["node", "component"]).reset_index(drop=True)
+    out = edc_dedup_entities_ds(
+        ds, similarity_threshold, verification_threshold
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in EDC_COLUMNS})
+    return (
+        out.sort_values(["entity_type", "normalized_name", "entity_id"])
+        .reset_index(drop=True)[EDC_COLUMNS]
+    )
 
 
 # ------------------------------------------------------------- GraphRAG-ish

@@ -163,7 +163,11 @@ def ivf_train(
     combines.  Initialization = the first ``n_cells`` rows in input order,
     sorted by id (seedless, reproducible, and id-agnostic — callers may
     key vectors by arbitrary int64 ids, e.g. hashed entity ids)."""
-    init = pa.concat_tables(ray.get(ds.limit(n_cells).to_arrow_refs()))
+    # drop the zero-row zero-column blocks Ray aggregates can emit — they
+    # carry an empty schema that breaks concat
+    init = pa.concat_tables(
+        t for t in ray.get(ds.limit(n_cells).to_arrow_refs()) if t.num_columns
+    )
     init = init.take(pc.sort_indices(init.column(id_col)))
     C = _normalize_rows(vec_matrix(init.column(vec_col)))
 

@@ -826,6 +826,20 @@ def test_kg_edc_dedup_and_graphrag():
     # exactly one canonical per component
     assert (out.groupby("canonical_id")["is_canonical"].sum() == 1).all()
 
+    # Dataset-native path: Dataset in → Dataset out, same rows as the wrapper
+    import ray as _ray
+
+    from oboyu_ray.stages.kg import edc_dedup_entities_ds
+
+    ds_out = edc_dedup_entities_ds(_ray.data.from_pandas(ents))
+    assert isinstance(ds_out, _ray.data.Dataset)
+    got = (
+        ds_out.to_pandas()
+        .sort_values(["entity_type", "normalized_name", "entity_id"])
+        .reset_index(drop=True)[out.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, out)
+
     # graphrag expansion: query entity + 1-hop neighbors
     entities = pd.DataFrame({"name": ["spark", "table", "vector"], "entity_type": ["TECHNOLOGY"] * 3})
     relations = pd.DataFrame(
@@ -964,3 +978,25 @@ def test_connected_components_random_graphs():
         cc = connected_components(pairs, n_buckets=8)
         got = dict(zip(cc["doc_id"], cc["component"]))
         assert got == want, trial
+
+
+def test_char_bigram_kernel_matches_verifier_semantics():
+    """The vectorized char-bigram kernel used for distributed EDC name
+    verification must reproduce token_jaccard_verify's feature sets:
+    lowercase, spaces removed, bigrams, whole-string feature below 2 chars
+    — so pairwise Jaccard agrees with the scalar fake verifier."""
+    from oboyu_ray.stages.dedup import _batch_char_bigram_hashes
+    from oboyu_ray.stages.kg import token_jaccard_verify
+
+    names = ["Acme Corp", "acmecorp", "Acme", "A", "トヨタ", "トヨタ自動車", "x y"]
+    d, h = _batch_char_bigram_hashes(names)
+    bounds = np.searchsorted(d, np.arange(len(names) + 1))
+    sets = [set(h[bounds[i]: bounds[i + 1]].tolist()) for i in range(len(names))]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            _, want = token_jaccard_verify(names[i], names[j])
+            si, sj = sets[i], sets[j]
+            got = len(si & sj) / len(si | sj) if si | sj else 0.0
+            assert abs(got - want) < 1e-12, (names[i], names[j], got, want)
+    # single-char names: the whole string is the one feature
+    assert len(sets[3]) == 1
