@@ -130,6 +130,15 @@ def q_text_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
 
 
+def q_text_fingerprint_fast(sf_dir: str) -> "ray.data.Dataset":
+    """Production winnow mode (Karp-Rabin rolling hash) — same window
+    semantics as the md5 oracle mode but a different hash family, so no SQL
+    oracle; pinned instead by the brute-force-rolling conformance pytest."""
+    return _docs(sf_dir).map_batches(
+        textstats.fingerprint_fast_batch, batch_format="pyarrow"
+    )
+
+
 _W = textstats.WINNOW_WINDOW
 
 SQL_TEXT_FINGERPRINT = rf"""
@@ -1185,6 +1194,7 @@ def corpus_queries() -> dict:
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
         "text_fingerprint": q_text_fingerprint,
+        "text_fingerprint_fast": q_text_fingerprint_fast,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,

@@ -286,16 +286,18 @@ class QueryEngine:
 
     # ------------------------------------------------------------ querying
 
-    def term_weights(self, terms: List[str]) -> Dict[str, float]:
-        """idf × multiplicity per unique term (duplicate query terms double-
-        count, reference bm25_indexer.py:332)."""
-        n = int(self.stats["N"])
-        dfs = self.vocab.df(terms)
+    @staticmethod
+    def _weights_from_dfs(terms: List[str], dfs: Dict[str, int], n: int) -> Dict[str, float]:
         weights: Dict[str, float] = {}
         for t in terms:
             if dfs.get(t, 0) > 0:
                 weights[t] = weights.get(t, 0.0) + idf(int(dfs[t]), n)
         return weights
+
+    def term_weights(self, terms: List[str]) -> Dict[str, float]:
+        """idf × multiplicity per unique term (duplicate query terms double-
+        count, reference bm25_indexer.py:332)."""
+        return self._weights_from_dfs(terms, self.vocab.df(terms), int(self.stats["N"]))
 
     def search_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
         weights = self.term_weights(terms)
@@ -311,10 +313,15 @@ class QueryEngine:
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
     def search_many(self, queries: List[str], k: int = 10) -> List[pd.DataFrame]:
-        """Batched search: ONE fan-out round for all queries (per-shard
-        query_many), then per-query exact merges — the throughput-serving
-        path (single-query latency is search())."""
-        weight_list = [self.term_weights(self.tokenizer.tokenize(q)) for q in queries]
+        """Batched search: ONE vocab df pass for the union of all queries'
+        terms (a single grouped point-lookup sweep instead of one per
+        query), ONE fan-out round for all queries (per-shard query_many),
+        then per-query exact merges — the throughput-serving path
+        (single-query latency is search())."""
+        token_lists = [self.tokenizer.tokenize(q) for q in queries]
+        dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
+        n = int(self.stats["N"])
+        weight_list = [self._weights_from_dfs(ts, dfs, n) for ts in token_lists]
         live = [(i, w) for i, w in enumerate(weight_list) if w]
         out: List[pd.DataFrame] = [
             pd.DataFrame({"doc_num": pd.Series(dtype=np.int64),

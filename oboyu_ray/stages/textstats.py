@@ -13,9 +13,10 @@ scale), and each has an exactly-matching DuckDB SQL oracle in
 float expressions, fixed-point ``*_micros`` outputs so value hashes are
 stable.
 
-The fingerprints use md5 (not a numeric rolling hash) so the oracle can
-reproduce them with DuckDB's ``md5()``; a production variant would swap in a
-Karp-Rabin rolling hash with identical window semantics.
+The oracle-mode fingerprints use md5 (not a numeric rolling hash) so the
+oracle can reproduce them with DuckDB's ``md5()``; the production variant
+(``fingerprint_fast_batch``) swaps in a vectorized Karp-Rabin rolling hash
+with identical window semantics.
 """
 
 from __future__ import annotations
@@ -163,6 +164,72 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
             id_col: batch.column(id_col),
             "fingerprint": pa.array(fps, type=pa.string()),
             "winnow_fingerprint": pa.array(wfps, type=pa.string()),
+        }
+    )
+
+
+# Karp-Rabin base for the production fingerprint mode: odd (invertible mod
+# 2^64) so the rolling difference trick works with a precomputed inverse.
+FP_BASE = 0x9E3779B97F4A7C15
+FP_BASE_INV = pow(FP_BASE, -1, 1 << 64)
+_FP_EMPTY = "0" * 16
+
+
+def fingerprint_fast_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = WINNOW_WINDOW,
+) -> pa.Table:
+    """Production fingerprint kernel: identical window semantics to
+    ``fingerprint_batch`` (min over every ``window``-char window of the
+    normalized text; the whole text when shorter) but with a Karp-Rabin
+    rolling hash — O(len) uint64 numpy work per batch instead of O(len)
+    Python md5 calls per doc.  Values differ from the md5 oracle mode by
+    design (different hash family); the oracle mode stays the
+    SQL-reproducible twin, this is the one a 100 TB run uses.
+
+    Scheme: all docs' normalized text concatenates into one codepoint
+    array; with prefix sums P_k = Σ_{j<k} c_j·B^j (wrapping uint64), the
+    hash of the window starting at t is (P_{t+W} − P_t)·B^{−t}, computed
+    for EVERY window of every doc in one vectorized pass, finished with a
+    splitmix64 mix (xored with the effective window length so short docs
+    don't collide with their own prefixes); per-doc min via reduceat."""
+    from oboyu_ray.stages.sketch import _splitmix64
+
+    texts = batch.column(text_col).to_pylist()
+    norms = [_normalize(t or "") for t in texts]
+    lens = np.fromiter((len(s) for s in norms), dtype=np.int64, count=len(norms))
+    blob = "".join(norms)
+    out = np.empty(len(norms), dtype=np.uint64)
+    nonempty = lens > 0
+    if blob:
+        c = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        L = len(c)
+        with np.errstate(over="ignore"):
+            pw = np.ones(L, dtype=np.uint64)
+            pinv = np.ones(L, dtype=np.uint64)
+            if L > 1:
+                pw[1:] = np.cumprod(np.full(L - 1, FP_BASE, dtype=np.uint64))
+                pinv[1:] = np.cumprod(np.full(L - 1, FP_BASE_INV, dtype=np.uint64))
+            P = np.zeros(L + 1, dtype=np.uint64)
+            P[1:] = np.cumsum(c * pw)
+            doc_starts = np.cumsum(lens) - lens
+            ne = np.flatnonzero(nonempty)
+            weff = np.minimum(lens[ne], window)
+            m = lens[ne] - weff + 1  # windows per nonempty doc
+            wstart = np.cumsum(m) - m
+            within = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(wstart, m)
+            gstart = np.repeat(doc_starts[ne], m) + within
+            gw = np.repeat(weff, m)
+            h = (P[gstart + gw] - P[gstart]) * pinv[gstart]
+            mixed = _splitmix64(h ^ gw.astype(np.uint64))
+            out[ne] = np.minimum.reduceat(mixed, wstart)
+    fps = [format(int(v), "016x") if ok else _FP_EMPTY for v, ok in zip(out, nonempty)]
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "winnow_fingerprint": pa.array(fps, type=pa.string()),
         }
     )
 

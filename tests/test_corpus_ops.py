@@ -1000,3 +1000,55 @@ def test_char_bigram_kernel_matches_verifier_semantics():
             assert abs(got - want) < 1e-12, (names[i], names[j], got, want)
     # single-char names: the whole string is the one feature
     assert len(sets[3]) == 1
+
+
+def test_fast_fingerprint_matches_bruteforce_rolling():
+    """The vectorized Karp-Rabin winnow kernel must equal a scalar
+    reference implementation of the same scheme (same base, same mix, same
+    window semantics as the md5 oracle mode) on adversarial shapes: empty,
+    shorter-than-window, exactly-window, long, repeated chars, unicode."""
+    from oboyu_ray.stages.sketch import _splitmix64
+    from oboyu_ray.stages.textstats import (
+        FP_BASE,
+        WINNOW_WINDOW,
+        _FP_EMPTY,
+        _normalize,
+        fingerprint_fast_batch,
+    )
+
+    def brute(text: str) -> str:
+        s = _normalize(text or "")
+        if not s:
+            return _FP_EMPTY
+        c = [ord(ch) for ch in s]
+        w = min(len(c), WINNOW_WINDOW)
+        best = None
+        for t in range(len(c) - w + 1):
+            h = 0
+            for j in range(w - 1, -1, -1):
+                h = (h * FP_BASE + c[t + j]) % (1 << 64)
+            m = int(_splitmix64(np.array([h ^ w], dtype=np.uint64))[0])
+            best = m if best is None else min(best, m)
+        return format(best, "016x")
+
+    rng = np.random.RandomState(3)
+    texts = [
+        "", " ", "a", "ab", "x" * WINNOW_WINDOW, "x" * (WINNOW_WINDOW + 1),
+        "The quick brown fox jumps over the lazy dog",
+        "日本語のテキスト、ウィンドウより長い文章です。", "aaaa bbbb " * 10,
+    ] + ["".join(rng.choice(list("abcdef ガナ"), size=rng.randint(1, 80))) for _ in range(30)]
+    batch = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = fingerprint_fast_batch(batch).to_pandas()["winnow_fingerprint"].tolist()
+    want = [brute(t) for t in texts]
+    assert got == want
+    # differing window content changes the value; appending a char whose
+    # windows are all already present does not (winnowing robustness)
+    one_more = fingerprint_fast_batch(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["y" * WINNOW_WINDOW, "x" * WINNOW_WINDOW])})
+    ).to_pandas()["winnow_fingerprint"].tolist()
+    assert one_more[0] != one_more[1]
+    assert got[4] == got[5]  # "x"*W vs "x"*(W+1): identical window set
