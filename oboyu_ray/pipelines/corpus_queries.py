@@ -13,6 +13,7 @@ instead (subset/recall assertions against their exact counterparts).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -1080,6 +1081,154 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_interval_join(sf_dir: str) -> "ray.data.Dataset":
+    """Keyed range join (event → ALL of the user's orders inside a window
+    reaching back into the orders era; both bounds bind, a strict subset
+    of each user's orders) — the multi-match sibling of asof_join, same
+    bucketed cogroup, range bounds via one merged lexsort.  SQL-oracled
+    with a plain BETWEEN join."""
+    from oboyu_ray.stages.relational import interval_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return interval_join(ev, orders)
+
+
+SQL_INTERVAL_JOIN = """
+SELECT e.event_id, e.user_id, o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 10600 DAY AND e.ts - INTERVAL 9500 DAY
+"""
+
+
+def q_topk_per_group(sf_dir: str) -> "ray.data.Dataset":
+    """Exact top-3 orders per customer by (price DESC, key ASC) — map-side
+    partial top-k per group, then a group-bucketed reduce; the shuffle
+    moves ≤ k rows per (group, batch).  SQL-oracled via row_number()."""
+    from oboyu_ray.stages.relational import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "price_cents": pa.array(
+                    np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5).astype("int64")
+                ),
+            }
+        )
+
+    out = topk_per_group(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        group_col="o_custkey",
+        key_col="o_orderkey",
+        val_col_cents="price_cents",
+        k=3,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("grp"),
+                "o_orderkey": t.column("key"),
+                "price_cents": t.column("val_cents"),
+                "rank": t.column("rank"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, price_cents, rank FROM (
+    SELECT o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+           )::BIGINT AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+HH_THRESHOLD_FRAC = 0.002
+
+
+def q_heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
+    """Exact frequent terms over the documents word stream (count >= 0.2%
+    of all tokens) via Misra-Gries candidates + an exact verification pass
+    — no full token-frequency shuffle.  SQL-oracled with GROUP BY …
+    HAVING."""
+    import math
+
+    from oboyu_ray.stages.sketch import heavy_hitters
+    from oboyu_ray.stages.textstats import WORD_RE
+
+    docs = _docs(sf_dir)
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = sum(
+            len(WORD_RE.findall((x or "").lower()))
+            for x in t.column("text").to_pylist()
+        )
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    total = sum(
+        int(b.column("n").to_numpy().sum())
+        for b in docs.map_batches(count_tokens, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    threshold = max(1, math.ceil(HH_THRESHOLD_FRAC * total))
+    return heavy_hitters(docs, threshold=threshold)
+
+
+SQL_HEAVY_HITTERS = rf"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}')) AS token
+    FROM documents
+)
+SELECT token, count(*)::BIGINT AS n_occurrences
+FROM toks
+GROUP BY token
+HAVING count(*) >= greatest(1, CAST(ceil({HH_THRESHOLD_FRAC} * (SELECT count(*) FROM toks)) AS BIGINT))
+"""
+
+
+QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles of o_totalprice via iterative histogram
+    refinement — a handful of streaming passes, no global sort; values are
+    actual column elements so they compare bit-exactly to quantile_disc."""
+    from oboyu_ray.stages.quantiles import exact_quantiles
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return exact_quantiles(orders, "o_totalprice", QUANTILE_QS)
+
+
+SQL_PRICE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT CAST({int(round(q * 1e6))} AS BIGINT) AS q_micros, "
+    f"quantile_disc(o_totalprice, {q}) AS value FROM orders"
+    for q in QUANTILE_QS
+)
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct user_id count over events (the
     mergeable-sketch operator; ~1.6% standard error at p=12).  Rows-only
@@ -1223,6 +1372,10 @@ def corpus_queries() -> dict:
         "transcript_engine_topk": q_transcript_engine_topk,
         "doc_embeddings": q_doc_embeddings,
         "approx_distinct_users": q_approx_distinct_users,
+        "interval_join": q_interval_join,
+        "topk_per_group": q_topk_per_group,
+        "heavy_hitters": q_heavy_hitters,
+        "price_quantiles": q_price_quantiles,
     }
 
 
@@ -1251,6 +1404,10 @@ def corpus_oracle_sql() -> dict:
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
         "rerank_topk": _sql_rerank_topk(),
         "sessionize": SQL_SESSIONIZE,
+        "interval_join": SQL_INTERVAL_JOIN,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "price_quantiles": SQL_PRICE_QUANTILES,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

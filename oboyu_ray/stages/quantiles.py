@@ -1,0 +1,193 @@
+"""Distributed EXACT quantiles — iterative histogram refinement, no global
+sort.
+
+The textbook exact quantile needs a full sort (an all-to-all shuffle of
+every row); at 10^12 rows that is the single most expensive operation an
+engine can run.  This operator computes exact discrete quantiles
+(``quantile_disc`` semantics: the element at 0-based rank
+``max(ceil(q·n)−1, 0)`` of the sorted column — verified against DuckDB)
+with a handful of streaming passes instead:
+
+1. one aggregate pass → (count, min, max);
+2. refinement rounds: every target rank keeps a live value interval
+   [lo, hi] and the count of elements < lo.  A ``map_batches`` pass
+   histograms each batch's values into ``n_bins`` equal-width bins per
+   live interval (partial = one (targets × bins) int64 array, merged by
+   ``+`` on the driver — tiny, associative, combiner-tree-able); the bin
+   containing the residual rank becomes the next interval.  Each round
+   divides the interval width by ``n_bins`` → rounds ≈
+   log_bins(value range / smallest gap), 2-3 in practice;
+3. once an interval holds ≤ ``collect_limit`` elements, one filtered
+   pass collects just those values and selects the exact rank locally.
+
+Driver state: n_targets × n_bins counters; shuffled data: none.  The
+equal-width float binning is only a SEARCH accelerator — correctness
+never depends on bin boundaries because the final selection runs on the
+exact collected values; a pathological value distribution (all mass in
+one bin, e.g. heavy duplicates) just stops shrinking the interval, which
+the loop detects and falls through to collection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+QUANTILE_BINS = 4096
+COLLECT_LIMIT = 1 << 16
+MAX_ROUNDS = 16
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """DuckDB quantile_disc rank: 0-based index max(ceil(q*n)-1, 0)."""
+    return max(math.ceil(q * n) - 1, 0)
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float],
+    n_bins: int = QUANTILE_BINS,
+    collect_limit: int = COLLECT_LIMIT,
+) -> pd.DataFrame:
+    """Exact discrete quantiles of a numeric column.
+
+    Returns (q_micros, value) with one row per requested quantile; values
+    are actual elements of the column (quantile_disc semantics), so
+    float results compare bit-exactly against the SQL oracle reading the
+    same parquet."""
+    proj = ds.select_columns([col])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "lo": pa.array([np.inf]),
+                    "hi": pa.array([-np.inf]),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(v)], type=pa.int64()),
+                "lo": pa.array([float(v.min())]),
+                "hi": pa.array([float(v.max())]),
+            }
+        )
+
+    n_total, gmin, gmax = 0, np.inf, -np.inf
+    for b in proj.map_batches(minmax_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_total += int(np.sum(b.column("n").to_numpy()))
+        if b.num_rows:
+            gmin = min(gmin, float(np.min(b.column("lo").to_numpy())))
+            gmax = max(gmax, float(np.max(b.column("hi").to_numpy())))
+    if n_total == 0:
+        return pd.DataFrame(
+            {"q_micros": pd.Series(dtype=np.int64), "value": pd.Series(dtype=np.float64)}
+        )
+
+    ranks = [_disc_rank(float(q), n_total) for q in qs]
+    # per-target live state: [lo, hi] closed interval, residual rank within
+    # it, and whether it is already resolved
+    lo = np.full(len(qs), gmin)
+    hi = np.full(len(qs), gmax)
+    resid = np.array(ranks, dtype=np.int64)
+    size = np.full(len(qs), n_total, dtype=np.int64)
+
+    for _ in range(MAX_ROUNDS):
+        live = (size > collect_limit) & (lo < hi)
+        if not live.any():
+            break
+        li = np.flatnonzero(live)
+        # explicit inner boundaries per target, computed ONCE and broadcast —
+        # bin membership (searchsorted against these exact floats) and the
+        # next round's [lo, hi] filter then agree bit-for-bit, so the
+        # residual-rank bookkeeping can never drift on boundary values
+        bnds = [
+            lo[i] + (hi[i] - lo[i]) * np.arange(1, n_bins) / n_bins for i in li
+        ]
+        ref = ray.put((lo[li], hi[li], bnds))
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            l, h, bn = ray.get(ref)
+            v = t.column(col).to_numpy().astype(np.float64)
+            v = v[~np.isnan(v)]
+            B = len(bn[0]) + 1
+            out = np.zeros((len(l), B), dtype=np.int64)
+            for i in range(len(l)):
+                sel = v[(v >= l[i]) & (v <= h[i])]
+                bins = np.searchsorted(bn[i], sel, side="right")
+                out[i] = np.bincount(bins, minlength=B)
+            return pa.table({"hist": pa.array([out.tobytes()], type=pa.binary())})
+
+        H = np.zeros((len(li), n_bins), dtype=np.int64)
+        for b in proj.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for payload in b.column("hist").to_pylist():
+                H += np.frombuffer(payload, dtype=np.int64).reshape(len(li), n_bins)
+
+        progressed = False
+        for row, i in enumerate(li):
+            c = np.cumsum(H[row])
+            bi = int(np.searchsorted(c, resid[i], side="right"))
+            below = int(c[bi - 1]) if bi > 0 else 0
+            bn = bnds[row]
+            nlo = float(bn[bi - 1]) if bi > 0 else lo[i]
+            nhi = float(bn[bi]) if bi < n_bins - 1 else hi[i]
+            nsize = int(H[row, bi])
+            if nsize < size[i] or (nlo, nhi) != (lo[i], hi[i]):
+                progressed = True
+            lo[i], hi[i] = nlo, nhi
+            resid[i] -= below
+            size[i] = nsize
+        if not progressed:
+            break  # duplicate-heavy bin: fall through to collection
+
+    # final: collect each unresolved interval's values and select exactly.
+    # (Intervals are tiny by now; a still-large duplicate-heavy interval
+    # means nearly all values are identical — the collect below dedups.)
+    values: List[float] = []
+    ref2 = ray.put((lo, hi))
+
+    def collect_partial(t: pa.Table) -> pa.Table:
+        l, h = ray.get(ref2)
+        v = t.column(col).to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]
+        keep = np.zeros(len(v), dtype=bool)
+        for i in range(len(l)):
+            keep |= (v >= l[i]) & (v <= h[i])
+        sel = v[keep]
+        # per-batch (value, multiplicity) so duplicate-heavy intervals ship
+        # one row per distinct value, not per element
+        uv, cnt = np.unique(sel, return_counts=True)
+        return pa.table({"v": pa.array(uv), "c": pa.array(cnt.astype(np.int64))})
+
+    parts = proj.map_batches(collect_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("v", sort=True)["c"].sum()
+    uvals = agg.index.to_numpy(dtype=np.float64)
+    ucnts = agg.to_numpy(dtype=np.int64)
+
+    out_vals: List[float] = []
+    for i in range(len(qs)):
+        m = (uvals >= lo[i]) & (uvals <= hi[i])
+        vv, cc = uvals[m], ucnts[m]
+        cum = np.cumsum(cc)
+        j = int(np.searchsorted(cum, resid[i], side="right"))
+        out_vals.append(float(vv[j]))
+    return pd.DataFrame(
+        {
+            "q_micros": np.array([int(round(q * 1e6)) for q in qs], dtype=np.int64),
+            "value": np.array(out_vals, dtype=np.float64),
+        }
+    )

@@ -297,3 +297,230 @@ def events_hopping_window_agg(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- interval join
+
+# default window sized to the driver tables: events sit decades after the
+# TPC-H-style orders era, so the window reaches back into it and selects a
+# STRICT subset of each user's orders (both bounds live)
+INTERVAL_LOWER_US = -10_600 * 24 * 3600 * 1_000_000
+INTERVAL_UPPER_US = -9_500 * 24 * 3600 * 1_000_000
+
+
+def interval_join(
+    events: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    lower_us: int = INTERVAL_LOWER_US,
+    upper_us: int = INTERVAL_UPPER_US,
+    n_buckets: int = ASOF_BUCKETS,
+) -> "ray.data.Dataset":
+    """Keyed range (interval) join: for every event, ALL of the user's
+    orders with o_orderdate in [ts + lower_us, ts + upper_us] (bounds
+    default to a window reaching back into the orders era) — the
+    multi-match sibling of ``asof_join`` (which keeps only the latest).
+
+    Same bucketed-cogroup shape: both sides hash-bucket on user; inside a
+    bucket the matching order RANGE per event falls out of ONE lexsort of
+    (orders + two bound-query rows per event) — a query row's position
+    among the sorted orders is exactly its searchsorted index, so no
+    per-user and no per-event Python.  Output rows fan out via repeat /
+    cumsum arithmetic: (event_id, user_id, o_orderkey, price_cents).
+    """
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "user": pa.array(u, type=pa.int64()),
+                "rid": t.column("event_id").cast(pa.int64()),
+                "ts_us": pa.array(
+                    t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "price_cents": pa.array(np.full(len(u), -1, dtype=np.int64)),
+            }
+        )
+
+    def or_rows(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "kind": pa.array(np.ones(len(u), dtype=np.int64)),
+                "user": pa.array(u, type=pa.int64()),
+                "rid": t.column("o_orderkey").cast(pa.int64()),
+                "ts_us": pa.array(
+                    t.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "price_cents": pa.array(
+                    np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    def bucket_range_join(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user"].to_numpy(dtype=np.int64)
+        kind = g["kind"].to_numpy(dtype=np.int64)  # 0=event, 1=order
+        rid = g["rid"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        cents = g["price_cents"].to_numpy(dtype=np.int64)
+        is_ev = kind == 0
+        n_ev = int(is_ev.sum())
+        n_or = len(g) - n_ev
+        empty = pd.DataFrame(
+            {
+                "event_id": np.zeros(0, dtype=np.int64),
+                "user_id": np.zeros(0, dtype=np.int64),
+                "o_orderkey": np.zeros(0, dtype=np.int64),
+                "price_cents": np.zeros(0, dtype=np.int64),
+            }
+        )
+        if n_ev == 0 or n_or == 0:
+            return empty
+        # orders sorted by (user, ts, key) — the array the bound indices
+        # point into
+        oi = np.flatnonzero(~is_ev)
+        oo = oi[np.lexsort((rid[oi], ts[oi], user[oi]))]
+        o_user, o_ts, o_rid, o_cents = user[oo], ts[oo], rid[oo], cents[oo]
+        ei = np.flatnonzero(is_ev)
+        e_user, e_ts, e_rid = user[ei], ts[ei], rid[ei]
+        # merged rank trick: lo = #orders with (user, ts) < (u, t+lower)
+        # [tie: query BEFORE equal-ts orders → 'left'], hi = #orders with
+        # (user, ts) <= (u, t+upper) [tie: query AFTER → 'right'].  One
+        # lexsort of orders + both query kinds; tie column orders
+        # lo-query(0) < order(1) < hi-query(2) at equal (user, ts).
+        mu = np.concatenate([o_user, e_user, e_user])
+        mt = np.concatenate([o_ts, e_ts + lower_us, e_ts + upper_us])
+        tie = np.concatenate(
+            [
+                np.ones(n_or, dtype=np.int64),
+                np.zeros(n_ev, dtype=np.int64),
+                np.full(n_ev, 2, dtype=np.int64),
+            ]
+        )
+        src = np.concatenate(
+            [
+                np.full(n_or, -1, dtype=np.int64),
+                np.arange(n_ev),
+                np.arange(n_ev),
+            ]
+        )
+        order = np.lexsort((tie, mt, mu))
+        is_order_row = (tie[order] == 1).astype(np.int64)
+        n_before = np.cumsum(is_order_row) - is_order_row
+        lo = np.zeros(n_ev, dtype=np.int64)
+        hi = np.zeros(n_ev, dtype=np.int64)
+        t_s, s_s = tie[order], src[order]
+        lo[s_s[t_s == 0]] = n_before[t_s == 0]
+        hi[s_s[t_s == 2]] = n_before[t_s == 2]
+        m = hi - lo  # matches per event (all same-user by construction)
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        estart = np.cumsum(m) - m
+        within = np.arange(tot, dtype=np.int64) - np.repeat(estart, m)
+        osel = np.repeat(lo, m) + within
+        return pd.DataFrame(
+            {
+                "event_id": np.repeat(e_rid, m),
+                "user_id": np.repeat(e_user, m),
+                "o_orderkey": o_rid[osel],
+                "price_cents": o_cents[osel],
+            }
+        )
+
+    return (
+        events.map_batches(ev_rows, batch_format="pyarrow")
+        .union(orders.map_batches(or_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(bucket_range_join, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- top-k per group
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    val_col_cents: str,
+    k: int,
+    n_buckets: int = ASOF_BUCKETS,
+) -> "ray.data.Dataset":
+    """Exact top-k rows per group by (value DESC, key ASC) — the classic
+    per-key selection a training pipeline uses for "best k examples per
+    source".
+
+    Two-level: map-side PARTIAL top-k per group inside each batch (a
+    lexsort + cumcount mask — correct because a group's global top-k is a
+    subset of the union of its per-batch top-ks), then a group-bucketed
+    reduce applies the same vectorized selection to the survivors.  The
+    shuffle moves ≤ k rows per (group, batch), never the full table.
+    Output: (group, key, val_cents, rank) with rank 1..k.
+    """
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        grp = t.column(group_col).to_numpy().astype(np.int64)
+        key = t.column(key_col).to_numpy().astype(np.int64)
+        val = t.column(val_col_cents).to_numpy().astype(np.int64)
+        sel = _topk_mask(grp, key, val, k)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (grp[sel].astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "grp": pa.array(grp[sel], type=pa.int64()),
+                "key": pa.array(key[sel], type=pa.int64()),
+                "val_cents": pa.array(val[sel], type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g["grp"].to_numpy(dtype=np.int64)
+        key = g["key"].to_numpy(dtype=np.int64)
+        val = g["val_cents"].to_numpy(dtype=np.int64)
+        sel = _topk_mask(grp, key, val, k)
+        order = np.lexsort((key[sel], -val[sel], grp[sel]))
+        grp_s = grp[sel][order]
+        new = np.r_[True, grp_s[1:] != grp_s[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(grp_s)) - np.repeat(starts, np.diff(np.r_[starts, len(grp_s)])) + 1
+        return pd.DataFrame(
+            {
+                "grp": grp_s,
+                "key": key[sel][order],
+                "val_cents": val[sel][order],
+                "rank": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _topk_mask(grp: np.ndarray, key: np.ndarray, val: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask of the top-k rows per group by (val DESC, key ASC),
+    fully vectorized (lexsort + per-group cumcount)."""
+    if len(grp) == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((key, -val, grp))
+    g_s = grp[order]
+    new = np.r_[True, g_s[1:] != g_s[:-1]]
+    starts = np.flatnonzero(new)
+    cum = np.arange(len(g_s)) - np.repeat(starts, np.diff(np.r_[starts, len(g_s)]))
+    mask = np.zeros(len(grp), dtype=bool)
+    mask[order[cum < k]] = True
+    return mask

@@ -29,6 +29,10 @@ ORACLED = [
     "text_normalize",
     "bm25_topk_filtered",
     "sessionize",
+    "interval_join",
+    "topk_per_group",
+    "heavy_hitters",
+    "price_quantiles",
 ]
 
 
@@ -1052,3 +1056,116 @@ def test_fast_fingerprint_matches_bruteforce_rolling():
     ).to_pandas()["winnow_fingerprint"].tolist()
     assert one_more[0] != one_more[1]
     assert got[4] == got[5]  # "x"*W vs "x"*(W+1): identical window set
+
+
+def test_heavy_hitters_mg_pruning_exact():
+    """With a tiny Misra-Gries capacity the per-batch summaries actually
+    truncate (deficit > 0), yet the verified result must still equal the
+    exact GROUP BY / HAVING answer; an unattainable threshold raises."""
+    from oboyu_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = np.array([1.0 / (i + 1) for i in range(200)])  # zipf-ish
+    weights /= weights.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=50, p=weights)) for _ in range(200)
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(8)
+    # exact counts for the oracle
+    from collections import Counter
+    true = Counter(w for t in docs for w in t.split())
+    threshold = 150
+    want = {w: c for w, c in true.items() if c >= threshold}
+    got = heavy_hitters(ds, threshold=threshold, capacity=16).to_pandas()
+    assert dict(zip(got["token"], got["n_occurrences"])) == want
+    with pytest.raises(ValueError, match="deficit"):
+        # capacity 2 over 200-word docs → deficit explodes past threshold=3
+        heavy_hitters(ds, threshold=3, capacity=2).to_pandas()
+
+
+def test_exact_quantiles_adversarial_vs_duckdb():
+    """Histogram-refinement quantiles vs DuckDB quantile_disc on shapes
+    chosen to stress the refinement: heavy duplicates (bins stop
+    shrinking), constants, skew, tiny n — with tiny bins/collect_limit to
+    force multiple rounds."""
+    import duckdb as _duck
+
+    from oboyu_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(11)
+    cases = {
+        "normal": rng.standard_normal(20_000) * 100,
+        "heavy_dup": np.repeat([1.0, 2.0, 2.0, 3.0], 5_000)[rng.permutation(20_000)],
+        "constant": np.full(3_000, 7.25),
+        "skewed": np.exp(rng.standard_normal(10_000) * 3),
+        "small": np.array([3.0, 1.0, 2.0]),
+    }
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    for name, vals in cases.items():
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+        got = exact_quantiles(ds, "x", qs, n_bins=32, collect_limit=128)
+        con = _duck.connect()
+        con.register("v", pa.table({"x": pa.array(vals)}))
+        want = [
+            con.execute(f"SELECT quantile_disc(x, {q}) FROM v").fetchone()[0]
+            for q in qs
+        ]
+        assert got["value"].tolist() == want, name
+
+
+def test_interval_join_bound_edges():
+    """Inclusive bounds on both ends; multi-match fan-out; users with no
+    in-window orders emit nothing."""
+    import datetime
+
+    from oboyu_ray.stages.relational import interval_join
+
+    T = lambda d: datetime.datetime(2025, 1, d)
+    DAY_US = 24 * 3600 * 1_000_000
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "user_id": pa.array([7, 8], type=pa.int64()),
+        "ts": pa.array([T(10), T(10)], type=pa.timestamp("us")),
+    }))
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 7, 9], type=pa.int64()),
+        # window for lower=-5d upper=-2d around Jan 10 → [Jan 5, Jan 8]
+        "o_orderdate": pa.array([T(4), T(5), T(8), T(9), T(6)], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64()),
+    }))
+    out = (
+        interval_join(ev, orders, lower_us=-5 * DAY_US, upper_us=-2 * DAY_US)
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    # event 1 (user 7): orders at Jan 5 (lower edge, inclusive) and Jan 8
+    # (upper edge, inclusive); Jan 4 and Jan 9 excluded.  event 2 (user 8):
+    # nothing; user 9's order never leaks.
+    assert out["event_id"].tolist() == [1, 1]
+    assert out["o_orderkey"].tolist() == [101, 102]
+
+
+def test_topk_per_group_ties_and_partials():
+    """Global top-k must survive batch partials; ties break by smaller key."""
+    from oboyu_ray.stages.relational import topk_per_group
+
+    rows = []
+    # group 1: values 10,10,10,9 → top-2 = keys 1,2 (tie on 10 → min keys)
+    for key, val in [(3, 10), (1, 10), (2, 10), (4, 9)]:
+        rows.append({"g": 1, "k": key, "v": val})
+    # group 2: single row
+    rows.append({"g": 2, "k": 9, "v": 5})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = (
+        topk_per_group(ds, "g", "k", "v", k=2)
+        .to_pandas()
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out[["grp", "key", "rank"]].to_numpy().tolist() == [
+        [1, 1, 1], [1, 2, 2], [2, 9, 1]
+    ]
