@@ -715,12 +715,37 @@ def q_snippets(sf_dir: str) -> "ray.data.Dataset":
 
 # ---------------------------------------------------------------- knowledge graph
 
+def _kg_rows(sf_dir: str) -> "ray.data.Dataset":
+    """ONE materialized actor-pool extraction pass shared by kg_entities,
+    kg_relations (and through them graphrag/EDC) — the NER scan is the
+    expensive stage; its mention/relation rows feed every kg table."""
+    from oboyu_ray.stages import kg
+
+    return _memo(
+        sf_dir, "kg_rows", lambda: kg.extract_kg(_docs(sf_dir)).materialize()
+    )
+
+
 def q_kg_entities(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.stages import kg
 
     return _memo(
-        sf_dir, "kg_entities", lambda: kg.kg_entities(_docs(sf_dir)).to_pandas()
+        sf_dir,
+        "kg_entities",
+        lambda: kg.kg_entities(rows=_kg_rows(sf_dir)).to_pandas(),
     ).copy()
+
+
+def q_edc_entities(sf_dir: str) -> pd.DataFrame:
+    """EDC entity dedup over the extracted kg_entities table — the full
+    Dataset-native flow (normalize → bucketed exact-name edges →
+    distributed cosine candidates → pair-cogroup verify → CC
+    canonicalize).  Rows-only driver check (the cosine candidate stage has
+    no SQL twin); merge/canonical invariants pinned in pytest."""
+    from oboyu_ray.stages import kg
+
+    ents = q_kg_entities(sf_dir)[["entity_id", "name", "entity_type"]]
+    return kg.edc_dedup_entities(ents)
 
 
 def _kg_lexicon_sql() -> str:
@@ -763,7 +788,9 @@ def q_kg_relations(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.stages import kg
 
     return _memo(
-        sf_dir, "kg_relations", lambda: kg.kg_relations(_docs(sf_dir)).to_pandas()
+        sf_dir,
+        "kg_relations",
+        lambda: kg.kg_relations(rows=_kg_rows(sf_dir)).to_pandas(),
     ).copy()
 
 
@@ -1376,6 +1403,7 @@ def corpus_queries() -> dict:
         "topk_per_group": q_topk_per_group,
         "heavy_hitters": q_heavy_hitters,
         "price_quantiles": q_price_quantiles,
+        "edc_entities": q_edc_entities,
     }
 
 

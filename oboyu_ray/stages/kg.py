@@ -164,13 +164,20 @@ def extract_kg(
     )
 
 
-def kg_entities(docs: "ray.data.Dataset", lexicon=None) -> "ray.data.Dataset":
+def kg_entities(
+    docs: "ray.data.Dataset" = None, lexicon=None, rows: "ray.data.Dataset" = None
+) -> "ray.data.Dataset":
     """Aggregated kg_entities table: (entity_id, name, entity_type,
     n_mentions, n_docs, confidence_micros) — the reference's kg_entities
-    rows (schema.py:394-409) with mention statistics."""
+    rows (schema.py:394-409) with mention statistics.
+
+    Pass ``rows`` (a materialized ``extract_kg`` output) to share ONE
+    extraction pass between this and ``kg_relations`` — the actor-pool NER
+    is the expensive stage and its output feeds both tables."""
     from ray.data.aggregate import Count, Sum
 
-    rows = extract_kg(docs, lexicon)
+    if rows is None:
+        rows = extract_kg(docs, lexicon)
 
     def partial(t: pa.Table) -> pa.Table:
         ent = t.filter(pc.equal(t.column("kind"), 0))
@@ -231,14 +238,18 @@ def kg_entities(docs: "ray.data.Dataset", lexicon=None) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def kg_relations(docs: "ray.data.Dataset", lexicon=None) -> "ray.data.Dataset":
+def kg_relations(
+    docs: "ray.data.Dataset" = None, lexicon=None, rows: "ray.data.Dataset" = None
+) -> "ray.data.Dataset":
     """Aggregated kg_relations table: (source_name, target_name,
     relation_type, n_docs, confidence_micros) — adjacent-mention
     co-occurrence edges (the deterministic stand-in for the LLM's typed
-    relations; schema.py:416-430 shape)."""
+    relations; schema.py:416-430 shape).  ``rows`` shares a materialized
+    extraction with ``kg_entities``."""
     from ray.data.aggregate import Count
 
-    rows = extract_kg(docs, lexicon)
+    if rows is None:
+        rows = extract_kg(docs, lexicon)
 
     def rels(t: pa.Table) -> pa.Table:
         r = t.filter(pc.equal(t.column("kind"), 1))

@@ -1169,3 +1169,17 @@ def test_topk_per_group_ties_and_partials():
     assert out[["grp", "key", "rank"]].to_numpy().tolist() == [
         [1, 1, 1], [1, 2, 2], [2, 9, 1]
     ]
+
+
+def test_edc_entities_driver_query(entrymod):
+    """Driver-visible EDC: runs the full Dataset-native flow over the
+    extracted entity table; canonical invariants hold and every lexicon
+    entity survives."""
+    out = _as_df(entrymod.queries()["edc_entities"](SF))
+    assert len(out) > 0
+    assert (out.groupby("canonical_id")["is_canonical"].sum() == 1).all()
+    assert set(out["canonical_id"]) <= set(out["entity_id"])
+    assert list(out.columns) == [
+        "entity_id", "name", "entity_type", "normalized_name",
+        "canonical_id", "canonical_name", "is_canonical",
+    ]
