@@ -174,8 +174,6 @@ def kg_entities(
     Pass ``rows`` (a materialized ``extract_kg`` output) to share ONE
     extraction pass between this and ``kg_relations`` — the actor-pool NER
     is the expensive stage and its output feeds both tables."""
-    from ray.data.aggregate import Count, Sum
-
     if rows is None:
         rows = extract_kg(docs, lexicon)
 
@@ -201,20 +199,41 @@ def kg_entities(
         )
         return g
 
-    # Two-level distributed reduction.  The map-side partial() shrinks
-    # mention rows to per-(name, type, doc) counts WITHIN a batch, but Ray's
-    # dynamic block splitting can slice one doc's mention rows across blocks
-    # — so the same (name, type, doc) key may yield several partial rows.
-    # A first groupby on the full key merges those (Sum is the correct
-    # combiner for mention counts); only then is Count() per (name, type) a
-    # true distinct-doc count.  Both shuffles share the leading key.
-    per_doc = (
+    # ONE bucketed shuffle for both reductions.  The map-side partial()
+    # shrinks mention rows to per-(name, type, doc) counts WITHIN a batch,
+    # but Ray's dynamic block splitting can slice one doc's mention rows
+    # across blocks — so the same (name, type, doc) key may yield several
+    # partial rows, and n_docs must be a count of DISTINCT docs after
+    # merging them.  Bucketing by hash(name, type) co-locates everything
+    # both reductions need (the per-doc merge groups by a superset of the
+    # bucket key), so one shuffle + a vectorized two-level pandas groupby
+    # inside the bucket replaces two chained Ray sort-aggregates.
+    from oboyu_ray.stages.sketch import _hash64, _splitmix64
+
+    def add_eb(t: pa.Table) -> pa.Table:
+        eb = _splitmix64(
+            _hash64(t.column("name")) ^ _hash64(t.column("entity_type"))
+        ) % np.uint64(64)
+        return t.append_column("eb", pa.array(eb.astype(np.int64)))
+
+    def reduce_entities(g: pd.DataFrame) -> pd.DataFrame:
+        per_doc = (
+            g.groupby(["name", "entity_type", "doc_id"], sort=False)["mentions"]
+            .sum()
+            .reset_index()
+        )
+        out = (
+            per_doc.groupby(["name", "entity_type"], sort=False)
+            .agg(n_mentions=("mentions", "sum"), n_docs=("doc_id", "size"))
+            .reset_index()
+        )
+        return out
+
+    agg = (
         rows.map_batches(partial, batch_format="pyarrow")
-        .groupby(["name", "entity_type", "doc_id"])
-        .aggregate(Sum("mentions", alias_name="mentions"))
-    )
-    agg = per_doc.groupby(["name", "entity_type"]).aggregate(
-        Sum("mentions", alias_name="n_mentions"), Count(alias_name="n_docs")
+        .map_batches(add_eb, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(reduce_entities, batch_format="pandas")
     )
 
     def finalize(t: pa.Table) -> pa.Table:
