@@ -1256,6 +1256,30 @@ SQL_PRICE_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+GQ_QS = (0.25, 0.5, 0.9)
+
+
+def q_grouped_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group quantiles (l_extendedprice per l_linenumber) — the
+    group-bucketed cogroup variant: one lexsort per bucket answers every
+    group's every quantile by index arithmetic.  SQL-oracled with
+    quantile_disc … GROUP BY."""
+    from oboyu_ray.stages.quantiles import grouped_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_linenumber", "l_extendedprice"]
+    )
+    return grouped_quantiles(li, "l_linenumber", "l_extendedprice", GQ_QS)
+
+
+SQL_GROUPED_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT l_linenumber::BIGINT AS l_linenumber, "
+    f"CAST({int(round(q * 1e6))} AS BIGINT) AS q_micros, "
+    f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem GROUP BY l_linenumber"
+    for q in GQ_QS
+)
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct user_id count over events (the
     mergeable-sketch operator; ~1.6% standard error at p=12).  Rows-only
@@ -1403,6 +1427,7 @@ def corpus_queries() -> dict:
         "topk_per_group": q_topk_per_group,
         "heavy_hitters": q_heavy_hitters,
         "price_quantiles": q_price_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
         "edc_entities": q_edc_entities,
     }
 
@@ -1436,6 +1461,7 @@ def corpus_oracle_sql() -> dict:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "price_quantiles": SQL_PRICE_QUANTILES,
+        "grouped_quantiles": SQL_GROUPED_QUANTILES,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -191,3 +191,74 @@ def exact_quantiles(
             "value": np.array(out_vals, dtype=np.float64),
         }
     )
+
+
+# ---------------------------------------------------------------- per group
+
+GQ_BUCKETS = 64
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    val_col: str,
+    qs: Sequence[float],
+    n_buckets: int = GQ_BUCKETS,
+) -> "ray.data.Dataset":
+    """Exact discrete quantiles PER GROUP (quantile_disc semantics) — the
+    per-stratum statistics pass of a training pipeline (e.g. token-count
+    percentiles per language / source).
+
+    Groups hash-bucket across ``n_buckets`` reduce tasks; inside a bucket
+    ONE lexsort over (group, value) resolves every group's every quantile
+    via pure index arithmetic (group run boundaries + ceil(q·n)−1 offsets)
+    — no per-group Python.  Partitioning assumption (documented, the same
+    one every cogroup in this engine makes): a single GROUP's rows fit one
+    reduce task.  For a group that violates it (one stratum = trillions of
+    rows), use the streaming histogram operator ``exact_quantiles`` on
+    that group's filtered Dataset instead — same semantics, no memory
+    assumption.  Output: (group, q_micros, value).
+    """
+    qarr = np.array(sorted(float(q) for q in qs), dtype=np.float64)
+    qmic = np.array([int(round(q * 1e6)) for q in qarr], dtype=np.int64)
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy().astype(np.int64)
+        v = t.column(val_col).to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "gb": pa.array(
+                    (g.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "grp": pa.array(g, type=pa.int64()),
+                "val": pa.array(v, type=pa.float64()),
+            }
+        )
+
+    def bucket_quantiles(b: pd.DataFrame) -> pd.DataFrame:
+        g = b["grp"].to_numpy(dtype=np.int64)
+        v = b["val"].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, g))
+        g_s, v_s = g[order], v[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        ends = np.r_[starts[1:], len(g_s)]
+        sizes = ends - starts
+        # rank per (group, q): max(ceil(q*n)-1, 0) — vectorized over the
+        # (groups × quantiles) grid
+        ranks = np.maximum(
+            np.ceil(qarr[None, :] * sizes[:, None]).astype(np.int64) - 1, 0
+        )
+        idx = starts[:, None] + ranks
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(g_s[starts], len(qarr)),
+                "q_micros": np.tile(qmic, len(starts)),
+                "value": v_s[idx].ravel(),
+            }
+        )
+
+    return (
+        ds.map_batches(add_gb, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_quantiles, batch_format="pandas")
+    )

@@ -33,6 +33,7 @@ ORACLED = [
     "topk_per_group",
     "heavy_hitters",
     "price_quantiles",
+    "grouped_quantiles",
 ]
 
 
@@ -49,7 +50,7 @@ def entrymod():
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events", "orders", "customer"):
+    for t in ("documents", "embeddings", "events", "orders", "customer", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -1183,3 +1184,42 @@ def test_edc_entities_driver_query(entrymod):
         "entity_id", "name", "entity_type", "normalized_name",
         "canonical_id", "canonical_name", "is_canonical",
     ]
+
+
+def test_grouped_quantiles_vs_duckdb_per_group():
+    """Per-group exact quantiles: ties, singleton groups, duplicate-heavy
+    groups — each group's answer equals quantile_disc over that group."""
+    import duckdb as _duck
+
+    from oboyu_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.RandomState(23)
+    g = np.concatenate([
+        np.full(1000, 1), np.full(1, 2), np.full(500, 3), np.full(200, 4),
+    ])
+    v = np.concatenate([
+        rng.standard_normal(1000) * 10,
+        [42.0],
+        np.repeat([5.0, 7.0], 250)[rng.permutation(500)],
+        rng.exponential(3.0, 200),
+    ])
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g, type=pa.int64()),
+                                       "v": pa.array(v)})).repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = (
+        grouped_quantiles(ds, "g", "v", qs, n_buckets=4)
+        .to_pandas()
+        .sort_values(["g", "q_micros"])
+        .reset_index(drop=True)
+    )
+    con = _duck.connect()
+    con.register("t", pa.table({"g": pa.array(g, type=pa.int64()), "v": pa.array(v)}))
+    want = con.execute(
+        "\nUNION ALL\n".join(
+            f"SELECT g, CAST({int(round(q*1e6))} AS BIGINT) AS q_micros, "
+            f"quantile_disc(v, {q}) AS value FROM t GROUP BY g"
+            for q in qs
+        ) + "\nORDER BY g, q_micros"
+    ).df()
+    assert got["value"].tolist() == want["value"].tolist()
+    assert got["g"].tolist() == want["g"].tolist()
