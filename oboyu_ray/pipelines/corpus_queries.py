@@ -1386,6 +1386,134 @@ def q_transcript_engine_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# -------------------------------------------------- training-data preparation
+
+from oboyu_ray.stages import trainprep  # noqa: E402
+
+
+def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII/pattern scrubbing over the events props column: ordered vectorized
+    RE2 rules (emails → <EMAIL>, digit runs → <NUM>) + per-row redaction
+    counts.  Stateless map_batches — streams at any scale."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return ds.map_batches(trainprep.redact_batch, batch_format="pyarrow")
+
+
+_EMAIL_SQL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+
+SQL_PII_REDACT = rf"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                      '[0-9]+', '<NUM>', 'g') AS props_redacted,
+       (len(regexp_extract_all(props, '{_EMAIL_SQL}'))
+        + len(regexp_extract_all(
+              regexp_replace(props, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+              '[0-9]+')))::BIGINT AS n_redacted
+FROM events
+"""
+
+
+def q_text_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style per-doc repetition signals (dup-token ratio, top-token
+    ratio, repetitive flag), fully vectorized per batch."""
+    return _docs(sf_dir).map_batches(trainprep.repetition_batch, batch_format="pyarrow")
+
+
+SQL_TEXT_REPETITION = rf"""
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS word FROM d),
+c AS (SELECT doc_id, word, count(*) AS n FROM t GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(n) AS nw, count(*) AS nd, max(n) AS mx FROM c GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(nw, 0)::BIGINT AS n_words,
+       coalesce(nd, 0)::BIGINT AS n_distinct,
+       CAST(floor(CASE WHEN nw > 0 THEN (nw - nd)::DOUBLE / nw ELSE 0.0 END * 1e6 + 0.5)
+            AS BIGINT) AS dup_ratio_micros,
+       CAST(floor(CASE WHEN nw > 0 THEN mx::DOUBLE / nw ELSE 0.0 END * 1e6 + 0.5)
+            AS BIGINT) AS top_ratio_micros,
+       coalesce(mx::DOUBLE / nw > {trainprep.REP_TOP_TAU}, FALSE) AS repetitive
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_boilerplate_ngrams(sf_dir: str) -> "ray.data.Dataset":
+    """Shared-boilerplate miner: word trigrams in ≥ BOILERPLATE_MIN_DOCS
+    distinct docs (map-side partial distinct-doc counts → one groupby-sum)."""
+    return trainprep.boilerplate_ngrams(_docs(sf_dir))
+
+
+# shares the trigram CTE shape with SQL_DEDUP_NGRAM_JACCARD (same word regex,
+# same list_transform construction) — the constructions must stay in lockstep
+SQL_TRIGRAMS_CTE = rf"""
+d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tri
+    FROM d WHERE len(w) >= 3
+)"""
+
+SQL_BOILERPLATE_NGRAMS = rf"""
+WITH {SQL_TRIGRAMS_CTE}
+SELECT tri AS ngram, count(*)::BIGINT AS n_docs
+FROM sh GROUP BY 1
+HAVING count(*) >= {trainprep.BOILERPLATE_MIN_DOCS}
+"""
+
+
+def q_decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag training docs sharing ≥1 word-trigram
+    with the held-out set (doc_id % BENCH_MOD == 0 plays the eval suite).
+    Benchmark shingle hashes are broadcast once via ray.put; the corpus side
+    is an embarrassingly-parallel membership scan."""
+    import ray as _ray
+
+    docs = _docs(sf_dir)
+    bench = trainprep.benchmark_shingle_set(docs)
+    return trainprep.decontaminate(docs, _ray.put(bench))
+
+
+SQL_DECONTAMINATE = rf"""
+WITH {SQL_TRIGRAMS_CTE},
+b AS (SELECT DISTINCT tri FROM sh WHERE doc_id % {trainprep.BENCH_MOD} = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_hits
+FROM sh s JOIN b USING (tri)
+WHERE s.doc_id % {trainprep.BENCH_MOD} <> 0
+GROUP BY 1
+"""
+
+
+# per-stratum hex thresholds: downsample the over-represented language
+STRAT_THRESHOLDS = {"en": "14"}  # ≈ 7.8%; all other langs 25%
+STRAT_DEFAULT_HEX = "40"
+
+
+def q_stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic stratified sampling by language: per-stratum
+    Bernoulli-by-key rates with the md5-prefix rule (reproducible sample,
+    no RNG state)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return ds.map_batches(
+        lambda b: trainprep.stratified_sample_by_hash(
+            b, thresholds=STRAT_THRESHOLDS, default_hex=STRAT_DEFAULT_HEX
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'en' THEN '{STRAT_THRESHOLDS["en"]}' ELSE '{STRAT_DEFAULT_HEX}' END
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -1429,6 +1557,11 @@ def corpus_queries() -> dict:
         "price_quantiles": q_price_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "edc_entities": q_edc_entities,
+        "pii_redact": q_pii_redact,
+        "text_repetition": q_text_repetition,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1462,6 +1595,11 @@ def corpus_oracle_sql() -> dict:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "grouped_quantiles": SQL_GROUPED_QUANTILES,
+        "pii_redact": SQL_PII_REDACT,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -1,0 +1,331 @@
+"""Training-data preparation operators: PII redaction, repetition (Gopher)
+signals, benchmark decontamination, boilerplate n-gram mining, stratified
+sampling.
+
+These are the corpus-hygiene stages a large-scale LLM training-data pipeline
+runs between raw ingest and tokenization (reference scope: oboyu's crawler /
+quality filtering has no equivalents — these extend the engine the way
+`stages/dedup.py` / `stages/textstats.py` do).  Design rules shared with the
+rest of the repo:
+
+* every per-batch function is a pure pyarrow kernel (stateless
+  ``map_batches`` stage, zero shuffle, streams at any scale);
+* wide steps (boilerplate doc-counts) pre-aggregate map-side so the groupby
+  moves one row per distinct key per batch, not one row per occurrence;
+* small sides (the benchmark n-gram set for decontamination) are broadcast
+  once via ``ray.put`` and read zero-copy in every task — benchmark suites
+  are tiny (10^3..10^5 docs) next to a 100 TB corpus, so broadcast is the
+  correct join side at scale;
+* each driver query has an exactly-matching DuckDB oracle (identical RE2
+  regexes, identical double expressions, fixed-point ``*_micros`` outputs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from oboyu_ray.fixedpoint import micros
+from oboyu_ray.stages.dedup import _batch_shingle_hashes, _flat_word_hashes
+from oboyu_ray.stages.textstats import WORD_RE
+
+
+def _np(col, dtype=None) -> np.ndarray:
+    """Column (Array or ChunkedArray) → numpy, tolerating nulls/chunks."""
+    arr = col.to_numpy(zero_copy_only=False)
+    return arr if dtype is None else arr.astype(dtype)
+
+# ---------------------------------------------------------------- redaction
+
+# Ordered PII scrub rules: (RE2-safe pattern, replacement).  Patterns must
+# behave identically under pyarrow's RE2 and DuckDB's RE2 — keep them free of
+# lookarounds/backrefs (RE2 has neither).  Emails first so their digits are
+# not half-eaten by the number rule.
+PII_RULES: List[Tuple[str, str]] = [
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def redact_batch(
+    batch: pa.Table,
+    id_col: str = "event_id",
+    text_col: str = "props",
+    rules: Sequence[Tuple[str, str]] = tuple(PII_RULES),
+) -> pa.Table:
+    """(id, text) → (id, <text>_redacted, n_redacted): apply the scrub rules
+    in order with vectorized RE2 kernels (``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` — no Python row loop), counting matches of
+    each rule against the text as it stands when that rule runs (so a rule
+    never double-counts text an earlier rule already replaced)."""
+    cur = batch.column(text_col)
+    n = np.zeros(len(batch), dtype=np.int64)
+    for pat, rep in rules:
+        cnt = pc.count_substring_regex(cur, pattern=pat)
+        n += _np(pc.fill_null(cnt, 0), np.int64)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            f"{text_col}_redacted": cur,
+            "n_redacted": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- repetition
+
+# Gopher-style repetition gate: docs whose single most frequent word exceeds
+# this fraction of all word tokens are flagged repetitive.
+REP_TOP_TAU = 0.12
+
+
+def repetition_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc repetition signals (the Gopher quality-rule family): total /
+    distinct word-token counts, duplicate-token ratio (1 - distinct/total),
+    top-token ratio (max term frequency / total), and the ``repetitive``
+    flag (top ratio > REP_TOP_TAU).
+
+    Vectorized end-to-end: one bulk FNV-1a word-hash pass for the whole
+    batch (``dedup._flat_word_hashes``), one lexsort, then run-length
+    reductions — no per-doc Counter.  A doc's text is a single row, so all
+    its words live in this batch and the per-doc counts are exact regardless
+    of how Ray splits blocks downstream."""
+    texts = batch.column(text_col).to_pylist()
+    wh, counts = _flat_word_hashes(texts)
+    ndocs = len(texts)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    n_words = counts
+    n_distinct = np.zeros(ndocs, dtype=np.int64)
+    max_tf = np.zeros(ndocs, dtype=np.int64)
+    if len(wh):
+        order = np.lexsort((wh, doc_of))
+        h, d = wh[order], doc_of[order]
+        run_start = np.ones(len(h), dtype=bool)
+        run_start[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(starts, len(h)))
+        run_doc = d[starts]
+        n_distinct += np.bincount(run_doc, minlength=ndocs).astype(np.int64)
+        # runs are contiguous per doc after the lexsort → per-doc max via
+        # reduceat over the first-run-of-each-doc offsets
+        doc_first_run = np.ones(len(starts), dtype=bool)
+        doc_first_run[1:] = run_doc[1:] != run_doc[:-1]
+        seg = np.flatnonzero(doc_first_run)
+        max_tf[run_doc[seg]] = np.maximum.reduceat(run_len, seg)
+    nz = n_words > 0
+    dup_ratio = np.zeros(ndocs, dtype=np.float64)
+    top_ratio = np.zeros(ndocs, dtype=np.float64)
+    dup_ratio[nz] = (n_words[nz] - n_distinct[nz]) / n_words[nz]
+    top_ratio[nz] = max_tf[nz] / n_words[nz]
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "dup_ratio_micros": pa.array(micros(dup_ratio), type=pa.int64()),
+            "top_ratio_micros": pa.array(micros(top_ratio), type=pa.int64()),
+            "repetitive": pa.array(top_ratio > REP_TOP_TAU, type=pa.bool_()),
+        }
+    )
+
+
+# ------------------------------------------------------- trigram boilerplate
+
+BOILERPLATE_MIN_DOCS = 5
+
+
+def _batch_trigram_strings(
+    texts: Sequence[Optional[str]],
+) -> Tuple[np.ndarray, pa.Array]:
+    """Distinct word-trigram STRINGS per doc, batch-vectorized.
+
+    Word split stays per-doc (C-speed ``WORD_RE.findall``); trigram
+    construction is one Arrow ``binary_join_element_wise`` over the packed
+    word array, and per-doc dedup is a lexsort keep-mask over the trigram
+    hashes.  Returns (doc_idx int64 ascending, trigram pa.StringArray) —
+    the string-typed sibling of ``dedup._batch_shingle_hashes`` for
+    operators whose OUTPUT is the n-gram itself."""
+    from oboyu_ray.stages.sketch import _hash64
+
+    words: List[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = WORD_RE.findall((t or "").lower())
+        counts[i] = len(w)
+        words.extend(w)
+    empty = np.zeros(0, dtype=np.int64), pa.array([], type=pa.string())
+    if not words:
+        return empty
+    wa = pa.array(words, type=pa.string())
+    n = len(words)
+    starts = np.cumsum(counts) - counts
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    valid = pos <= np.repeat(counts, counts) - 3
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return empty
+    tri = pc.binary_join_element_wise(
+        wa.take(pa.array(idx)), wa.take(pa.array(idx + 1)), wa.take(pa.array(idx + 2)), " "
+    )
+    d = doc_of[idx]
+    th = _hash64(tri)
+    order = np.lexsort((th, d))
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (th[order][1:] != th[order][:-1]) | (d[order][1:] != d[order][:-1])
+    sel = order[keep]
+    return d[sel], tri.take(pa.array(sel))
+
+
+def boilerplate_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side partial for boilerplate mining: distinct trigrams per doc,
+    then per-trigram row counts WITHIN this batch.  Each (doc, trigram) pair
+    exists at most once globally (per-doc dedup above, one row per doc), so
+    summing these partials per trigram yields exact distinct-doc counts —
+    the groupby moves one row per distinct trigram per batch instead of one
+    per occurrence."""
+    _, tri = _batch_trigram_strings(batch.column(text_col).to_pylist())
+    if len(tri) == 0:
+        return pa.table(
+            {"ngram": pa.array([], type=pa.string()), "partial_docs": pa.array([], type=pa.int64())}
+        )
+    vc = pc.value_counts(tri)
+    return pa.table(
+        {"ngram": vc.field("values"), "partial_docs": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def boilerplate_ngrams(
+    ds: "ray.data.Dataset", text_col: str = "text", min_docs: int = BOILERPLATE_MIN_DOCS
+) -> "ray.data.Dataset":
+    """Word trigrams appearing in ≥ ``min_docs`` distinct documents — the
+    shared-boilerplate miner (C4/RefinedWeb-style template detection).  One
+    partial-agg ``map_batches`` + one groupby-sum over distinct trigrams
+    (vocabulary-scale keys, occurrence-scale rows never shuffle)."""
+    import ray.data  # noqa: F401
+
+    part = ds.map_batches(
+        lambda b: boilerplate_partial(b, text_col=text_col), batch_format="pyarrow"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("sum(partial_docs)")
+        t = pa.table({"ngram": b.column("ngram"), "n_docs": nd.cast(pa.int64())})
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    return part.groupby("ngram").sum("partial_docs").map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- decontamination
+
+# Deterministic stand-in for "the benchmark/eval suite": every doc_id
+# divisible by this modulus plays the held-out set whose n-grams must not
+# leak into training data.
+BENCH_MOD = 97
+
+
+def benchmark_shingle_set(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = BENCH_MOD,
+) -> np.ndarray:
+    """Sorted unique word-trigram hashes of the benchmark docs.
+
+    The benchmark side of decontamination is SMALL by construction (an eval
+    suite, not the corpus), so materializing its distinct shingle hashes on
+    the driver — after per-batch dedup inside ``map_batches`` — is the
+    broadcast-build step, not a scale risk.  Returns a numpy uint64 array
+    ready for ``ray.put``."""
+
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = _np(b.column(id_col), np.int64)
+        sel = np.flatnonzero(ids % bench_mod == 0)
+        texts = b.column(text_col).take(pa.array(sel)).to_pylist()
+        _, h = _batch_shingle_hashes(texts)
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    parts = [
+        _np(t.column("h"), np.uint64)
+        for t in ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = BENCH_MOD,
+) -> "ray.data.Dataset":
+    """Flag training docs sharing ≥1 word-trigram with the benchmark set.
+
+    ``bench_ref`` is a ``ray.put`` ObjectRef to the sorted benchmark hash
+    array — fetched zero-copy from the local object store in every task
+    (broadcast once, never re-shipped per batch).  Output: (id, n_hits =
+    number of DISTINCT shared trigrams) for contaminated non-benchmark docs
+    only.  Embarrassingly parallel — no shuffle at any corpus size."""
+    import ray
+
+    def flag(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = _np(b.column(id_col), np.int64)
+        texts = b.column(text_col).to_pylist()
+        d, h = _batch_shingle_hashes(texts)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        if len(h) and len(bench):
+            pos = np.searchsorted(bench, h)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == h
+            n_hits += np.bincount(d[hit], minlength=len(ids))
+        keep = (n_hits > 0) & (ids % bench_mod != 0)
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: b.column(id_col).take(sel),
+                "n_hits": pa.array(n_hits[np.flatnonzero(keep)], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- stratified sampling
+
+def stratified_sample_by_hash(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    thresholds: Optional[Dict[str, str]] = None,
+    default_hex: str = "40",
+) -> pa.Table:
+    """Deterministic stratified sampling: per-stratum Bernoulli-by-key rates
+    (e.g. downsample the over-represented language) with the same
+    md5-prefix-threshold rule as ``textstats.sample_by_hash`` — reproducible
+    across runs and engines, no RNG state to coordinate.  ``thresholds``
+    maps stratum value → hex threshold; unlisted strata use ``default_hex``.
+    SQL twin: ``WHERE md5(CAST(key AS VARCHAR)) < CASE strat WHEN … END``.
+    Per-row md5 is the documented SQL-reproducibility trade shared with
+    ``sample_by_hash``."""
+    import hashlib
+
+    thresholds = thresholds or {}
+    keys = batch.column(id_col).to_pylist()
+    strata = batch.column(strat_col).to_pylist()
+    keep = [
+        hashlib.md5(str(k).encode("utf-8")).hexdigest() < thresholds.get(s, default_hex)
+        for k, s in zip(keys, strata)
+    ]
+    return batch.filter(pa.array(keep, type=pa.bool_()))

@@ -1223,3 +1223,104 @@ def test_grouped_quantiles_vs_duckdb_per_group():
     ).df()
     assert got["value"].tolist() == want["value"].tolist()
     assert got["g"].tolist() == want["g"].tolist()
+
+
+def test_trainprep_edge_cases():
+    """Kernel edge cases: empty text, <3-word docs, null text, no matches."""
+    import pyarrow.compute as pc
+
+    from oboyu_ray.stages import trainprep as tp
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["", "one two", None, "a a a a b"], type=pa.string()),
+        }
+    )
+    rep = tp.repetition_batch(b).to_pandas()
+    assert rep["n_words"].tolist() == [0, 2, 0, 5]
+    assert rep["n_distinct"].tolist() == [0, 2, 0, 2]
+    assert rep["dup_ratio_micros"].tolist() == [0, 0, 0, 600000]
+    assert rep["top_ratio_micros"].tolist() == [0, 500000, 0, 800000]
+    assert rep["repetitive"].tolist() == [False, True, False, True]
+
+    d, tri = tp._batch_trigram_strings(b.column("text").to_pylist())
+    # only doc idx 3 has ≥3 words; distinct trigrams of "a a a a b"
+    assert d.tolist() == [3, 3]
+    assert set(tri.to_pylist()) == {"a a a", "a a b"}
+
+    red = tp.redact_batch(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], type=pa.int64()),
+                "props": pa.array(["mail bob@x.com x12", None], type=pa.string()),
+            }
+        )
+    ).to_pandas()
+    assert red["props_redacted"].tolist()[0] == "mail <EMAIL> x<NUM>"
+    assert red["n_redacted"].tolist() == [2, 0]
+
+    # decontaminate: empty benchmark set → nothing flagged
+    import ray as _ray
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["w1 w2 w3 w4", "w2 w3 w4"], type=pa.string()),
+            }
+        )
+    )
+    out = tp.decontaminate(docs, _ray.put(np.zeros(0, dtype=np.uint64))).to_pandas()
+    assert len(out) == 0
+
+
+def test_decontaminate_counts_distinct_shared_trigrams():
+    import ray as _ray
+
+    from oboyu_ray.stages import trainprep as tp
+
+    # doc 0 is the benchmark (BENCH_MOD divides 0); doc 1 shares two
+    # trigrams, doc 2 shares none, doc 97*2 is benchmark too (excluded)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, tp.BENCH_MOD * 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d",      # bench trigrams: "a b c", "b c d"
+                        "x a b c d y",  # shares both
+                        "c b a d e f",  # shares none (order-sensitive)
+                        "a b c q",      # benchmark member → excluded
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+    )
+    bench = tp.benchmark_shingle_set(docs)
+    out = tp.decontaminate(docs, _ray.put(bench)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_hits"].tolist() == [2]
+
+
+def test_stratified_sample_rates():
+    from oboyu_ray.stages import trainprep as tp
+
+    n = 4000
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(n)], type=pa.string()),
+        }
+    )
+    out = tp.stratified_sample_by_hash(
+        b, thresholds={"en": "14"}, default_hex="40"
+    ).to_pandas()
+    en = (out["lang"] == "en").sum() / (n / 2)
+    de = (out["lang"] == "de").sum() / (n / 2)
+    assert 0.04 < en < 0.12   # ≈ 0x14/0x100 = 7.8%
+    assert 0.20 < de < 0.31   # ≈ 0x40/0x100 = 25%
+    # determinism: same input → identical sample
+    out2 = tp.stratified_sample_by_hash(b, thresholds={"en": "14"}, default_hex="40").to_pandas()
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
