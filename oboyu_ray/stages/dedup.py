@@ -225,6 +225,7 @@ def _bucketed_candidate_pairs(
     n_buckets: int = PAIR_BUCKETS,
     extra_col: Optional[str] = None,
     min_count: int = 1,
+    size_ratio_tau: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """Distinct co-occurrence pairs (doc_a < doc_b sharing a key) from flat
     (key, doc) rows, as a DATASET — nothing is collected to the driver.
@@ -241,7 +242,13 @@ def _bucketed_candidate_pairs(
     than ``min_count`` keys are dropped (random co-occurrence pairs
     overwhelmingly share exactly one key, real near-dups share many — this
     prunes the verification set by ~1000x), then pairs are deduplicated.
-    ``extra_col`` values ride along as ``<extra>_a`` / ``<extra>_b``."""
+    ``extra_col`` values ride along as ``<extra>_a`` / ``<extra>_b``.
+
+    When ``size_ratio_tau`` is set (requires a numeric ``extra_col``
+    carrying each doc's set size), pairs with min(size_a, size_b) <
+    tau * max(size_a, size_b) are dropped in the pair-bucket reduce — an
+    EXACT prune for Jaccard >= tau (|A∩B| <= min and |A∪B| >= max, so J <=
+    min/max), cutting the rows the verification cogroup must shuffle."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy()
@@ -311,6 +318,10 @@ def _bucketed_candidate_pairs(
             )
         else:
             g = g.drop_duplicates(subset=["doc_a", "doc_b"])
+        if size_ratio_tau is not None and extra_col:
+            ea = g[f"{extra_col}_a"].to_numpy(dtype=np.float64)
+            eb = g[f"{extra_col}_b"].to_numpy(dtype=np.float64)
+            g = g.loc[np.minimum(ea, eb) >= size_ratio_tau * np.maximum(ea, eb)]
         return g[cols].reset_index(drop=True)
 
     return (
@@ -328,15 +339,20 @@ def _bucketed_candidate_pairs(
 def shingle_rows(
     ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
 ) -> "ray.data.Dataset":
-    """flat (shingle: uint64-as-int64, doc) rows, distinct per doc."""
+    """flat (shingle: uint64-as-int64, doc, ssize) rows, distinct per doc;
+    ``ssize`` is the doc's distinct-shingle count (each doc's text is one
+    row, so the count is exact per batch), carried so candidate generation
+    can apply the exact size-ratio prune."""
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
         d, h = _batch_shingle_hashes(batch.column(text_col).to_pylist())
+        counts = np.bincount(d, minlength=len(ids)) if len(d) else np.zeros(len(ids), dtype=np.int64)
         return pa.table(
             {
                 "shingle": pa.array(h.view(np.int64), type=pa.int64()),
                 id_col: pa.array(ids[d], type=pa.int64()),
+                "ssize": pa.array(counts[d].astype(np.int64), type=pa.int64()),
             }
         )
 
@@ -551,7 +567,13 @@ def ngram_jaccard_pairs(
     """
     rows = shingle_rows(ds, id_col, text_col)
     candidates = _bucketed_candidate_pairs(
-        rows, "shingle", id_col, max_shingle_df, min_count=min_shared_shingles
+        rows,
+        "shingle",
+        id_col,
+        max_shingle_df,
+        min_count=min_shared_shingles,
+        extra_col="ssize",
+        size_ratio_tau=tau,
     )
     return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
 
