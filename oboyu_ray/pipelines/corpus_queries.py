@@ -12,6 +12,7 @@ instead (subset/recall assertions against their exact counterparts).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -1489,6 +1490,86 @@ GROUP BY 1
 """
 
 
+def q_join_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Large-large shuffle join: lineitem ⋈ orders on orderkey (neither side
+    broadcastable at target scale), then revenue by (priority, returnflag).
+    Per-row revenue is fixed-pointed to micros BEFORE the join so the final
+    sum is associative; post-join partial aggregation inside map_batches
+    shrinks the rows the final groupby shuffles."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_returnflag": b.column("l_returnflag"),
+                "rev_micros": pa.array(micros(price * (1.0 - disc)), type=pa.int64()),
+            }
+        )
+
+    joined = hash_join(li.map_batches(rev, batch_format="pyarrow"), orders,
+                       "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "l_returnflag": b.column("l_returnflag"),
+                "rev_micros": b.column("rev_micros"),
+                "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["o_orderpriority", "l_returnflag"]).aggregate(
+            [("rev_micros", "sum"), ("n_items", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "l_returnflag": g.column("l_returnflag"),
+                "rev_micros": g.column("rev_micros_sum"),
+                "n_items": g.column("n_items_sum"),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "l_returnflag": b.column("l_returnflag"),
+                "revenue_micros": b.column("sum(rev_micros)").cast(pa.int64()),
+                "n_items": b.column("sum(n_items)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "l_returnflag"])
+        .sum(["rev_micros", "n_items"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_JOIN_REVENUE = """
+SELECT o_orderpriority, l_returnflag,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_micros,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 # per-stratum hex thresholds: downsample the over-represented language
 STRAT_THRESHOLDS = {"en": "14"}  # ≈ 7.8%; all other langs 25%
 STRAT_DEFAULT_HEX = "40"
@@ -1562,6 +1643,7 @@ def corpus_queries() -> dict:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "join_revenue": q_join_revenue,
     }
 
 
@@ -1600,6 +1682,7 @@ def corpus_oracle_sql() -> dict:
         "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "join_revenue": SQL_JOIN_REVENUE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

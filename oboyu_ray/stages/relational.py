@@ -524,3 +524,77 @@ def _topk_mask(grp: np.ndarray, key: np.ndarray, val: np.ndarray, k: int) -> np.
     mask = np.zeros(len(grp), dtype=bool)
     mask[order[cum < k]] = True
     return mask
+
+
+# ---------------------------------------------------------------- hash join
+
+JOIN_BUCKETS = 64
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    n_buckets: int = JOIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Large-large inner equi-join as a hash-bucketed cogroup.
+
+    The shuffle-join shape for two tables that are BOTH too big to
+    broadcast: each side tags rows with ``hash(key) % n_buckets``, the
+    union shuffles ONCE on the bucket (co-partitioning both sides), and a
+    vectorized ``pandas.merge`` joins inside each bucket group.  Key
+    hashing uses the same multiplicative mix as the pair buckets so
+    correlated key ranges spread evenly; skewed single keys are bounded by
+    the per-bucket merge being hash-based (O(n) in the bucket's rows, not
+    O(n^2)).  Column sets must be disjoint apart from the keys (the join
+    keeps both key columns).  At 100 TB this is the operator you pick only
+    when neither side fits a broadcast — prefer ``broadcast_join_agg``
+    for dimension tables.
+
+    The union requires one schema, so each side carries the other side's
+    columns as typed nulls plus a ``side`` tag; both are dropped/split
+    inside the bucket task.
+    """
+    import pandas as pd
+
+    lschema: pa.Schema = left.schema().base_schema
+    rschema: pa.Schema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"hash_join column collision: {sorted(overlap)}")
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+    _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag(key_col: str, own_cols, other_cols, other_types, side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                jb = ((k * _GOLDEN) % np.uint64(n_buckets)).astype(np.int64)
+            data = {n: t.column(n) for n in own_cols}
+            for n in other_cols:
+                data[n] = pa.nulls(t.num_rows, type=other_types[n])
+            data["side"] = pa.array(np.full(t.num_rows, side, dtype=np.int64))
+            data["jb"] = pa.array(jb)
+            # one column order for both sides so union schemas align
+            return pa.table({n: data[n] for n in lcols + rcols + ["side", "jb"]})
+
+        return tag
+
+    unioned = left.map_batches(
+        _tag(left_on, lcols, rcols, rtypes, 0), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_tag(right_on, rcols, lcols, ltypes, 1), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["side"].to_numpy() == 0
+        lf = g.loc[is_l, lcols]
+        rf = g.loc[~is_l, rcols]
+        out = lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
+        return out.reset_index(drop=True)
+
+    return unioned.groupby("jb").map_groups(merge, batch_format="pandas")

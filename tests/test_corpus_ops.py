@@ -1324,3 +1324,44 @@ def test_stratified_sample_rates():
     # determinism: same input → identical sample
     out2 = tp.stratified_sample_by_hash(b, thresholds={"en": "14"}, default_hex="40").to_pandas()
     assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+def test_hash_join_semantics():
+    """Inner-join semantics incl. multi-match fan-out, skewed key, misses,
+    and the column-collision guard."""
+    from oboyu_ray.stages.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "lk": pa.array([1, 1, 2, 3, 99], type=pa.int64()),
+                "lv": pa.array(["a", "b", "c", "d", "miss"], type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 2, 2, 4], type=pa.int64()),
+                "rv": pa.array([10, 20, 21, 40], type=pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = (
+        hash_join(left, right, "lk", "rk", n_buckets=4)
+        .to_pandas()
+        .sort_values(["lk", "lv", "rv"], ignore_index=True)
+    )
+    # lk=1 matches rv=10 twice (two left rows), lk=2 fans out to rv∈{20,21},
+    # lk=3 and lk=99 and rk=4 drop (inner)
+    assert out[["lk", "lv", "rv"]].values.tolist() == [
+        [1, "a", 10],
+        [1, "b", 10],
+        [2, "c", 20],
+        [2, "c", 21],
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        hash_join(left, left, "lk", "lk")
