@@ -1570,6 +1570,25 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source corpus mixing report (doc count, language diversity, mean
+    length) via two-phase partial aggregation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return trainprep.corpus_profile(ds)
+
+
+SQL_CORPUS_PROFILE = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       CAST(floor(sum(n_chars)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT)
+           AS mean_chars_micros
+FROM documents GROUP BY 1
+"""
+
+
 # per-stratum hex thresholds: downsample the over-represented language
 STRAT_THRESHOLDS = {"en": "14"}  # ≈ 7.8%; all other langs 25%
 STRAT_DEFAULT_HEX = "40"
@@ -1644,6 +1663,7 @@ def corpus_queries() -> dict:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "join_revenue": q_join_revenue,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -1683,6 +1703,7 @@ def corpus_oracle_sql() -> dict:
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "join_revenue": SQL_JOIN_REVENUE,
+        "corpus_profile": SQL_CORPUS_PROFILE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -329,3 +329,51 @@ def stratified_sample_by_hash(
         for k, s in zip(keys, strata)
     ]
     return batch.filter(pa.array(keep, type=pa.bool_()))
+
+
+# ----------------------------------------------------------- corpus profile
+
+def corpus_profile(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source corpus mixing report: doc count, distinct-language count,
+    mean doc length — the profile a training pipeline consults when
+    weighting data sources.
+
+    Two-phase: in-batch pyarrow group_by over (source, lang) collapses each
+    block to at most |sources|x|langs| partial rows (occurrence-scale rows
+    never shuffle), one groupby-sum co-locates the partials, and the final
+    per-source rollup runs as a map_groups over the tiny per-(source,lang)
+    table."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "chars": g.column("n_chars_sum").cast(pa.int64()),
+                "docs": g.column("n_chars_count").cast(pa.int64()),
+            }
+        )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n_docs = int(g["sum(docs)"].sum())
+        total = float(g["sum(chars)"].sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([n_docs], dtype=np.int64),
+                "n_langs": np.array([g["lang"].nunique()], dtype=np.int64),
+                "mean_chars_micros": np.array(
+                    [micros(total / n_docs)] if n_docs else [0], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["chars", "docs"])
+        .groupby("source")
+        .map_groups(rollup, batch_format="pandas")
+    )
