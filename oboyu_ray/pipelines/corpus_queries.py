@@ -1508,13 +1508,29 @@ def q_join_revenue(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def rev(b: pa.Table) -> pa.Table:
+        # per-row fixed-point revenue, then combine-before-shuffle: in-batch
+        # group_by (l_orderkey, l_returnflag) shrinks the join's left side
+        # before any row leaves the task (sum of int64 micros is associative,
+        # so pre-combining cannot change the final aggregate)
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        return pa.table(
+        t = pa.table(
             {
                 "l_orderkey": b.column("l_orderkey"),
                 "l_returnflag": b.column("l_returnflag"),
                 "rev_micros": pa.array(micros(price * (1.0 - disc)), type=pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            [("rev_micros", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "l_returnflag": g.column("l_returnflag"),
+                "rev_micros": g.column("rev_micros_sum"),
+                "pre_items": g.column("one_sum"),
             }
         )
 
@@ -1527,7 +1543,7 @@ def q_join_revenue(sf_dir: str) -> "ray.data.Dataset":
                 "o_orderpriority": b.column("o_orderpriority"),
                 "l_returnflag": b.column("l_returnflag"),
                 "rev_micros": b.column("rev_micros"),
-                "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_items": b.column("pre_items"),
             }
         )
         g = t.group_by(["o_orderpriority", "l_returnflag"]).aggregate(
@@ -1586,6 +1602,51 @@ SELECT source,
        CAST(floor(sum(n_chars)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT)
            AS mean_chars_micros
 FROM documents GROUP BY 1
+"""
+
+
+def q_clean_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """End-to-end training-prep hygiene pass: quality + repetition +
+    decontamination gates in one text pass, then exact-dup
+    canonicalization.  One row per kept canonical doc."""
+    import ray as _ray
+
+    docs = _docs(sf_dir)
+    bench = trainprep.benchmark_shingle_set(docs)
+    return trainprep.clean_corpus(docs, _ray.put(bench))
+
+
+SQL_CLEAN_CORPUS = rf"""
+WITH {SQL_TRIGRAMS_CTE},
+contaminated AS (
+    SELECT DISTINCT s.doc_id FROM sh s
+    JOIN (SELECT DISTINCT tri FROM sh WHERE doc_id % {trainprep.BENCH_MOD} = 0) b
+      USING (tri)
+),
+q AS (
+    SELECT doc_id,
+           CAST(floor((0.5 * (least(length(text), 500) / 500.0)
+               + 0.5 * (1.0 - least(
+                   CASE WHEN len(w) > 0
+                        THEN len(list_filter(w, x -> x IN ({_QSW})))::DOUBLE / len(w)
+                        ELSE 0.0 END, 0.5))) * 1e6 + 0.5) AS BIGINT) AS quality_micros,
+           coalesce((SELECT max(cnt) FROM (
+               SELECT count(*) AS cnt FROM unnest(w) AS u(word) GROUP BY word
+           )), 0)::DOUBLE / nullif(len(w), 0) AS top_ratio
+    FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+          FROM documents)
+),
+gated AS (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN q USING (doc_id)
+    WHERE q.quality_micros >= {trainprep.QUALITY_TAU_MICROS}
+      AND NOT coalesce(q.top_ratio > {trainprep.REP_TOP_TAU}, FALSE)
+      AND d.doc_id % {trainprep.BENCH_MOD} <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM gated
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' '))
 """
 
 
@@ -1664,6 +1725,7 @@ def corpus_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "join_revenue": q_join_revenue,
         "corpus_profile": q_corpus_profile,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1704,6 +1766,7 @@ def corpus_oracle_sql() -> dict:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "join_revenue": SQL_JOIN_REVENUE,
         "corpus_profile": SQL_CORPUS_PROFILE,
+        "clean_corpus": SQL_CLEAN_CORPUS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -377,3 +377,55 @@ def corpus_profile(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("source")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- composed clean pass
+
+QUALITY_TAU_MICROS = 620_000  # quality gate, fixed-point micros
+
+
+def clean_corpus(
+    ds: "ray.data.Dataset",
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """The composed training-prep pass: quality gate + repetition gate +
+    benchmark decontamination + exact-duplicate canonicalization, the
+    end-to-end hygiene pipeline a corpus runs before tokenization.
+
+    All three per-doc gates evaluate in ONE map_batches over the text (one
+    decode of the batch, three vectorized kernels), docs failing any gate
+    drop before the only shuffle — the exact-dedup groupby over md5 keys —
+    so the wide step sees the already-thinned corpus.  Output: one row per
+    kept canonical doc (smallest id of its duplicate group) with the group
+    size."""
+    import ray
+
+    from oboyu_ray.stages.dedup import exact_dedup
+    from oboyu_ray.stages.textstats import quality_batch
+
+    def gates(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = _np(b.column(id_col), np.int64)
+        q = quality_batch(b, id_col, text_col)
+        r = repetition_batch(b, id_col, text_col)
+        d, h = _batch_shingle_hashes(b.column(text_col).to_pylist())
+        hits = np.zeros(len(ids), dtype=np.int64)
+        if len(h) and len(bench):
+            pos = np.searchsorted(bench, h)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == h
+            hits += np.bincount(d[hit], minlength=len(ids))
+        keep = (
+            (_np(q.column("quality_micros"), np.int64) >= QUALITY_TAU_MICROS)
+            & ~_np(r.column("repetitive"))
+            & (hits == 0)
+            & (ids % BENCH_MOD != 0)  # benchmark members never train
+        )
+        return b.filter(pa.array(keep, type=pa.bool_()))
+
+    deduped = exact_dedup(ds.map_batches(gates, batch_format="pyarrow"), id_col, text_col)
+    return deduped.map_batches(
+        lambda t: t.drop_columns(["key"]), batch_format="pyarrow"
+    )
