@@ -1650,6 +1650,39 @@ GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' '))
 """
 
 
+def q_doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """Statistical LM quality signal: per-doc mean unigram surprisal under
+    the corpus unigram model (built distributed, broadcast once)."""
+    import ray as _ray
+
+    docs = _docs(sf_dir)
+    model = trainprep.unigram_model(docs)
+    return trainprep.doc_surprisal(docs, _ray.put(model))
+
+
+SQL_DOC_SURPRISAL = rf"""
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS word FROM d),
+c AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM c),
+s AS (
+    SELECT word, CAST(floor(-ln(cnt::DOUBLE / n) * 1e6 + 0.5) AS BIGINT) AS s_micros
+    FROM c, tot
+),
+doc AS (
+    SELECT t.doc_id, count(*)::BIGINT AS nw, sum(s_micros)::BIGINT AS total
+    FROM t JOIN s USING (word) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(nw, 0)::BIGINT AS n_words,
+       coalesce(total // nw, 0)::BIGINT AS mean_surprisal_micros
+FROM d LEFT JOIN doc USING (doc_id)
+"""
+
+
 # per-stratum hex thresholds: downsample the over-represented language
 STRAT_THRESHOLDS = {"en": "14"}  # ≈ 7.8%; all other langs 25%
 STRAT_DEFAULT_HEX = "40"
@@ -1726,6 +1759,7 @@ def corpus_queries() -> dict:
         "join_revenue": q_join_revenue,
         "corpus_profile": q_corpus_profile,
         "clean_corpus": q_clean_corpus,
+        "doc_surprisal": q_doc_surprisal,
     }
 
 
@@ -1767,6 +1801,7 @@ def corpus_oracle_sql() -> dict:
         "join_revenue": SQL_JOIN_REVENUE,
         "corpus_profile": SQL_CORPUS_PROFILE,
         "clean_corpus": SQL_CLEAN_CORPUS,
+        "doc_surprisal": SQL_DOC_SURPRISAL,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

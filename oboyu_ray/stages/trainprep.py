@@ -429,3 +429,96 @@ def clean_corpus(
     return deduped.map_batches(
         lambda t: t.drop_columns(["key"]), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- unigram surprisal
+
+SURPRISAL_TOP_K = 1 << 16  # vocabulary entries the broadcast model keeps
+
+
+def unigram_model(
+    ds: "ray.data.Dataset", text_col: str = "text", top_k: int = SURPRISAL_TOP_K
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Corpus unigram model for surprisal scoring: (sorted word-hash array,
+    per-word surprisal micros, total token count).
+
+    Distributed shape: in-batch ``value_counts`` partials → groupby-sum per
+    word (occurrence rows never shuffle) → distributed sort by (count DESC,
+    word ASC) → ``limit(top_k)`` — the driver holds at most ``top_k``
+    entries regardless of corpus size (at 100 TB the tail is OOV by
+    design; the test corpora fit entirely, making the SQL oracle exact).
+    Surprisal is fixed-pointed PER VOCAB ENTRY — ``micros(-ln(c/N))`` — so
+    every doc-level aggregate downstream is integer arithmetic, exactly
+    associative and engine-identical."""
+    from oboyu_ray.stages.sketch import _hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in b.column(text_col).to_pylist():
+            words.extend(WORD_RE.findall((t or "").lower()))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+            )
+        vc = pc.value_counts(pa.array(words, type=pa.string()))
+        return pa.table({"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+        .materialize()  # consumed twice: grand total + top-k sort
+    )
+    n_total = int(agg.sum("sum(cnt)"))
+    top = agg.sort(["sum(cnt)", "word"], descending=[True, False]).limit(top_k).to_pandas()
+    cnt = top["sum(cnt)"].to_numpy(dtype=np.int64)
+    s_micros = micros(-np.log(cnt.astype(np.float64) / float(n_total))).astype(np.int64)
+    wh = _hash64(pa.array(top["word"].tolist(), type=pa.string()))
+    order = np.argsort(wh)
+    return wh[order], s_micros[order], n_total
+
+
+def doc_surprisal(
+    ds: "ray.data.Dataset",
+    model_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-doc mean unigram surprisal (the simplest statistical LM quality
+    signal: low = stereotyped/common text, high = rare-token soup).
+
+    ``model_ref`` is a ``ray.put`` ObjectRef to the (sorted word hashes,
+    surprisal micros, N) triple — broadcast once, read zero-copy per task.
+    Per batch: one bulk word-hash pass, one searchsorted lookup, one
+    integer bincount per doc.  OOV words (beyond the model's top-K) score
+    ``micros(-ln(1/N))`` — the rarest-possible-word surprisal.  Output
+    mean is integer division of micro sums: engine-exact."""
+    import ray
+
+    def score(b: pa.Table) -> pa.Table:
+        wh_sorted, s_micros, n_total = ray.get(model_ref)
+        oov = int(micros(-np.log(1.0 / float(n_total)))) if n_total else 0
+        texts = b.column(text_col).to_pylist()
+        wh, counts = _flat_word_hashes(texts)
+        ndocs = len(texts)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        total = np.zeros(ndocs, dtype=np.int64)
+        if len(wh):
+            pos = np.searchsorted(wh_sorted, wh)
+            pos[pos == len(wh_sorted)] = 0
+            known = len(wh_sorted) > 0
+            hit = (wh_sorted[pos] == wh) if known else np.zeros(len(wh), dtype=bool)
+            s = np.where(hit, s_micros[pos] if known else 0, oov)
+            total = np.bincount(doc_of, weights=s, minlength=ndocs).astype(np.int64)
+        mean = np.zeros(ndocs, dtype=np.int64)
+        nz = counts > 0
+        mean[nz] = total[nz] // counts[nz]
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_words": pa.array(counts, type=pa.int64()),
+                "mean_surprisal_micros": pa.array(mean, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

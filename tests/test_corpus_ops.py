@@ -1365,3 +1365,37 @@ def test_hash_join_semantics():
 
     with _pytest.raises(ValueError, match="collision"):
         hash_join(left, left, "lk", "lk")
+
+
+def test_doc_surprisal_model_and_oov():
+    """Unigram model top-K truncation: words beyond the model score the
+    rarest-word (OOV) surprisal; integer mean is exact."""
+    import ray as _ray
+
+    from oboyu_ray.fixedpoint import micros as _micros
+    from oboyu_ray.stages import trainprep as tp
+
+    # corpus: "common" x8, "mid" x4, "rare" x4  (N=16)
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "common common common common"},
+            {"doc_id": 2, "text": "common common common common"},
+            {"doc_id": 3, "text": "mid mid mid mid"},
+            {"doc_id": 4, "text": "rare rare rare rare"},
+        ]
+    )
+    wh, s, n = tp.unigram_model(ds, top_k=2)
+    assert n == 16 and len(wh) == 2  # truncated to top-2 (common, mid|rare tie)
+    out = (
+        tp.doc_surprisal(ds, _ray.put((wh, s, n)))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["n_words"].tolist() == [4, 4, 4, 4]
+    s_common = int(_micros(-np.log(8 / 16)))
+    oov = int(_micros(-np.log(1 / 16)))
+    assert out["mean_surprisal_micros"][0] == s_common
+    # tie at cnt=4 broken by word ASC: "mid" kept, "rare" is OOV
+    s_mid = int(_micros(-np.log(4 / 16)))
+    assert out["mean_surprisal_micros"][2] == s_mid
+    assert out["mean_surprisal_micros"][3] == oov
