@@ -1650,6 +1650,17 @@ GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' '))
 """
 
 
+def q_approx_distinct_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped HLL: approximate distinct users per event type (mergeable
+    4 KB register partials per (batch, group); the shuffle moves sketches,
+    never raw user ids).  Rows-only driver check; per-group error vs exact
+    pinned in pytest."""
+    from oboyu_ray.stages.sketch import approx_distinct_by_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_by_group(ev, "event_type", "user_id")
+
+
 def q_doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
     """Statistical LM quality signal: per-doc mean unigram surprisal under
     the corpus unigram model (built distributed, broadcast once)."""
@@ -1760,6 +1771,7 @@ def corpus_queries() -> dict:
         "corpus_profile": q_corpus_profile,
         "clean_corpus": q_clean_corpus,
         "doc_surprisal": q_doc_surprisal,
+        "approx_distinct_by_type": q_approx_distinct_by_type,
     }
 
 

@@ -1399,3 +1399,14 @@ def test_doc_surprisal_model_and_oov():
     s_mid = int(_micros(-np.log(4 / 16)))
     assert out["mean_surprisal_micros"][2] == s_mid
     assert out["mean_surprisal_micros"][3] == oov
+
+
+def test_grouped_hll_error_bounds(entrymod, duck):
+    got = _as_df(entrymod.queries()["approx_distinct_by_type"](SF)).set_index("event_type")
+    exact = duck.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).fetchdf().set_index("event_type")
+    assert set(got.index) == set(exact.index)
+    for et in exact.index:
+        e, a = int(exact.loc[et, "n"]), int(got.loc[et, "approx_distinct"])
+        assert abs(a - e) / e < 0.05, (et, e, a)  # 3x the 1.6% std error
