@@ -1661,6 +1661,16 @@ def q_approx_distinct_by_type(sf_dir: str) -> "ray.data.Dataset":
     return approx_distinct_by_group(ev, "event_type", "user_id")
 
 
+def q_embedding_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed k-means over the embeddings table: per-cluster size and
+    cohesion (mean cosine-to-centroid).  Iterative — rows-only driver
+    check; determinism + scalar-reference agreement pinned in pytest."""
+    from oboyu_ray.stages.simsearch import kmeans_cluster_summary
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_cluster_summary(ds, k=16, iters=3)
+
+
 def q_doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
     """Statistical LM quality signal: per-doc mean unigram surprisal under
     the corpus unigram model (built distributed, broadcast once)."""
@@ -1772,6 +1782,7 @@ def corpus_queries() -> dict:
         "clean_corpus": q_clean_corpus,
         "doc_surprisal": q_doc_surprisal,
         "approx_distinct_by_type": q_approx_distinct_by_type,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 

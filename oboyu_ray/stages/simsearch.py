@@ -320,3 +320,60 @@ def lsh_cosine_topk(
 
     cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     return _rank_and_cut(cand, k)
+
+
+def kmeans_cluster_summary(
+    ds: "ray.data.Dataset",
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """First-class embedding clustering: deterministic distributed k-means
+    (``ivf_train`` — broadcast centroids, per-batch partial (sum, count)
+    reduces per iteration) followed by one assignment pass that reports a
+    per-cluster summary: member count and mean cosine-to-centroid
+    (cohesion), both as map-side partials so the final groupby moves at
+    most #batches × k rows.
+
+    Iterative + float — not SQL-expressible; determinism and agreement
+    with a single-process scalar reference are pinned in pytest."""
+    from oboyu_ray.fixedpoint import micros as _micros
+
+    C = ivf_train(ds, n_cells=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cen = ray.get(ref)
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
+        sims = bm @ cen.T
+        cell = np.argmax(sims, axis=1)
+        cos_micros = _micros(sims[np.arange(len(cell)), cell]).astype(np.int64)
+        counts = np.bincount(cell, minlength=len(cen)).astype(np.int64)
+        sums = np.bincount(cell, weights=cos_micros, minlength=len(cen)).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster": pa.array(nz, type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+                "cos_sum": pa.array(sums[nz], type=pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("sum(cos_sum)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": b.column("cluster"),
+                "n_vecs": pa.array(n, type=pa.int64()),
+                "mean_cos_micros": pa.array(s // np.maximum(n, 1), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .sum(["n", "cos_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1410,3 +1410,50 @@ def test_grouped_hll_error_bounds(entrymod, duck):
     for et in exact.index:
         e, a = int(exact.loc[et, "n"]), int(got.loc[et, "approx_distinct"])
         assert abs(a - e) / e < 0.05, (et, e, a)  # 3x the 1.6% std error
+
+
+def test_kmeans_summary_matches_scalar_reference(entrymod):
+    """Distributed k-means summary == single-process scalar reference of
+    the SAME algorithm (init = first-k-by-id, Lloyd iterations, empty
+    clusters keep their centroid), and is deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.fixedpoint import micros as _micros
+    from oboyu_ray.functions.arrowvec import vec_matrix
+    from oboyu_ray.stages.simsearch import _normalize_rows
+
+    got = _as_df(entrymod.queries()["embedding_clusters"](SF)).sort_values(
+        "cluster", ignore_index=True
+    )
+    got2 = _as_df(entrymod.queries()["embedding_clusters"](SF)).sort_values(
+        "cluster", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.take(pa.compute.sort_indices(t.column("vec_id")))
+    M = _normalize_rows(vec_matrix(t.column("embedding")))
+    k, iters = 16, 3
+    C = M[:k].copy()
+    for _ in range(iters):
+        cell = np.argmax(M @ C.T, axis=1)
+        for c in range(k):
+            sel = cell == c
+            if sel.any():
+                C[c] = _normalize_rows(M[sel].mean(axis=0)[None, :])[0]
+    sims = M @ C.T
+    cell = np.argmax(sims, axis=1)
+    cm = _micros(sims[np.arange(len(cell)), cell]).astype(np.int64)
+    want = (
+        pd.DataFrame({"cluster": cell, "cm": cm})
+        .groupby("cluster")
+        .agg(n_vecs=("cm", "size"), total=("cm", "sum"))
+        .reset_index()
+    )
+    want["mean_cos_micros"] = want["total"] // want["n_vecs"]
+    assert got["cluster"].tolist() == want["cluster"].tolist()
+    assert got["n_vecs"].tolist() == want["n_vecs"].tolist()
+    # float matmul blocking may differ by ulps between shapes; micros means
+    # agree to the last digit or one
+    assert (got["mean_cos_micros"] - want["mean_cos_micros"]).abs().max() <= 1
+    assert int(got["n_vecs"].sum()) == len(M)
