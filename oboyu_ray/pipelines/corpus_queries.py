@@ -1661,6 +1661,30 @@ def q_approx_distinct_by_type(sf_dir: str) -> "ray.data.Dataset":
     return approx_distinct_by_group(ev, "event_type", "user_id")
 
 
+SKETCH_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_price_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """One-pass mergeable quantile sketch over lineitem prices (the
+    streaming complement to the exact operator): per-batch KLL/MRL
+    compactor blobs, deterministic driver merge.  Approximate — rows-only
+    driver check; rank-error bound and determinism pinned in pytest."""
+    from oboyu_ray.stages.quantiles import approx_quantiles_sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    sk = approx_quantiles_sketch(ds, "l_extendedprice", SKETCH_QS)
+    from oboyu_ray.fixedpoint import micros
+
+    return pd.DataFrame(
+        {
+            "q_micros": pd.array([micros(q) for q in SKETCH_QS], dtype="int64"),
+            "value_micros": pd.array(
+                [micros(sk.quantile(q)) for q in SKETCH_QS], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_embedding_clusters(sf_dir: str) -> "ray.data.Dataset":
     """Distributed k-means over the embeddings table: per-cluster size and
     cohesion (mean cosine-to-centroid).  Iterative — rows-only driver
@@ -1783,6 +1807,7 @@ def corpus_queries() -> dict:
         "doc_surprisal": q_doc_surprisal,
         "approx_distinct_by_type": q_approx_distinct_by_type,
         "embedding_clusters": q_embedding_clusters,
+        "price_quantiles_sketch": q_price_quantiles_sketch,
     }
 
 

@@ -262,3 +262,143 @@ def grouped_quantiles(
         .groupby("gb")
         .map_groups(bucket_quantiles, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- mergeable quantile sketch
+
+SKETCH_CAPACITY = 256  # per-level buffer; rank error ~ O(levels / capacity)
+
+
+class QuantileSketch:
+    """Deterministic KLL/MRL-style mergeable quantile summary.
+
+    A compactor hierarchy: level i holds at most ``capacity`` values, each
+    representing 2^i inputs.  When a level overflows it is sorted and every
+    other value survives to level i+1 — with the surviving offset
+    alternating DETERMINISTICALLY per level (the MRL discipline; classic
+    KLL flips a random coin) so the sketch is reproducible and the rank
+    error from each compaction cancels to at most 2^i over the pair of
+    compactions sharing a parity cycle.
+
+    This is the single-pass streaming complement to ``exact_quantiles``:
+    that operator gives exact answers in O(log) refinement ROUNDS over the
+    data; the sketch gives eps-approximate ranks in ONE pass with a
+    4-ish KB mergeable state — the shape a 100 TB telemetry pipeline ships
+    from every task (same contract as the HLL registers: associative,
+    commutative up to the documented determinism order, tiny)."""
+
+    def __init__(self, capacity: int = SKETCH_CAPACITY):
+        self.capacity = int(capacity)
+        self.levels: List[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: List[int] = [0]
+        self.n = 0
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        self.n += len(values)
+        # feed level 0 in capacity-sized slices so buffers never balloon
+        for s in range(0, len(values), self.capacity):
+            self.levels[0] = np.concatenate([self.levels[0], values[s : s + self.capacity]])
+            self._cascade()
+        return self
+
+    def _cascade(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.capacity:
+                a = np.sort(self.levels[i])
+                keep = a[self.parity[i] :: 2]
+                self.parity[i] ^= 1
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                    self.parity.append(0)
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], keep])
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert other.capacity == self.capacity
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._cascade()
+        return self
+
+    # -- serialization (one binary blob per task, like the HLL registers)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.n, self.capacity, len(self.levels))
+        body = b"".join(
+            struct.pack("<qq", len(lv), self.parity[i]) + lv.tobytes()
+            for i, lv in enumerate(self.levels)
+        )
+        return head + body
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QuantileSketch":
+        import struct
+
+        n, cap, nlev = struct.unpack_from("<qqq", blob, 0)
+        off = 24
+        sk = cls(capacity=cap)
+        sk.n = n
+        sk.levels, sk.parity = [], []
+        for _ in range(nlev):
+            ln, par = struct.unpack_from("<qq", blob, off)
+            off += 16
+            sk.levels.append(np.frombuffer(blob, dtype=np.float64, count=ln, offset=off).copy())
+            sk.parity.append(int(par))
+            off += 8 * ln
+        return sk
+
+    def quantile(self, q: float) -> float:
+        """Value whose weighted rank best matches ceil(q*n) (quantile_disc
+        semantics, matching ``_disc_rank``)."""
+        if self.n == 0:
+            return float("nan")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, dtype=np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = _disc_rank(q, self.n) + 1  # 1-based rank
+        idx = int(np.searchsorted(cum, target))
+        return float(vals[min(idx, len(vals) - 1)])
+
+
+def approx_quantiles_sketch(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: Sequence[float],
+    capacity: int = SKETCH_CAPACITY,
+) -> "QuantileSketch":
+    """One-pass distributed quantile sketch: per-batch sketches serialize to
+    one blob each; the driver merges them in a DETERMINISTIC order (sorted
+    by blob bytes — merge results depend on order only at ulp/parity
+    level, and the sort pins reproducibility across nondeterministic block
+    arrival).  Driver state: #batches blobs of ~capacity*levels floats."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = QuantileSketch(capacity).add(v)
+        return pa.table({"blob": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    blobs = [
+        payload
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for payload in b.column("blob").to_pylist()
+    ]
+    out = QuantileSketch(capacity)
+    for blob in sorted(blobs):
+        out.merge(QuantileSketch.from_bytes(blob))
+    return out

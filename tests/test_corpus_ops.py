@@ -1457,3 +1457,49 @@ def test_kmeans_summary_matches_scalar_reference(entrymod):
     # agree to the last digit or one
     assert (got["mean_cos_micros"] - want["mean_cos_micros"]).abs().max() <= 1
     assert int(got["n_vecs"].sum()) == len(M)
+
+
+def test_quantile_sketch_rank_error_and_determinism(entrymod, duck):
+    from oboyu_ray.pipelines.corpus_queries import SKETCH_QS
+
+    a = _as_df(entrymod.queries()["price_quantiles_sketch"](SF))
+    b = _as_df(entrymod.queries()["price_quantiles_sketch"](SF))
+    pd.testing.assert_frame_equal(a, b)  # deterministic across runs
+    vals = duck.execute("SELECT l_extendedprice FROM lineitem").fetchnumpy()[
+        "l_extendedprice"
+    ]
+    srt = np.sort(vals)
+    n = len(srt)
+    from oboyu_ray.stages.quantiles import _disc_rank
+
+    for q, est_micros in zip(SKETCH_QS, a["value_micros"]):
+        est = est_micros / 1e6
+        true_rank = np.searchsorted(srt, est, side="right")
+        target = _disc_rank(q, n) + 1
+        assert abs(true_rank - target) / n < 0.02, (q, est)
+
+
+def test_quantile_sketch_merge_associativity():
+    from oboyu_ray.stages.quantiles import QuantileSketch
+
+    rng = np.random.RandomState(7)
+    data = rng.standard_normal(50000)
+    parts = np.array_split(data, 8)
+    # two different merge groupings over the same sorted-blob order
+    blobs = sorted(QuantileSketch().add(p).to_bytes() for p in parts)
+    flat = QuantileSketch()
+    for bl in blobs:
+        flat.merge(QuantileSketch.from_bytes(bl))
+    left = QuantileSketch()
+    for bl in blobs[:4]:
+        left.merge(QuantileSketch.from_bytes(bl))
+    right = QuantileSketch()
+    for bl in blobs[4:]:
+        right.merge(QuantileSketch.from_bytes(bl))
+    tree = left.merge(right)
+    assert tree.n == flat.n == len(data)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        for est in (flat.quantile(q), tree.quantile(q)):
+            rank = np.searchsorted(srt, est, side="right")
+            assert abs(rank - q * len(data)) / len(data) < 0.02
