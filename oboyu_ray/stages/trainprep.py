@@ -469,7 +469,9 @@ def unigram_model(
         .sum("cnt")
         .materialize()  # consumed twice: grand total + top-k sort
     )
-    n_total = int(agg.sum("sum(cnt)"))
+    n_total = int(agg.sum("sum(cnt)") or 0)
+    if n_total == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64), 0
     top = agg.sort(["sum(cnt)", "word"], descending=[True, False]).limit(top_k).to_pandas()
     cnt = top["sum(cnt)"].to_numpy(dtype=np.int64)
     s_micros = micros(-np.log(cnt.astype(np.float64) / float(n_total))).astype(np.int64)
