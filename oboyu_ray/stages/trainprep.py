@@ -338,11 +338,12 @@ def corpus_profile(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     mean doc length — the profile a training pipeline consults when
     weighting data sources.
 
-    Two-phase: in-batch pyarrow group_by over (source, lang) collapses each
-    block to at most |sources|x|langs| partial rows (occurrence-scale rows
-    never shuffle), one groupby-sum co-locates the partials, and the final
-    per-source rollup runs as a map_groups over the tiny per-(source,lang)
-    table."""
+    ONE shuffle: in-batch pyarrow group_by over (source, lang) collapses
+    each block to at most |sources|x|langs| partial rows (occurrence-scale
+    rows never shuffle), and a single groupby(source) rollup computes doc
+    totals and distinct-lang counts from the partials directly — source
+    cardinality is unbounded at web scale (domains), so the reduce stays
+    distributed."""
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:
@@ -357,8 +358,8 @@ def corpus_profile(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        n_docs = int(g["sum(docs)"].sum())
-        total = float(g["sum(chars)"].sum())
+        n_docs = int(g["docs"].sum())
+        total = float(g["chars"].sum())
         return pd.DataFrame(
             {
                 "source": [g["source"].iloc[0]],
@@ -372,8 +373,6 @@ def corpus_profile(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .sum(["chars", "docs"])
         .groupby("source")
         .map_groups(rollup, batch_format="pandas")
     )
