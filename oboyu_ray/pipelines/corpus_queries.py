@@ -1664,6 +1664,27 @@ def q_approx_distinct_by_type(sf_dir: str) -> "ray.data.Dataset":
     return approx_distinct_by_group(ev, "event_type", "user_id")
 
 
+def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic sequence packing: docs → fixed token-budget bins under
+    a pseudo-random global order, via a two-phase distributed prefix scan
+    (per-bucket totals → driver offsets → broadcast)."""
+    return trainprep.pack_sequences(_docs(sf_dir))
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH t AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+           len(regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}'))::BIGINT AS n
+    FROM documents
+)
+SELECT doc_id, n AS n_words,
+       (coalesce(sum(n) OVER (ORDER BY key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {trainprep.PACK_BUDGET})::BIGINT AS bin
+FROM t
+"""
+
+
 SKETCH_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1811,6 +1832,7 @@ def corpus_queries() -> dict:
         "approx_distinct_by_type": q_approx_distinct_by_type,
         "embedding_clusters": q_embedding_clusters,
         "price_quantiles_sketch": q_price_quantiles_sketch,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1853,6 +1875,7 @@ def corpus_oracle_sql() -> dict:
         "corpus_profile": SQL_CORPUS_PROFILE,
         "clean_corpus": SQL_CLEAN_CORPUS,
         "doc_surprisal": SQL_DOC_SURPRISAL,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -523,3 +523,93 @@ def doc_surprisal(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 512     # token budget per packed bin
+PACK_BUCKETS = 256    # md5-prefix buckets defining the scan order
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> "ray.data.Dataset":
+    """Deterministic sequence packing: assign each doc to a fixed
+    token-budget bin under a pseudo-random global order — the pretraining
+    batch-packing op (bin = exclusive-prefix-token-count // budget, so bins
+    are budget-sized up to one straddling doc; no doc is split).
+
+    The primitive underneath is a DISTRIBUTED PREFIX SCAN without a global
+    sort: the order is (md5(id), id); its first hex pair partitions docs
+    into 256 ordered buckets.  Pass 1 computes per-bucket token totals
+    (map-side partials → one groupby); the driver prefix-sums the 256
+    totals into bucket offsets (bounded state) and broadcasts them; pass 2
+    sorts WITHIN each bucket, adds the local exclusive cumsum to the
+    bucket's offset, and emits the bin.  Scan cost: two streaming passes +
+    one bucket-bounded shuffle, at any corpus size."""
+    import hashlib
+
+    import ray
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(k).encode("utf-8")).hexdigest() for k in ids]
+        texts = b.column(text_col).to_pylist()
+        n = np.fromiter(
+            (len(WORD_RE.findall((t or "").lower())) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        bucket = np.fromiter((int(k[:2], 16) for k in keys), dtype=np.int64, count=len(keys))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "key": pa.array(keys, type=pa.string()),
+                "n_words": pa.array(n, type=pa.int64()),
+                "bucket": pa.array(bucket % n_buckets, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow").materialize()  # reused by both passes
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("bucket").aggregate([("n_words", "sum")])
+        return pa.table(
+            {"bucket": g.column("bucket"), "t": g.column("n_words_sum").cast(pa.int64())}
+        )
+
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    for b in rows.map_batches(tot_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # np.add.at, not fancy-index +=: one driver batch may carry several
+        # partial rows for the same bucket (iter_batches coalesces blocks),
+        # and += silently drops duplicate-index contributions
+        np.add.at(
+            totals,
+            b.column("bucket").to_numpy(zero_copy_only=False),
+            b.column("t").to_numpy(zero_copy_only=False),
+        )
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    import pandas as pd
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["key", id_col], kind="mergesort").reset_index(drop=True)
+        n = g["n_words"].to_numpy(dtype=np.int64)
+        cume = int(offs[int(g["bucket"].iloc[0])]) + (np.cumsum(n) - n)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_words": n,
+                "bin": (cume // budget).astype(np.int64),
+            }
+        )
+
+    return rows.groupby("bucket").map_groups(assign, batch_format="pandas")

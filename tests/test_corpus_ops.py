@@ -1503,3 +1503,21 @@ def test_quantile_sketch_merge_associativity():
         for est in (flat.quantile(q), tree.quantile(q)):
             rank = np.searchsorted(srt, est, side="right")
             assert abs(rank - q * len(data)) / len(data) < 0.02
+
+
+def test_pack_sequences_bin_invariants(entrymod):
+    """Bins are budget-bounded up to one straddling doc, cover all docs,
+    and are contiguous from 0."""
+    from oboyu_ray.stages.trainprep import PACK_BUDGET
+
+    out = _as_df(entrymod.queries()["pack_sequences"](SF))
+    assert len(out) == 500 and out["doc_id"].is_unique
+    g = out.groupby("bin")["n_words"].sum().sort_index()
+    assert list(g.index) == list(range(len(g)))
+    # every bin except possibly the last holds >= budget - (max doc - 1)
+    # tokens... simplest exact invariant: total tokens of bins 0..k-1 lands
+    # in [k*budget, k*budget + max_doc) for every k (prefix property)
+    csum = g.cumsum().to_numpy()
+    mx = int(out["n_words"].max())
+    for k, c in enumerate(csum[:-1], start=1):
+        assert k * PACK_BUDGET <= c < k * PACK_BUDGET + mx
