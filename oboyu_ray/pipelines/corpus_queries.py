@@ -1685,6 +1685,33 @@ FROM t
 """
 
 
+FUNNEL_WINDOW_US = 4 * 3_600_000_000
+
+
+def q_funnel_conversion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-day signup→purchase conversion within a 4h window (bucketed
+    per-user cogroup, vectorized next-goal scan, per-day partials)."""
+    from oboyu_ray.stages.relational import funnel_conversion
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_conversion(ev, window_us=FUNNEL_WINDOW_US)
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT (epoch_us(s.ts) // 86400000000)::BIGINT AS day,
+       count(*)::BIGINT AS n_signups,
+       count(*) FILTER (EXISTS (
+           SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+             AND p.user_id = s.user_id AND p.ts > s.ts
+             AND epoch_us(p.ts) <= epoch_us(s.ts) + {FUNNEL_WINDOW_US}
+       ))::BIGINT AS n_converted
+FROM s GROUP BY 1
+"""
+
+
 SKETCH_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1833,6 +1860,7 @@ def corpus_queries() -> dict:
         "embedding_clusters": q_embedding_clusters,
         "price_quantiles_sketch": q_price_quantiles_sketch,
         "pack_sequences": q_pack_sequences,
+        "funnel_conversion": q_funnel_conversion,
     }
 
 
@@ -1876,6 +1904,7 @@ def corpus_oracle_sql() -> dict:
         "clean_corpus": SQL_CLEAN_CORPUS,
         "doc_surprisal": SQL_DOC_SURPRISAL,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "funnel_conversion": SQL_FUNNEL_CONVERSION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

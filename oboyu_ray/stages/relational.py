@@ -598,3 +598,92 @@ def hash_join(
         return out.reset_index(drop=True)
 
     return unioned.groupby("jb").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- funnel
+
+FUNNEL_BUCKETS = 64
+US_PER_DAY = 86_400_000_000
+
+
+def funnel_conversion(
+    events: "ray.data.Dataset",
+    start_type: str = "signup",
+    goal_type: str = "purchase",
+    window_us: int = 4 * 3_600_000_000,
+    n_buckets: int = FUNNEL_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-day conversion funnel: of the users who fired ``start_type`` on
+    day D, how many fired ``goal_type`` within ``window_us`` strictly after
+    it.  The per-user sequencing runs as a bucketed cogroup (user %
+    n_buckets — same shape as sessionize/as-of), vectorized inside each
+    bucket: one lexsort over (user, ts, kind), then a reversed per-user
+    cummin gives every start event its NEXT goal timestamp; each bucket
+    emits per-day partial counts so the final groupby moves days × buckets
+    rows."""
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        mask = pc.or_(pc.equal(et, start_type), pc.equal(et, goal_type))
+        sel = t.filter(mask)
+        u = sel.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = sel.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kind = pc.equal(sel.column("event_type"), goal_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "t": pa.array(ts, type=pa.int64()),
+                "is_goal": pa.array(kind, type=pa.bool_()),
+                "bucket": pa.array((u % n_buckets).astype(np.int64)),
+            }
+        )
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        # sort (user, ts, goal-after-start-at-equal-ts); strict ">" then
+        # falls out of next_goal > t below
+        u = g["u"].to_numpy(dtype=np.int64)
+        tt = g["t"].to_numpy(dtype=np.int64)
+        goal = g["is_goal"].to_numpy(dtype=bool)
+        order = np.lexsort((goal, tt, u))
+        u, tt, goal = u[order], tt[order], goal[order]
+        # reversed segmented min of goal timestamps: walk back-to-front,
+        # resetting at user boundaries — vectorized via pandas cummin over
+        # contiguous reversed copies
+        rev_pts = pd.Series(np.where(goal, tt, np.iinfo(np.int64).max)[::-1].copy())
+        rev_u = pd.Series(u[::-1].copy())
+        ng = rev_pts.groupby(rev_u, sort=False).cummin().to_numpy()[::-1].copy()
+        starts = ~goal
+        t = tt[starts]
+        ngs = ng[starts].astype(np.float64)
+        converted = (ngs > t) & (ngs <= t + window_us)
+        day = t // US_PER_DAY
+        out = (
+            pd.DataFrame({"day": day, "conv": converted.astype(np.int64)})
+            .groupby("day", as_index=False)
+            .agg(n_signups=("conv", "size"), n_converted=("conv", "sum"))
+        )
+        return out.astype({"day": "int64", "n_signups": "int64", "n_converted": "int64"})
+
+    partials = (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_funnel, batch_format="pandas")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "n_signups": b.column("sum(n_signups)").cast(pa.int64()),
+                "n_converted": b.column("sum(n_converted)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        partials.groupby("day")
+        .sum(["n_signups", "n_converted"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

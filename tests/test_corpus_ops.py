@@ -1521,3 +1521,48 @@ def test_pack_sequences_bin_invariants(entrymod):
     mx = int(out["n_words"].max())
     for k, c in enumerate(csum[:-1], start=1):
         assert k * PACK_BUDGET <= c < k * PACK_BUDGET + mx
+
+
+def test_funnel_semantics_edges():
+    """Same-ts goal excluded (strict >), window boundary inclusive,
+    cross-user goals never count, multiple signups each evaluated."""
+    from oboyu_ray.stages.relational import funnel_conversion
+
+    US_H = 3_600_000_000
+    base = 86_400_000_000 * 20000  # day 20000
+    rows = [
+        # user 1: signup, purchase exactly at +4h → converted (inclusive)
+        {"user_id": 1, "event_type": "signup", "ts": base},
+        {"user_id": 1, "event_type": "purchase", "ts": base + 4 * US_H},
+        # user 2: purchase at SAME ts as signup → not converted
+        {"user_id": 2, "event_type": "signup", "ts": base},
+        {"user_id": 2, "event_type": "purchase", "ts": base},
+        # user 3: purchase just outside window
+        {"user_id": 3, "event_type": "signup", "ts": base},
+        {"user_id": 3, "event_type": "purchase", "ts": base + 4 * US_H + 1},
+        # user 4: signup only; user 5: purchase only (never a signup row)
+        {"user_id": 4, "event_type": "signup", "ts": base},
+        {"user_id": 5, "event_type": "purchase", "ts": base + US_H},
+        # user 6: two signups, second converts via the shared later purchase
+        {"user_id": 6, "event_type": "signup", "ts": base},
+        {"user_id": 6, "event_type": "signup", "ts": base + 3 * US_H},
+        {"user_id": 6, "event_type": "purchase", "ts": base + 5 * US_H},
+        # noise event type ignored
+        {"user_id": 1, "event_type": "click", "ts": base + US_H},
+    ]
+    import pyarrow as _pa
+
+    ds = ray.data.from_arrow(
+        _pa.table(
+            {
+                "user_id": _pa.array([r["user_id"] for r in rows], type=_pa.int64()),
+                "event_type": _pa.array([r["event_type"] for r in rows]),
+                "ts": _pa.array([r["ts"] for r in rows], type=_pa.timestamp("us")),
+            }
+        )
+    ).repartition(3)
+    out = funnel_conversion(ds, window_us=4 * US_H).to_pandas()
+    assert out["day"].tolist() == [20000]
+    assert int(out["n_signups"].iloc[0]) == 6
+    # converted: user1 (boundary), user6 second signup → 2
+    assert int(out["n_converted"].iloc[0]) == 2
