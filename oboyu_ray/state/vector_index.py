@@ -58,6 +58,91 @@ def auto_n_cells(n_vectors: int) -> int:
     return int(np.clip(int(np.sqrt(max(n_vectors, 1))), 16, 65_536))
 
 
+def _make_assign(cref, id_col: str, vec_col: str):
+    """Cell-assignment map_batches fn shared by build and append: nearest
+    centroid + member angle (theta) per vector, centroids broadcast once."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        ids = batch.column(id_col).cast(pa.int64())
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
+        A = np.clip(bm @ cen.T, -1.0, 1.0)
+        cell = np.argmax(A, axis=1)
+        theta = np.arccos(A[np.arange(len(cell)), cell])
+        return pa.table(
+            {
+                "cell": pa.array(cell, type=pa.int64()),
+                "vec_id": ids,
+                "vec": matrix_to_fixed_list(bm),
+                "theta": pa.array(theta, type=pa.float64()),
+            }
+        )
+
+    return assign
+
+
+def append_vector_index(
+    index_dir: str,
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to an existing index WITHOUT retraining or
+    rewriting the resident cells.
+
+    New vectors are assigned to the existing centroids and written as a new
+    EPOCH directory (``cells_epoch_N/cell=NNNN/``); radii/counts grow by
+    max/sum and the manifest's epoch list is committed LAST (atomic json
+    replace).  Soundness through every crash window: a larger radius only
+    WEAKENS the probe bound (never unsound for resident files), and epoch
+    files are invisible until the same manifest commit that publishes the
+    radii covering them.  Centroids are frozen — cell balance degrades
+    gracefully as the corpus drifts (counts make that observable); retrain
+    by rebuilding when it matters."""
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        man = json.load(f)
+    cpath = os.path.join(index_dir, "centroids.parquet")
+    t = pq.read_table(cpath)
+    order = np.argsort(t.column("cell").to_numpy())
+    C = vec_matrix(t.column("centroid"))[order]
+    radii = t.column("radius").to_numpy().copy()[order]
+    counts = t.column("count").to_numpy().copy()[order]
+
+    epochs = man.get("epochs", ["cells"])
+    epoch = f"cells_epoch_{len(epochs)}"
+    epoch_dir = os.path.join(index_dir, epoch)
+    shutil.rmtree(epoch_dir, ignore_errors=True)  # leftovers from a crashed try
+
+    cref = ray.put(C)
+    assigned = ds.map_batches(_make_assign(cref, id_col, vec_col), batch_format="pyarrow")
+    assigned.write_parquet(epoch_dir, partition_cols=["cell"])
+
+    new = pq.read_table(epoch_dir, columns=["cell", "theta"])
+    cells = new.column("cell").to_numpy().astype(np.int64)
+    np.maximum.at(radii, cells, new.column("theta").to_numpy())
+    np.add.at(counts, cells, 1)
+
+    tmp_c = cpath + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(np.arange(len(C)), type=pa.int64()),
+                "centroid": matrix_to_fixed_list(C),
+                "radius": pa.array(radii, type=pa.float64()),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        ),
+        tmp_c,
+    )
+    os.replace(tmp_c, cpath)
+
+    man["n_vectors"] = int(counts.sum())
+    man["epochs"] = epochs + [epoch]
+    atomic_write_json(manifest_path, man)  # the commit point
+    return man
+
+
 def build_vector_index(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -89,23 +174,9 @@ def build_vector_index(
     n_cells = int(C.shape[0])
     cref = ray.put(C)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        cen = ray.get(cref)
-        ids = batch.column(id_col).cast(pa.int64())
-        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
-        A = np.clip(bm @ cen.T, -1.0, 1.0)
-        cell = np.argmax(A, axis=1)
-        theta = np.arccos(A[np.arange(len(cell)), cell])
-        return pa.table(
-            {
-                "cell": pa.array(cell, type=pa.int64()),
-                "vec_id": ids,
-                "vec": matrix_to_fixed_list(bm),
-                "theta": pa.array(theta, type=pa.float64()),
-            }
-        )
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned = ds.map_batches(
+        _make_assign(cref, id_col, vec_col), batch_format="pyarrow"
+    )
     assigned.write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"])
 
     # per-cell radius/count from the written artifact (metadata-scale read)
@@ -132,6 +203,7 @@ def build_vector_index(
         "dim": int(C.shape[1]),
         "n_vectors": int(counts.sum()),
         "normalized": True,
+        "epochs": ["cells"],
     }
     atomic_write_json(os.path.join(tmp, "manifest.json"), man)
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -155,10 +227,19 @@ class VectorIndex:
         self.cells_read = 0  # probe-efficiency telemetry (tests assert on it)
 
     def _cell_files(self, cell: int) -> list:
-        d = os.path.join(self.index_dir, "cells", f"cell={cell}")
-        if not os.path.isdir(d):
-            return []
-        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        # the manifest's epoch list gates visibility: files written by an
+        # in-flight (or crashed) append live in an unlisted epoch dir and
+        # are invisible until the manifest commit makes them — and the
+        # matching radii — visible together (soundness of the probe bounds)
+        out = []
+        for epoch in self.manifest.get("epochs", ["cells"]):
+            d = os.path.join(self.index_dir, epoch, f"cell={cell}")
+            if not os.path.isdir(d):
+                continue
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+        return out
 
     def search(
         self,

@@ -1566,3 +1566,76 @@ def test_funnel_semantics_edges():
     assert int(out["n_signups"].iloc[0]) == 6
     # converted: user1 (boundary), user6 second signup → 2
     assert int(out["n_converted"].iloc[0]) == 2
+
+
+def test_vector_index_incremental_append(tmp_path):
+    """Append epoch: build on half the corpus, append the rest -> search is
+    exact vs brute force over the FULL corpus; unlisted epoch dirs
+    (crashed append) stay invisible; radii only grow."""
+    import os
+
+    import ray as _ray
+
+    from oboyu_ray.state.vector_index import (
+        VectorIndex,
+        append_vector_index,
+        build_vector_index,
+    )
+    from oboyu_ray.stages.simsearch import brute_force_cosine_topk, load_query_matrix
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((6, 12)) * 4
+    vecs = np.concatenate(
+        [centers[i % 6] + rng.standard_normal(12) * 0.4 for i in range(300)]
+    ).reshape(300, 12)
+
+    def mk(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(lo, hi), type=pa.int64()),
+                    "embedding": pa.array(list(vecs[lo:hi]), type=pa.list_(pa.float64())),
+                }
+            )
+        )
+
+    idx_dir = str(tmp_path / "vi_inc")
+    man = build_vector_index(mk(0, 150), idx_dir, n_cells=6)
+    assert man["n_vectors"] == 150 and man["epochs"] == ["cells"]
+    man2 = append_vector_index(idx_dir, mk(150, 300))
+    assert man2["n_vectors"] == 300 and man2["epochs"] == ["cells", "cells_epoch_1"]
+
+    full = mk(0, 300)
+    qids, Q = load_query_matrix(full, (0, 200, 299))
+    idx = VectorIndex(idx_dir)
+    got = idx.search(Q, k=7, query_ids=qids)
+    want = brute_force_cosine_topk(full, k=7, query_ids=(0, 200, 299))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+        check_dtype=False,
+    )
+
+    # crash simulation: an epoch dir NOT in the manifest must be invisible
+    ghost = os.path.join(idx_dir, "cells_epoch_2", "cell=0")
+    os.makedirs(ghost, exist_ok=True)
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([999999], type=pa.int64()),
+                "vec": pa.array([list(np.ones(12) / np.sqrt(12))], type=pa.list_(pa.float64())),
+                "theta": pa.array([0.0]),
+            }
+        ),
+        os.path.join(ghost, "ghost.parquet"),
+    )
+    idx2 = VectorIndex(idx_dir)
+    got2 = idx2.search(Q, k=7, query_ids=qids)
+    assert 999999 not in set(got2["vec_id"])
+    pd.testing.assert_frame_equal(
+        got2.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+        check_dtype=False,
+    )
