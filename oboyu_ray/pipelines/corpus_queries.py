@@ -1746,14 +1746,51 @@ def q_embedding_clusters(sf_dir: str) -> "ray.data.Dataset":
     return kmeans_cluster_summary(ds, k=16, iters=3)
 
 
+def _unigram_model_ref(sf_dir: str):
+    """Build-once unigram model (shared by doc_surprisal + doc_keywords)."""
+    import ray as _ray
+
+    return _memo(
+        sf_dir,
+        "unigram_model",
+        lambda: _ray.put(trainprep.unigram_model(_docs(sf_dir))),
+    )
+
+
 def q_doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
     """Statistical LM quality signal: per-doc mean unigram surprisal under
     the corpus unigram model (built distributed, broadcast once)."""
-    import ray as _ray
+    return trainprep.doc_surprisal(_docs(sf_dir), _unigram_model_ref(sf_dir))
 
-    docs = _docs(sf_dir)
-    model = trainprep.unigram_model(docs)
-    return trainprep.doc_surprisal(docs, _ray.put(model))
+
+def q_doc_keywords(sf_dir: str) -> "ray.data.Dataset":
+    """IDF-style keyword extraction: top-3 rarest distinct words per doc
+    under the shared unigram model (ties word-ascending)."""
+    return trainprep.doc_keywords(_docs(sf_dir), _unigram_model_ref(sf_dir))
+
+
+SQL_DOC_KEYWORDS = rf"""
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS word FROM d),
+c AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM c),
+s AS (
+    SELECT word, CAST(floor(-ln(cnt::DOUBLE / n) * 1e6 + 0.5) AS BIGINT) AS s_micros
+    FROM c, tot
+),
+dw AS (SELECT DISTINCT doc_id, word FROM t),
+r AS (
+    SELECT dw.doc_id, dw.word, s.s_micros,
+           row_number() OVER (PARTITION BY dw.doc_id
+                              ORDER BY s.s_micros DESC, dw.word) AS rank
+    FROM dw JOIN s USING (word)
+)
+SELECT doc_id, word, s_micros, rank::BIGINT AS rank
+FROM r WHERE rank <= {trainprep.KEYWORDS_PER_DOC}
+"""
 
 
 SQL_DOC_SURPRISAL = rf"""
@@ -1861,6 +1898,7 @@ def corpus_queries() -> dict:
         "price_quantiles_sketch": q_price_quantiles_sketch,
         "pack_sequences": q_pack_sequences,
         "funnel_conversion": q_funnel_conversion,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -1905,6 +1943,7 @@ def corpus_oracle_sql() -> dict:
         "doc_surprisal": SQL_DOC_SURPRISAL,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "funnel_conversion": SQL_FUNNEL_CONVERSION,
+        "doc_keywords": SQL_DOC_KEYWORDS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -613,3 +613,84 @@ def pack_sequences(
         )
 
     return rows.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+# ------------------------------------------------------- keyword extraction
+
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(
+    ds: "ray.data.Dataset",
+    model_ref,
+    k: int = KEYWORDS_PER_DOC,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-doc keyword extraction: the k distinct words with the highest
+    corpus surprisal (rarity — the IDF-style signal), ties broken by word
+    ascending.  Reuses the broadcast unigram model from ``unigram_model``;
+    per batch this is one bulk hash pass + per-doc dedup + one lexsort —
+    no shuffle, streams at any scale.  Words beyond the model's top-K all
+    score the OOV (rarest) surprisal and compete alphabetically."""
+    import ray
+
+    def extract(b: pa.Table) -> pa.Table:
+        from oboyu_ray.stages.sketch import _hash64
+
+        wh_sorted, s_micros, n_total = ray.get(model_ref)
+        oov = int(micros(-np.log(1.0 / float(n_total)))) if n_total else 0
+        texts = b.column(text_col).to_pylist()
+        words: List[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            w = WORD_RE.findall((t or "").lower())
+            counts[i] = len(w)
+            words.extend(w)
+        out_doc: List[int] = []
+        out_word: List[str] = []
+        out_s: List[int] = []
+        out_rank: List[int] = []
+        if words:
+            wa = pa.array(words, type=pa.string())
+            wh = _hash64(wa)
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            # per-doc distinct words (dedup by hash within doc)
+            order = np.lexsort((wh, doc_of))
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = (wh[order][1:] != wh[order][:-1]) | (
+                doc_of[order][1:] != doc_of[order][:-1]
+            )
+            sel = order[keep]
+            d = doc_of[sel]
+            h = wh[sel]
+            if len(wh_sorted):
+                pos = np.searchsorted(wh_sorted, h)
+                pos[pos == len(wh_sorted)] = 0
+                hit = wh_sorted[pos] == h
+                s = np.where(hit, s_micros[pos], oov).astype(np.int64)
+            else:
+                s = np.full(len(h), oov, dtype=np.int64)
+            wstr = np.asarray(wa.take(pa.array(sel)).to_pylist(), dtype=object)
+            # top-k per doc by (s DESC, word ASC): lexsort then cumcount
+            o2 = np.lexsort((wstr, -s, d))
+            d2, s2, w2 = d[o2], s[o2], wstr[o2]
+            new = np.r_[True, d2[1:] != d2[:-1]]
+            starts = np.flatnonzero(new)
+            cum = np.arange(len(d2)) - np.repeat(starts, np.diff(np.r_[starts, len(d2)]))
+            top = cum < k
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            out_doc = ids[d2[top]].tolist()
+            out_word = w2[top].tolist()
+            out_s = s2[top].tolist()
+            out_rank = (cum[top] + 1).tolist()
+        return pa.table(
+            {
+                id_col: pa.array(out_doc, type=pa.int64()),
+                "word": pa.array(out_word, type=pa.string()),
+                "s_micros": pa.array(out_s, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
