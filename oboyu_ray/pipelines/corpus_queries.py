@@ -1685,6 +1685,50 @@ FROM t
 """
 
 
+def q_token_counts_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish pre-tokenizer counts + chars-per-token compression proxy
+    (the token-budget signal a training pipeline costs data with)."""
+    return _docs(sf_dir).map_batches(
+        textstats.bpe_token_counts_batch, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_COUNTS_BPE = rf"""
+WITH b AS (
+    SELECT doc_id,
+           length(lower(text))::BIGINT AS n_chars,
+           len(regexp_extract_all(lower(text), '{textstats.BPE_RE_SQL}'))::BIGINT AS n
+    FROM documents
+)
+SELECT doc_id, n AS n_bpe_tokens,
+       CASE WHEN n > 0
+            THEN CAST(floor(n_chars::DOUBLE / n * 1e6 + 0.5) AS BIGINT)
+            ELSE 0 END AS chars_per_token_micros
+FROM b
+"""
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """32-bin value histogram of lineitem prices: exact min/max fold →
+    broadcast edges → bounded bin-count fold (identical double binning
+    expression on both engines)."""
+    from oboyu_ray.stages.quantiles import value_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return value_histogram(ds, "l_extendedprice")
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH mm AS (
+    SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+)
+SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 32.0)), 31)::BIGINT AS bin,
+       count(*)::BIGINT AS n
+FROM lineitem, mm
+GROUP BY 1
+"""
+
+
 FUNNEL_WINDOW_US = 4 * 3_600_000_000
 
 
@@ -1899,6 +1943,8 @@ def corpus_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "funnel_conversion": q_funnel_conversion,
         "doc_keywords": q_doc_keywords,
+        "token_counts_bpe": q_token_counts_bpe,
+        "price_histogram": q_price_histogram,
     }
 
 
@@ -1944,6 +1990,8 @@ def corpus_oracle_sql() -> dict:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "funnel_conversion": SQL_FUNNEL_CONVERSION,
         "doc_keywords": SQL_DOC_KEYWORDS,
+        "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
+        "price_histogram": SQL_PRICE_HISTOGRAM,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

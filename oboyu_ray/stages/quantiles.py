@@ -402,3 +402,65 @@ def approx_quantiles_sketch(
     for blob in sorted(blobs):
         out.merge(QuantileSketch.from_bytes(blob))
     return out
+
+
+# ------------------------------------------------------------- histogram
+
+HIST_BINS = 32
+
+
+def value_histogram(
+    ds: "ray.data.Dataset", value_col: str, n_bins: int = HIST_BINS
+) -> pd.DataFrame:
+    """Fixed-bin value histogram: pass 1 folds per-batch min/max partials on
+    the driver (two doubles), pass 2 bins every value with
+    ``min(floor((v - mn) / w), n_bins - 1)`` — the exact expression the SQL
+    oracle runs, so bin membership agrees bit-for-bit (same discipline as
+    the exact-quantiles boundary floats).  Bin counts are bounded state
+    (n_bins ints) folded on the driver like the HLL registers."""
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        return pa.table({"mn": pa.array([float(v.min())]), "mx": pa.array([float(v.max())])})
+
+    mn, mx = np.inf, -np.inf
+    src = ds.materialize()
+    for b in src.map_batches(mm_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            mn = min(mn, float(b.column("mn").to_numpy(zero_copy_only=False).min()))
+            mx = max(mx, float(b.column("mx").to_numpy(zero_copy_only=False).max()))
+    if not np.isfinite(mn):
+        return pd.DataFrame({"bin": pd.array([], dtype="int64"),
+                             "n": pd.array([], dtype="int64")})
+    w = (mx - mn) / float(n_bins)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if w > 0:
+            bins = np.minimum(np.floor((v - mn) / w), n_bins - 1).astype(np.int64)
+        else:
+            bins = np.zeros(len(v), dtype=np.int64)  # degenerate: all equal
+        counts = np.bincount(bins, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins), type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    totals = np.zeros(n_bins, dtype=np.int64)
+    for b in src.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            totals,
+            b.column("bin").to_numpy(zero_copy_only=False),
+            b.column("n").to_numpy(zero_copy_only=False),
+        )
+    nz = np.flatnonzero(totals)
+    return pd.DataFrame(
+        {"bin": pd.array(nz, dtype="int64"), "n": pd.array(totals[nz], dtype="int64")}
+    )

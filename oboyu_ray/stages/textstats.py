@@ -249,3 +249,34 @@ def sample_by_hash(
         hashlib.md5(str(k).encode("utf-8")).hexdigest() < threshold_hex for k in keys
     ]
     return batch.filter(pa.array(keep, type=pa.bool_()))
+
+
+# BPE-ish pre-tokenizer (GPT-2-style segmentation simplified to RE2-safe
+# alternation: space-prefixed letter runs / digit runs / punctuation runs —
+# no lookarounds, identical under Python re and DuckDB RE2).  Counts from
+# this are the training-cost proxy a data pipeline budgets with.
+BPE_RE_SQL = r" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+BPE_RE = re.compile(BPE_RE_SQL)
+
+
+def bpe_token_counts_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, text) → BPE-ish token counts + chars-per-token compression
+    ratio (micros).  Stateless map_batches stage; the per-doc regex scan is
+    one C call per row."""
+    texts = batch.column(text_col).to_pylist()
+    n_tok: List[int] = []
+    ratio_u: List[int] = []
+    for t in texts:
+        t = (t or "").lower()
+        n = len(BPE_RE.findall(t))
+        n_tok.append(n)
+        ratio_u.append(micros(len(t) / n) if n else 0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+            "chars_per_token_micros": pa.array(ratio_u, type=pa.int64()),
+        }
+    )
