@@ -417,7 +417,13 @@ def value_histogram(
     ``min(floor((v - mn) / w), n_bins - 1)`` — the exact expression the SQL
     oracle runs, so bin membership agrees bit-for-bit (same discipline as
     the exact-quantiles boundary floats).  Bin counts are bounded state
-    (n_bins ints) folded on the driver like the HLL registers."""
+    (n_bins ints) folded on the driver like the HLL registers.
+
+    The input executes TWICE (min/max pass, then the binning pass) without
+    an intermediate materialization: for the common case — a pruned parquet
+    read — re-reading is cheaper than parking the corpus in the object
+    store; callers with an expensive upstream pipeline should pass
+    ``ds.materialize()``."""
 
     def mm_partial(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
@@ -428,7 +434,7 @@ def value_histogram(
         return pa.table({"mn": pa.array([float(v.min())]), "mx": pa.array([float(v.max())])})
 
     mn, mx = np.inf, -np.inf
-    src = ds.materialize()
+    src = ds
     for b in src.map_batches(mm_partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):

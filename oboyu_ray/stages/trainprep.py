@@ -393,12 +393,12 @@ def clean_corpus(
     benchmark decontamination + exact-duplicate canonicalization, the
     end-to-end hygiene pipeline a corpus runs before tokenization.
 
-    All three per-doc gates evaluate in ONE map_batches over the text (one
-    decode of the batch, three vectorized kernels), docs failing any gate
-    drop before the only shuffle — the exact-dedup groupby over md5 keys —
-    so the wide step sees the already-thinned corpus.  Output: one row per
-    kept canonical doc (smallest id of its duplicate group) with the group
-    size."""
+    All three per-doc gates evaluate in ONE map_batches stage (three
+    vectorized kernels over the same in-memory batch), and docs failing any
+    gate drop before the only shuffle — the exact-dedup groupby over md5
+    keys — so the wide step sees the already-thinned corpus.  Output: one
+    row per kept canonical doc (smallest id of its duplicate group) with
+    the group size."""
     import ray
 
     from oboyu_ray.stages.dedup import exact_dedup
@@ -574,7 +574,10 @@ def pack_sequences(
             }
         )
 
-    rows = ds.map_batches(keyed, batch_format="pyarrow").materialize()  # reused by both passes
+    # materialized because BOTH passes consume it and the keyed stage pays a
+    # per-row md5; the object store spills rather than recomputing — for an
+    # upstream cheaper than the md5 keying, drop this and let it re-execute
+    rows = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
     def tot_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("bucket").aggregate([("n_words", "sum")])
