@@ -1664,6 +1664,51 @@ def q_approx_distinct_by_type(sf_dir: str) -> "ray.data.Dataset":
     return approx_distinct_by_group(ev, "event_type", "user_id")
 
 
+def q_dedup_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental dedup against a persisted fingerprint store: the
+    hash-sampled subset plays the already-ingested corpus (store built once
+    per input signature under /tmp), the full table plays the new drop;
+    docs whose fingerprint exists in the store are dropped, survivors
+    canonicalized within the drop."""
+    import os
+
+    from oboyu_ray.stages.dedup import build_fingerprint_store, dedup_against_store
+
+    def build_store() -> str:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        store = f"/tmp/oboyu_fpstore/{st.st_size}_{st.st_mtime_ns}"
+        if not os.path.isdir(store):
+            seen = _docs(sf_dir).map_batches(
+                lambda b: textstats.sample_by_hash(b, threshold_hex=SAMPLE_THRESHOLD_HEX),
+                batch_format="pyarrow",
+            )
+            build_fingerprint_store(seen, store + ".tmp")
+            os.replace(store + ".tmp", store)
+        return store
+
+    store = _memo(sf_dir, "fp_store", build_store)
+    return dedup_against_store(_docs(sf_dir), store)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH norm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS key
+    FROM documents
+),
+store AS (
+    SELECT DISTINCT key FROM norm
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_THRESHOLD_HEX}'
+),
+surv AS (
+    SELECT n.doc_id, n.key FROM norm n
+    LEFT JOIN store s USING (key) WHERE s.key IS NULL
+)
+SELECT key, min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM surv GROUP BY 1
+"""
+
+
 def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic sequence packing: docs → fixed token-budget bins under
     a pseudo-random global order, via a two-phase distributed prefix scan
@@ -1945,6 +1990,7 @@ def corpus_queries() -> dict:
         "doc_keywords": q_doc_keywords,
         "token_counts_bpe": q_token_counts_bpe,
         "price_histogram": q_price_histogram,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -1992,6 +2038,7 @@ def corpus_oracle_sql() -> dict:
         "doc_keywords": SQL_DOC_KEYWORDS,
         "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
         "price_histogram": SQL_PRICE_HISTOGRAM,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -918,3 +918,114 @@ def embedding_cosine_pairs(
             }
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- incremental (store) dedup
+
+FP_STORE_BUCKETS = 64
+
+
+def _fp_rows(batch: pa.Table, id_col: str, text_col: str, n_buckets: int) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    keys = [hashlib.md5(_normalize(t or "").encode("utf-8")).hexdigest() for t in texts]
+    bucket = np.fromiter((int(k[:2], 16) % n_buckets for k in keys), dtype=np.int64,
+                         count=len(keys))
+    return pa.table(
+        {
+            "key": pa.array(keys, type=pa.string()),
+            id_col: batch.column(id_col),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def build_fingerprint_store(
+    ds: "ray.data.Dataset",
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = FP_STORE_BUCKETS,
+) -> str:
+    """Persist the corpus's exact-dedup fingerprints (md5 of normalized
+    text) as a BUCKET-PARTITIONED parquet store — the standing state a
+    continuously-ingesting pipeline dedups every new data drop against.
+    Bucket = md5-prefix, so an incremental run touches only the bucket
+    files its new keys land in; size ``n_buckets`` so one bucket file
+    streams comfortably (raise it as the store grows — re-bucketing is a
+    one-shuffle rewrite)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        t = _fp_rows(b, id_col, text_col, n_buckets)
+        # distinct within batch: the store needs each key once
+        g = t.group_by(["bucket", "key"]).aggregate([])
+        return g
+
+    ds.map_batches(part, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    return store_dir
+
+
+def dedup_against_store(
+    ds: "ray.data.Dataset",
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = FP_STORE_BUCKETS,
+) -> "ray.data.Dataset":
+    """Incremental exact dedup: drop new docs whose normalized-text
+    fingerprint already exists in the store, then canonicalize duplicates
+    WITHIN the new batch (keep smallest id, count group size) — the
+    production flow for a corpus that grows by drops.
+
+    Shape: new rows bucket by key prefix and cogroup per bucket; each
+    bucket task reads ONLY its store partition (one columnar file read per
+    bucket, never the whole store) and anti-joins in memory.  Survivors
+    then run the ordinary map-side-partial exact dedup.  Output:
+    (key, doc_id, n_dups) like ``exact_dedup``."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return _fp_rows(b, id_col, text_col, n_buckets)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        d = os.path.join(store_dir, f"bucket={bucket}")
+        seen = set()
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    seen.update(
+                        _pq.read_table(os.path.join(d, f), columns=["key"])
+                        .column("key")
+                        .to_pylist()
+                    )
+        keep = ~g["key"].isin(seen)
+        return g.loc[keep, ["key", id_col]].reset_index(drop=True)
+
+    surv = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+    # canonicalize within the drop: map-side partial min/count per key
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("key").aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table(
+            {
+                "key": g.column("key"),
+                "min_id": g.column(f"{id_col}_min").cast(pa.int64()),
+                "cnt": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        surv.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("min_id", alias_name=id_col), Sum("cnt", alias_name="n_dups"))
+    )

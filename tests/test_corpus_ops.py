@@ -1639,3 +1639,36 @@ def test_vector_index_incremental_append(tmp_path):
         want.sort_values(["query_id", "rank"], ignore_index=True),
         check_dtype=False,
     )
+
+
+def test_incremental_dedup_store_semantics(tmp_path):
+    """Store anti-join drops already-seen fingerprints; within-drop dups
+    canonicalize to the min id; normalization-equal texts match across
+    store and drop."""
+    from oboyu_ray.stages.dedup import build_fingerprint_store, dedup_against_store
+
+    old = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "gamma  delta"},  # normalizes to "gamma delta"
+        ]
+    )
+    store = str(tmp_path / "fp")
+    build_fingerprint_store(old, store)
+
+    new = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": "Alpha Beta"},      # seen (case-normalized)
+            {"doc_id": 11, "text": "gamma delta"},     # seen (ws-normalized)
+            {"doc_id": 12, "text": "epsilon zeta"},    # fresh
+            {"doc_id": 13, "text": "epsilon  zeta"},   # dup of 12 within drop
+            {"doc_id": 14, "text": "eta theta"},       # fresh
+        ]
+    ).repartition(3)
+    out = (
+        dedup_against_store(new, store)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [12, 14]
+    assert out.set_index("doc_id")["n_dups"].to_dict() == {12: 2, 14: 1}
