@@ -991,18 +991,21 @@ def dedup_against_store(
         return _fp_rows(b, id_col, text_col, n_buckets)
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as _pc
+
         bucket = int(g["bucket"].iloc[0])
         d = os.path.join(store_dir, f"bucket={bucket}")
-        seen = set()
-        if os.path.isdir(d):
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    seen.update(
-                        _pq.read_table(os.path.join(d, f), columns=["key"])
-                        .column("key")
-                        .to_pylist()
-                    )
-        keep = ~g["key"].isin(seen)
+        parts = [
+            _pq.read_table(os.path.join(d, f), columns=["key"]).column("key")
+            for f in (sorted(os.listdir(d)) if os.path.isdir(d) else [])
+            if f.endswith(".parquet")
+        ]
+        keys = pa.array(g["key"].to_numpy(dtype=object), type=pa.string())
+        if parts:
+            seen = pa.concat_arrays([c for p in parts for c in p.chunks])
+            keep = ~_pc.is_in(keys, value_set=seen).to_numpy(zero_copy_only=False)
+        else:
+            keep = np.ones(len(g), dtype=bool)
         return g.loc[keep, ["key", id_col]].reset_index(drop=True)
 
     surv = (
