@@ -1774,6 +1774,37 @@ GROUP BY 1
 """
 
 
+# probes for the fuzzy lookup: deletion / insertion / exact / no-hit shapes
+FUZZY_PROBES = ["spar", "tablee", "windo", "merge", "qzqzq"]
+
+
+def q_fuzzy_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Spelling-correction candidates: vocabulary terms within Levenshtein
+    distance ≤ 1 of each probe (SymSpell deletion-neighborhood candidates +
+    exact edit-distance verify; probes broadcast, vocabulary streams)."""
+    from oboyu_ray.stages.postings import postings_batch as _pb
+    from oboyu_ray.stages.stats import fuzzy_terms
+    from oboyu_ray.stages.stats import vocabulary as _vocab
+
+    postings = _docs(sf_dir).map_batches(_pb, batch_format="pyarrow")
+    return fuzzy_terms(_vocab(postings), FUZZY_PROBES)
+
+
+_FUZZY_VALUES = ", ".join(f"('{p}')" for p in FUZZY_PROBES)
+
+from oboyu_ray.pipelines.entry_queries import SQL_POSTINGS_CTE  # noqa: E402
+
+SQL_FUZZY_TERMS = f"""
+WITH {SQL_POSTINGS_CTE},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+probes(word) AS (VALUES {_FUZZY_VALUES})
+SELECT p.word AS query, v.term, v.df,
+       levenshtein(p.word, v.term)::BIGINT AS dist
+FROM vocab v CROSS JOIN probes p
+WHERE levenshtein(p.word, v.term) <= 1
+"""
+
+
 FUNNEL_WINDOW_US = 4 * 3_600_000_000
 
 
@@ -1991,6 +2022,7 @@ def corpus_queries() -> dict:
         "token_counts_bpe": q_token_counts_bpe,
         "price_histogram": q_price_histogram,
         "dedup_incremental": q_dedup_incremental,
+        "fuzzy_terms": q_fuzzy_terms,
     }
 
 
@@ -2039,6 +2071,7 @@ def corpus_oracle_sql() -> dict:
         "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
         "price_histogram": SQL_PRICE_HISTOGRAM,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "fuzzy_terms": SQL_FUZZY_TERMS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -83,3 +83,75 @@ def collection_stats(docs_ds: "ray.data.Dataset", cfg: BM25Config = BM25Config()
         "total_dl": total_dl,
         "avgdl": (total_dl / n) if n else 0.0,
     }
+
+
+# ---------------------------------------------------------------- fuzzy terms
+
+def _deletes1(s: str) -> set:
+    """The word plus its 1-deletion neighborhood (SymSpell keys)."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _levenshtein1(a: str, b: str) -> int:
+    """Levenshtein distance, early-exit structure adequate for the ≤1
+    verification of SymSpell candidates (full DP; candidate sets are tiny)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_terms(
+    vocab_ds: "ray.data.Dataset", probes: "List[str]"
+) -> "ray.data.Dataset":
+    """Fuzzy vocabulary lookup (query spelling correction): for each probe
+    word, every vocabulary term within Levenshtein distance ≤ 1, with its
+    df — the candidate generator a search engine's "did you mean" uses.
+
+    SymSpell shape: the probes' 1-deletion neighborhoods broadcast (tiny —
+    |probe| keys per probe word); one stateless pass over the vocabulary
+    generates each term's deletion keys, keeps terms whose neighborhood
+    intersects a probe's, and VERIFIES with a real edit-distance check
+    (deletion-neighborhood intersection admits distance-2 false positives
+    at equal length — e.g. "ab"/"ba" — so the verify is what makes the
+    output exact).  No shuffle; vocabulary never leaves its blocks."""
+    probe_keys = {}
+    for p in probes:
+        for k in _deletes1(p):
+            probe_keys.setdefault(k, []).append(p)
+
+    def match(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        dfs = b.column("df").to_numpy(zero_copy_only=False)
+        out_p: List[str] = []
+        out_t: List[str] = []
+        out_d: List[int] = []
+        out_e: List[int] = []
+        for i, t in enumerate(terms):
+            cands = set()
+            for k in _deletes1(t):
+                for p in probe_keys.get(k, ()):
+                    cands.add(p)
+            for p in cands:
+                dist = _levenshtein1(p, t)
+                if dist <= 1:
+                    out_p.append(p)
+                    out_t.append(t)
+                    out_d.append(int(dfs[i]))
+                    out_e.append(dist)
+        return pa.table(
+            {
+                "query": pa.array(out_p, type=pa.string()),
+                "term": pa.array(out_t, type=pa.string()),
+                "df": pa.array(out_d, type=pa.int64()),
+                "dist": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    return vocab_ds.map_batches(match, batch_format="pyarrow")

@@ -1672,3 +1672,30 @@ def test_incremental_dedup_store_semantics(tmp_path):
     )
     assert out["doc_id"].tolist() == [12, 14]
     assert out.set_index("doc_id")["n_dups"].to_dict() == {12: 2, 14: 1}
+
+
+def test_fuzzy_terms_edge_semantics():
+    """SymSpell candidates + verify: distance-2 equal-length false positives
+    (shared deletion, e.g. transposition) must NOT appear; ED 0 and 1 do."""
+    from oboyu_ray.stages.stats import _levenshtein1, fuzzy_terms
+
+    vocab = ray.data.from_items(
+        [
+            {"term": "spark", "df": 10},
+            {"term": "spark2", "df": 1},
+            {"term": "ab", "df": 5},
+            {"term": "ba", "df": 4},  # deletes {a,b} intersect "ab"'s — ED 2
+        ]
+    )
+    out = (
+        fuzzy_terms(vocab, ["spark", "spar", "ab"])
+        .to_pandas()
+        .sort_values(["query", "term"], ignore_index=True)
+    )
+    got = set(map(tuple, out[["query", "term", "dist"]].to_numpy()))
+    assert ("spark", "spark", 0) in got
+    assert ("spar", "spark", 1) in got
+    assert ("ab", "ab", 0) in got
+    assert ("ab", "ba", 2) not in got and ("ab", "ba", 1) not in got
+    assert ("spark", "spark2", 1) in got
+    assert _levenshtein1("ab", "ba") == 2
