@@ -1774,6 +1774,59 @@ GROUP BY 1
 """
 
 
+def q_orders_unfilled(sf_dir: str) -> "ray.data.Dataset":
+    """Referential-integrity anti-join at scale: orders with NO lineitem,
+    counted per status.  Only the lineitem KEY column travels (distinct
+    per batch before the bucket shuffle)."""
+    from oboyu_ray.stages.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        k = np.unique(b.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(k, type=pa.int64())})
+
+    unfilled = hash_join(
+        orders, li.map_batches(distinct_keys, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", how="anti",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_orderstatus").aggregate([("o_orderkey", "count")])
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "n": g.column("o_orderkey_count").cast(pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "n_orders": b.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        unfilled.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .sum("n")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_ORDERS_UNFILLED = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+"""
+
+
 # probes for the fuzzy lookup: deletion / insertion / exact / no-hit shapes
 FUZZY_PROBES = ["spar", "tablee", "windo", "merge", "qzqzq"]
 
@@ -2023,6 +2076,7 @@ def corpus_queries() -> dict:
         "price_histogram": q_price_histogram,
         "dedup_incremental": q_dedup_incremental,
         "fuzzy_terms": q_fuzzy_terms,
+        "orders_unfilled": q_orders_unfilled,
     }
 
 
@@ -2072,6 +2126,7 @@ def corpus_oracle_sql() -> dict:
         "price_histogram": SQL_PRICE_HISTOGRAM,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "fuzzy_terms": SQL_FUZZY_TERMS,
+        "orders_unfilled": SQL_ORDERS_UNFILLED,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -537,8 +537,15 @@ def hash_join(
     left_on: str,
     right_on: str,
     n_buckets: int = JOIN_BUCKETS,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Large-large inner equi-join as a hash-bucketed cogroup.
+    """Large-large equi-join as a hash-bucketed cogroup.
+
+    ``how``: "inner" (default) / "left" (unmatched left rows keep nulls in
+    the right columns) / "semi" (left rows WITH a match, left columns only)
+    / "anti" (left rows WITHOUT a match, left columns only).  Semi/anti are
+    the shapes dedup-against-store and referential-integrity checks use —
+    only the key column of the right side needs to travel.
 
     The shuffle-join shape for two tables that are BOTH too big to
     broadcast: each side tags rows with ``hash(key) % n_buckets``, the
@@ -590,11 +597,18 @@ def hash_join(
         right.map_batches(_tag(right_on, rcols, lcols, ltypes, 1), batch_format="pyarrow")
     )
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         is_l = g["side"].to_numpy() == 0
         lf = g.loc[is_l, lcols]
         rf = g.loc[~is_l, rcols]
-        out = lf.merge(rf, left_on=left_on, right_on=right_on, how="inner")
+        if how in ("semi", "anti"):
+            hit = lf[left_on].isin(rf[right_on].to_numpy())
+            keep = hit if how == "semi" else ~hit
+            return lf.loc[keep].reset_index(drop=True)
+        out = lf.merge(rf, left_on=left_on, right_on=right_on, how=how)
         return out.reset_index(drop=True)
 
     return unioned.groupby("jb").map_groups(merge, batch_format="pandas")

@@ -1699,3 +1699,29 @@ def test_fuzzy_terms_edge_semantics():
     assert ("ab", "ba", 2) not in got and ("ab", "ba", 1) not in got
     assert ("spark", "spark2", 1) in got
     assert _levenshtein1("ab", "ba") == 2
+
+
+def test_hash_join_modes():
+    from oboyu_ray.stages.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array([1, 2, 3], type=pa.int64()),
+                  "lv": pa.array(["a", "b", "c"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4], type=pa.int64()),
+                  "rv": pa.array([20, 21, 40], type=pa.int64())})
+    )
+    semi = hash_join(left, right, "lk", "rk", how="semi").to_pandas()
+    assert semi["lk"].tolist() == [2] and list(semi.columns) == ["lk", "lv"]
+    anti = sorted(hash_join(left, right, "lk", "rk", how="anti").to_pandas()["lk"])
+    assert anti == [1, 3]
+    lj = hash_join(left, right, "lk", "rk", how="left").to_pandas().sort_values(
+        ["lk", "rv"], ignore_index=True
+    )
+    assert len(lj) == 4  # 1-null, 2x2, 3-null
+    assert lj.loc[lj["lk"] == 1, "rv"].isna().all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        hash_join(left, right, "lk", "rk", how="outer")
