@@ -1774,6 +1774,24 @@ GROUP BY 1
 """
 
 
+def q_stratified_topk_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Fixed-size per-stratum sample: exactly k=20 docs per language by
+    deterministic md5 order (map-side partial top-k, bounded shuffle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return trainprep.stratified_topk_sample(ds)
+
+
+SQL_STRATIFIED_TOPK = f"""
+WITH r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT lang, doc_id FROM r WHERE rn <= {trainprep.STRAT_TOPK}
+"""
+
+
 def q_orders_unfilled(sf_dir: str) -> "ray.data.Dataset":
     """Referential-integrity anti-join at scale: orders with NO lineitem,
     counted per status.  Only the lineitem KEY column travels (distinct
@@ -2077,6 +2095,7 @@ def corpus_queries() -> dict:
         "dedup_incremental": q_dedup_incremental,
         "fuzzy_terms": q_fuzzy_terms,
         "orders_unfilled": q_orders_unfilled,
+        "stratified_topk_sample": q_stratified_topk_sample,
     }
 
 
@@ -2127,6 +2146,7 @@ def corpus_oracle_sql() -> dict:
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "fuzzy_terms": SQL_FUZZY_TERMS,
         "orders_unfilled": SQL_ORDERS_UNFILLED,
+        "stratified_topk_sample": SQL_STRATIFIED_TOPK,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

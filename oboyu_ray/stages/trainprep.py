@@ -697,3 +697,56 @@ def doc_keywords(
         )
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ------------------------------------------------- fixed-size group samples
+
+STRAT_TOPK = 20
+
+
+def stratified_topk_sample(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    k: int = STRAT_TOPK,
+) -> "ray.data.Dataset":
+    """Deterministic FIXED-SIZE sample per stratum: the k members whose
+    md5(id) sorts smallest within each stratum (vs ``stratified_sample_by_
+    hash``'s fixed-RATE gate) — the eval-slice sampler: "exactly k docs per
+    language, reproducibly, at any corpus size".
+
+    Map-side partial top-k per (stratum, batch) → groupby(stratum) reduce:
+    each batch ships at most k rows per stratum it touches, so the shuffle
+    is bounded by strata × batches × k regardless of corpus size.  The
+    md5-per-row loop is the documented SQL-reproducibility trade shared
+    with the other samplers."""
+    import hashlib
+
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        strat = b.column(strat_col).to_pylist()
+        df = pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                strat_col: strat,
+                "hkey": [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids],
+            }
+        )
+        top = (
+            df.sort_values(["hkey", id_col], kind="mergesort")
+            .groupby(strat_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["hkey", id_col], kind="mergesort").head(k)
+        return top[[strat_col, id_col]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(strat_col)
+        .map_groups(reduce, batch_format="pandas")
+    )
