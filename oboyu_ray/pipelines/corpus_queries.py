@@ -1792,6 +1792,41 @@ SELECT lang, doc_id FROM r WHERE rn <= {trainprep.STRAT_TOPK}
 """
 
 
+def q_collocations(sf_dir: str) -> "ray.data.Dataset":
+    """Collocation mining: PMI of adjacent word pairs (count-thresholded),
+    composed from two distributed count aggregations + two hash joins."""
+    return trainprep.collocations(_docs(sf_dir))
+
+
+SQL_COLLOCATIONS = rf"""
+WITH d AS (
+    SELECT regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}') AS w
+    FROM documents
+),
+bgl AS (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS bg
+    FROM d WHERE len(w) >= 2
+),
+bc AS (SELECT bg, count(*)::BIGINT AS n FROM bgl GROUP BY 1),
+t AS (SELECT unnest(w) AS word FROM d),
+uc AS (SELECT word, count(*)::BIGINT AS c FROM t GROUP BY 1),
+tot AS (
+    SELECT (SELECT sum(n)::DOUBLE FROM bc) AS tbg,
+           (SELECT sum(c)::DOUBLE FROM uc) AS tun
+)
+SELECT b.bg AS bigram, b.n,
+       CAST(floor(ln((b.n::DOUBLE / tot.tbg) /
+                     ((u1.c::DOUBLE / tot.tun) * (u2.c::DOUBLE / tot.tun)))
+                  * 1e6 + 0.5) AS BIGINT) AS pmi_micros
+FROM bc b
+JOIN uc u1 ON u1.word = string_split(b.bg, ' ')[1]
+JOIN uc u2 ON u2.word = string_split(b.bg, ' ')[2]
+CROSS JOIN tot
+WHERE b.n >= {trainprep.COLLOC_MIN_COUNT}
+"""
+
+
 def q_orders_unfilled(sf_dir: str) -> "ray.data.Dataset":
     """Referential-integrity anti-join at scale: orders with NO lineitem,
     counted per status.  Only the lineitem KEY column travels (distinct
@@ -2096,6 +2131,7 @@ def corpus_queries() -> dict:
         "fuzzy_terms": q_fuzzy_terms,
         "orders_unfilled": q_orders_unfilled,
         "stratified_topk_sample": q_stratified_topk_sample,
+        "collocations": q_collocations,
     }
 
 
@@ -2147,6 +2183,7 @@ def corpus_oracle_sql() -> dict:
         "fuzzy_terms": SQL_FUZZY_TERMS,
         "orders_unfilled": SQL_ORDERS_UNFILLED,
         "stratified_topk_sample": SQL_STRATIFIED_TOPK,
+        "collocations": SQL_COLLOCATIONS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

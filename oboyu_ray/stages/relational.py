@@ -565,8 +565,23 @@ def hash_join(
     """
     import pandas as pd
 
-    lschema: pa.Schema = left.schema().base_schema
-    rschema: pa.Schema = right.schema().base_schema
+    def _arrow_schema(d: "ray.data.Dataset") -> pa.Schema:
+        base = d.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block upstream (e.g. a chained map_groups/hash_join):
+        # map numpy dtypes; object columns are strings by our conventions
+        fields = []
+        for n, t in zip(base.names, base.types):
+            try:
+                at = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                at = pa.string()
+            fields.append(pa.field(n, at))
+        return pa.schema(fields)
+
+    lschema: pa.Schema = _arrow_schema(left)
+    rschema: pa.Schema = _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     overlap = set(lcols) & set(rcols)
@@ -578,7 +593,15 @@ def hash_join(
 
     def _tag(key_col: str, own_cols, other_cols, other_types, side: int):
         def tag(t: pa.Table) -> pa.Table:
-            k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            col = t.column(key_col)
+            if pa.types.is_integer(col.type):
+                k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                # string (or other) keys: stable 64-bit content hash — both
+                # sides MUST agree, so never fall back to Python hash()
+                from oboyu_ray.stages.sketch import _hash64
+
+                k = _hash64(col)
             with np.errstate(over="ignore"):
                 jb = ((k * _GOLDEN) % np.uint64(n_buckets)).astype(np.int64)
             data = {n: t.column(n) for n in own_cols}

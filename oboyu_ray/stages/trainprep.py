@@ -750,3 +750,134 @@ def stratified_topk_sample(
         .groupby(strat_col)
         .map_groups(reduce, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- collocations
+
+COLLOC_MIN_COUNT = 5
+
+
+def collocations(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = COLLOC_MIN_COUNT,
+) -> "ray.data.Dataset":
+    """Collocation mining: PMI of adjacent word pairs vs their unigram
+    frequencies — the classic corpus-statistics operator for multi-word
+    expressions.
+
+    Distributed shape: (1) per-batch bigram value_counts → groupby-sum,
+    count-thresholded (collocation mining always hard-thresholds: the
+    long tail is noise AND volume); (2) per-batch word value_counts →
+    groupby-sum; (3) the surviving bigrams split into (w1, w2) columns and
+    join word counts via TWO hash-bucketed joins (both sides corpus-vocab
+    scale — exactly ``hash_join``'s regime); (4) PMI per row with the two
+    scalar totals broadcast.  The PMI double expression is mirrored
+    verbatim in the SQL oracle."""
+    import ray
+    import ray.data  # noqa: F401
+
+    from oboyu_ray.stages.relational import hash_join
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        words: List[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            w = WORD_RE.findall((t or "").lower())
+            counts[i] = len(w)
+            words.extend(w)
+        if not words:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        wa = pa.array(words, type=pa.string())
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(words), dtype=np.int64) - np.repeat(starts, counts)
+        valid = pos <= np.repeat(counts, counts) - 2
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        bg = pc.binary_join_element_wise(wa.take(pa.array(idx)), wa.take(pa.array(idx + 1)), " ")
+        vc = pc.value_counts(bg)
+        return pa.table({"bg": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in b.column(text_col).to_pylist():
+            words.extend(WORD_RE.findall((t or "").lower()))
+        if not words:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        vc = pc.value_counts(pa.array(words, type=pa.string()))
+        return pa.table({"word": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    src = ds.materialize()  # consumed by both count passes
+    bgc = (
+        src.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bg").sum("n")
+    )
+    wc = (
+        src.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word").sum("c")
+        .map_batches(
+            lambda b: pa.table({"word": b.column("word"),
+                                "c": b.column("sum(c)").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).materialize()  # totals + two join sides
+    )
+    n_uni = float(wc.sum("c") or 0)
+
+    def split_keep(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").cast(pa.int64())
+        keep = pc.greater_equal(n, min_count)
+        t = pa.table({"bg": b.column("bg"), "n": n}).filter(keep)
+        parts = pc.split_pattern(t.column("bg"), " ")
+        return pa.table(
+            {
+                "bg": t.column("bg"),
+                "n": t.column("n"),
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+            }
+        )
+
+    bgc = bgc.materialize()  # consumed by the total and the survivor filter
+    surv = bgc.map_batches(split_keep, batch_format="pyarrow")
+
+    # PMI denominator uses TOTAL bigram occurrences, not just survivors
+    tot_bg = float(
+        bgc.map_batches(
+            lambda b: pa.table({"n": b.column("sum(n)").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+
+    wc1 = wc.map_batches(
+        lambda b: pa.table({"w1j": b.column("word"), "c1": b.column("c")}),
+        batch_format="pyarrow",
+    )
+    wc2 = wc.map_batches(
+        lambda b: pa.table({"w2j": b.column("word"), "c2": b.column("c")}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(surv, wc1, "w1", "w1j")
+    j2 = hash_join(j1, wc2, "w2", "w2j")
+
+    def pmi(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log((n / tot_bg) / ((c1 / n_uni) * (c2 / n_uni)))
+        return pa.table(
+            {
+                "bigram": b.column("bg"),
+                "n": b.column("n"),
+                "pmi_micros": pa.array(micros(val), type=pa.int64()),
+            }
+        )
+
+    return j2.map_batches(pmi, batch_format="pyarrow")
