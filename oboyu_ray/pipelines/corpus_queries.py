@@ -1827,6 +1827,28 @@ WHERE b.n >= {trainprep.COLLOC_MIN_COUNT}
 """
 
 
+def q_langid_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Model-evaluation at corpus scale: confusion matrix of the labeled
+    lang column vs the heuristic language-ID prediction.  Per-batch partial
+    (label, pred) counts keep the shuffle at |langs|² rows regardless of
+    corpus size."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return trainprep.langid_confusion(ds)
+
+
+SQL_LANGID_CONFUSION = rf"""
+SELECT lang AS label_lang,
+       CASE WHEN regexp_matches(text, '{textstats.JP_KANA_SQL}') THEN 'ja'
+            WHEN regexp_matches(text, '{textstats.CJK_SQL}') THEN 'zh'
+            ELSE 'en' END AS pred_lang,
+       count(*)::BIGINT AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_orders_unfilled(sf_dir: str) -> "ray.data.Dataset":
     """Referential-integrity anti-join at scale: orders with NO lineitem,
     counted per status.  Only the lineitem KEY column travels (distinct
@@ -2132,6 +2154,7 @@ def corpus_queries() -> dict:
         "orders_unfilled": q_orders_unfilled,
         "stratified_topk_sample": q_stratified_topk_sample,
         "collocations": q_collocations,
+        "langid_confusion": q_langid_confusion,
     }
 
 
@@ -2184,6 +2207,7 @@ def corpus_oracle_sql() -> dict:
         "orders_unfilled": SQL_ORDERS_UNFILLED,
         "stratified_topk_sample": SQL_STRATIFIED_TOPK,
         "collocations": SQL_COLLOCATIONS,
+        "langid_confusion": SQL_LANGID_CONFUSION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -881,3 +881,56 @@ def collocations(
         )
 
     return j2.map_batches(pmi, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- model evaluation
+
+def langid_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed confusion matrix: labeled language column vs the
+    heuristic language-ID prediction — the model-evaluation pattern at
+    corpus scale (per-batch partial (label, pred) counts, one tiny
+    groupby; the matrix is |langs|² rows no matter the corpus size)."""
+    from oboyu_ray.stages.textstats import CJK_SQL, JP_KANA_SQL
+
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow's regex kernels are RE2 — same \x{...} class syntax as the
+        # DuckDB oracle, so prediction semantics are pinned to one engine.
+        text = b.column("text").combine_chunks()
+        has_kana = pc.fill_null(
+            pc.match_substring_regex(text, JP_KANA_SQL), False
+        ).to_numpy(zero_copy_only=False)
+        has_cjk = pc.fill_null(
+            pc.match_substring_regex(text, CJK_SQL), False
+        ).to_numpy(zero_copy_only=False)
+        preds = np.where(has_kana, "ja", np.where(has_cjk, "zh", "en"))
+        t = pa.table(
+            {
+                "label_lang": b.column("lang"),
+                "pred_lang": pa.array(preds, type=pa.string()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["label_lang", "pred_lang"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "label_lang": g.column("label_lang"),
+                "pred_lang": g.column("pred_lang"),
+                "n": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label_lang": b.column("label_lang"),
+                "pred_lang": b.column("pred_lang"),
+                "n": b.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label_lang", "pred_lang"])
+        .sum("n")
+        .map_batches(finish, batch_format="pyarrow")
+    )

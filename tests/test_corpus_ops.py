@@ -1725,3 +1725,35 @@ def test_hash_join_modes():
 
     with _pytest.raises(ValueError, match="unsupported"):
         hash_join(left, right, "lk", "rk", how="outer")
+
+
+def test_langid_confusion_predicts_all_branches():
+    from oboyu_ray.stages.trainprep import langid_confusion
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "hello world",          # en
+                        "こんにちは世界",        # kana present → ja (kana wins over cjk)
+                        "中文文本没有假名",      # cjk only → zh
+                        "mislabeled ascii",     # en predicted, ja labeled
+                        None,                   # null text → en branch, not a crash
+                    ]
+                ),
+                "lang": pa.array(["en", "ja", "zh", "ja", "en"]),
+            }
+        )
+    )
+    out = langid_confusion(ds).to_pandas()
+    got = {
+        (r.label_lang, r.pred_lang): r.n
+        for r in out.itertuples(index=False)
+    }
+    assert got == {
+        ("en", "en"): 2,
+        ("ja", "ja"): 1,
+        ("zh", "zh"): 1,
+        ("ja", "en"): 1,
+    }
