@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -1827,6 +1828,136 @@ WHERE b.n >= {trainprep.COLLOC_MIN_COUNT}
 """
 
 
+def q_kg_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    """Entity importance over the extracted knowledge graph: integer-exact
+    PageRank (fixed rounds, undirected co-occurrence edges).  The iterative
+    join+groupby rounds run distributed; rank state never lands on the
+    driver."""
+    from oboyu_ray.stages import kg
+    from oboyu_ray.stages.components import pagerank
+
+    rels = kg.kg_relations(rows=_kg_rows(sf_dir))
+    ranks = pagerank(rels, a_col="source_name", b_col="target_name")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"entity": t.column("node"), "pr_scaled": t.column("r")})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def _sql_kg_pagerank() -> str:
+    """Chained-CTE power iteration mirroring ``components.pagerank``
+    bit-for-bit: all-integer arithmetic (floor division) makes the fixed
+    rounds order-independent, so the SQL and the distributed sums agree
+    exactly."""
+    from oboyu_ray.stages.components import PR_ITERS, PR_SCALE
+
+    s = PR_SCALE
+    parts = [
+        f"""
+WITH rel AS ({_sql_kg_relations()}),
+e AS (SELECT source_name AS src, target_name AS dst FROM rel
+      UNION SELECT target_name, source_name FROM rel),
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS (SELECT node, ({s} // nn.n)::BIGINT AS r FROM deg, nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+r{i} AS (
+    SELECT e.dst AS node,
+           ((15 * {s}) // (100 * nn.n)
+            + (85 * sum(r{i - 1}.r // deg.d)) // 100)::BIGINT AS r
+    FROM e
+    JOIN r{i - 1} ON r{i - 1}.node = e.src
+    JOIN deg ON deg.node = e.src
+    CROSS JOIN nn
+    GROUP BY e.dst, nn.n
+)"""
+        )
+    parts.append(f"\nSELECT node AS entity, r AS pr_scaled FROM r{PR_ITERS}")
+    return "".join(parts)
+
+
+US_PER_DAY = 86_400_000_000
+_UD_KEY_BASE = 1_000_000  # composite (user_id, epoch_day) key; days << 1e6
+
+
+def q_user_day_activity(sf_dir: str) -> "ray.data.Dataset":
+    """Metrics reconciliation via FULL OUTER join: per (user, day) signup
+    counts vs purchase counts, keeping days where a user did only one of
+    the two.  Each side pre-aggregates to (key, count) before the single
+    bucket shuffle — the join moves one row per active user-day, never raw
+    events."""
+    from oboyu_ray.stages.relational import hash_join
+
+    def counts(etype: str, key_name: str, n_name: str) -> "ray.data.Dataset":
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), etype))
+            ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            key = uid * _UD_KEY_BASE + ts // US_PER_DAY
+            g = pa.table(
+                {key_name: pa.array(key), "one": pa.array(np.ones(len(key), np.int64))}
+            ).group_by(key_name).aggregate([("one", "sum")])
+            return pa.table(
+                {key_name: g.column(key_name), "n": g.column("one_sum").cast(pa.int64())}
+            )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {key_name: b.column(key_name), n_name: b.column("sum(n)").cast(pa.int64())}
+            )
+
+        return (
+            ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_name)
+            .sum("n")
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    j = hash_join(
+        counts("signup", "sk", "n_signups"),
+        counts("purchase", "pk", "n_purchases"),
+        "sk", "pk", how="outer",
+    )
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["sk"].fillna(df["pk"]).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": key // _UD_KEY_BASE,
+                "epoch_day": key % _UD_KEY_BASE,
+                "n_signups": df["n_signups"].fillna(0).astype(np.int64),
+                "n_purchases": df["n_purchases"].fillna(0).astype(np.int64),
+            }
+        )
+
+    return j.map_batches(coalesce, batch_format="pandas")
+
+
+SQL_USER_DAY_ACTIVITY = """
+WITH s AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*)::BIGINT AS n
+    FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+p AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*)::BIGINT AS n
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+       COALESCE(s.d, p.d) AS epoch_day,
+       COALESCE(s.n, 0)::BIGINT AS n_signups,
+       COALESCE(p.n, 0)::BIGINT AS n_purchases
+FROM s FULL OUTER JOIN p ON s.user_id = p.user_id AND s.d = p.d
+"""
+
+
 def q_langid_confusion(sf_dir: str) -> "ray.data.Dataset":
     """Model-evaluation at corpus scale: confusion matrix of the labeled
     lang column vs the heuristic language-ID prediction.  Per-batch partial
@@ -2155,6 +2286,8 @@ def corpus_queries() -> dict:
         "stratified_topk_sample": q_stratified_topk_sample,
         "collocations": q_collocations,
         "langid_confusion": q_langid_confusion,
+        "user_day_activity": q_user_day_activity,
+        "kg_pagerank": q_kg_pagerank,
     }
 
 
@@ -2208,6 +2341,8 @@ def corpus_oracle_sql() -> dict:
         "stratified_topk_sample": SQL_STRATIFIED_TOPK,
         "collocations": SQL_COLLOCATIONS,
         "langid_confusion": SQL_LANGID_CONFUSION,
+        "user_day_activity": SQL_USER_DAY_ACTIVITY,
+        "kg_pagerank": _sql_kg_pagerank(),
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

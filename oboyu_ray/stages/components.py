@@ -309,3 +309,135 @@ def dedup_clusters(
     cc = connected_components(pairs, a_col, b_col)
     cc["is_canonical"] = (cc["doc_id"] == cc["component"]).astype(np.int64)
     return cc
+
+
+# ------------------------------------------------------------------ PageRank
+
+PR_SCALE = 1_000_000_000_000  # rank mass carried as int64 * 1e12
+PR_DAMP_NUM = 85              # damping d = 0.85 as the exact rational 85/100
+PR_ITERS = 3
+
+
+def pagerank(
+    pairs: "ray.data.Dataset",
+    a_col: str = "src",
+    b_col: str = "dst",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    n_buckets: int = CC_BUCKETS,
+) -> "ray.data.Dataset":
+    """Integer-exact PageRank over the UNDIRECTED graph of ``pairs``.
+
+    The iterative-algorithm template on Ray Data: per round, one bucketed
+    hash join (ranks onto the degree-annotated edge list) plus one groupby
+    sum — rank state never lands on the driver.  All arithmetic is int64
+    with floor division (``r // deg``, ``(85 * s) // 100``), so the result
+    is bit-identical regardless of summation order and block boundaries —
+    the property that lets a DuckDB chained-CTE oracle value-check a
+    floating-point-free power iteration.  Fixed ``iters`` rounds (PageRank
+    is contraction-convergent; a fixed small round count is the standard
+    web-scale practice, and each extra round costs exactly two shuffles of
+    |edges| / |nodes| rows).
+
+    Input edges are directed rows; the graph is symmetrized and
+    deduplicated here (UNION-distinct semantics), so every node has
+    out-degree >= 1 and dangling-mass redistribution never arises.
+    """
+    from oboyu_ray.stages.relational import hash_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(a_col)
+        b = t.column(b_col)
+        return pa.concat_tables(
+            [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
+        ).combine_chunks()
+
+    def first_row(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["src", "dst"]]
+
+    edges = (
+        pairs.map_batches(sym, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .map_groups(first_row, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("src").aggregate([("dst", "count")])
+        return pa.table(
+            {
+                "node": g.column("src"),
+                "n": g.column("dst_count").cast(pa.int64()),
+            }
+        )
+
+    def deg_finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t.column("node"), "d": t.column("sum(n)").cast(pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("n")
+        .map_batches(deg_finish, batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "r": pa.array([], pa.int64())})
+        )
+    base = (15 * scale) // (100 * n_nodes)
+
+    # degree annotated onto each edge ONCE — every iteration then needs only
+    # (node -> r), never a second degree join
+    edges_deg = hash_join(edges, deg, "src", "node", n_buckets).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "r": pa.array(
+                    np.full(t.num_rows, scale // n_nodes, dtype=np.int64)
+                ),
+            }
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = hash_join(
+            edges_deg.map_batches(
+                lambda df: df[["dst", "src", "d"]].rename(columns={"src": "esrc"}),
+                batch_format="pandas",
+            ),
+            ranks,
+            "esrc",
+            "node",
+            n_buckets,
+        )
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["r"].to_numpy(dtype=np.int64) // df["d"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame({"dst": df["dst"], "c": c})
+            return out.groupby("dst", as_index=False, sort=False).sum()
+
+        def next_rank(t: pa.Table) -> pa.Table:
+            s = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": t.column("dst"),
+                    "r": pa.array(base + (PR_DAMP_NUM * s) // 100),
+                }
+            )
+
+        ranks = (
+            joined.map_batches(contrib, batch_format="pandas")
+            .groupby("dst")
+            .sum("c")
+            .map_batches(next_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks

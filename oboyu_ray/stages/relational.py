@@ -542,10 +542,15 @@ def hash_join(
     """Large-large equi-join as a hash-bucketed cogroup.
 
     ``how``: "inner" (default) / "left" (unmatched left rows keep nulls in
-    the right columns) / "semi" (left rows WITH a match, left columns only)
-    / "anti" (left rows WITHOUT a match, left columns only).  Semi/anti are
-    the shapes dedup-against-store and referential-integrity checks use —
-    only the key column of the right side needs to travel.
+    the right columns) / "outer" (full outer — unmatched rows from BOTH
+    sides survive with nulls on the absent side; the reconciliation-join
+    shape) / "semi" (left rows WITH a match, left columns only) / "anti"
+    (left rows WITHOUT a match, left columns only).  Semi/anti are the
+    shapes dedup-against-store and referential-integrity checks use — only
+    the key column of the right side needs to travel.  Outer is safe under
+    bucketing because co-partitioning is total: a key's rows from both
+    sides land in exactly one bucket, so "unmatched" is decided correctly
+    per bucket.
 
     The shuffle-join shape for two tables that are BOTH too big to
     broadcast: each side tags rows with ``hash(key) % n_buckets``, the
@@ -620,7 +625,7 @@ def hash_join(
         right.map_batches(_tag(right_on, rcols, lcols, ltypes, 1), batch_format="pyarrow")
     )
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -1721,10 +1721,14 @@ def test_hash_join_modes():
     )
     assert len(lj) == 4  # 1-null, 2x2, 3-null
     assert lj.loc[lj["lk"] == 1, "rv"].isna().all()
+    fo = hash_join(left, right, "lk", "rk", how="outer").to_pandas()
+    assert len(fo) == 5  # 1-null, 2x2, 3-null, right-only 4
+    assert fo.loc[fo["rk"] == 4, "lk"].isna().all()
+    assert sorted(fo["rk"].dropna()) == [2, 2, 4]
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported"):
-        hash_join(left, right, "lk", "rk", how="outer")
+        hash_join(left, right, "lk", "rk", how="cross")
 
 
 def test_langid_confusion_predicts_all_branches():
@@ -1757,3 +1761,51 @@ def test_langid_confusion_predicts_all_branches():
         ("zh", "zh"): 1,
         ("ja", "en"): 1,
     }
+
+
+def test_pagerank_matches_scalar_reference():
+    from collections import Counter
+
+    from oboyu_ray.stages.components import PR_SCALE, pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    iters, scale = 3, PR_SCALE
+
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({x for e in sym for x in e})
+    deg = Counter(s for s, _ in sym)
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        s = dict.fromkeys(nodes, 0)
+        for u, v in sym:
+            s[v] += r[u] // deg[u]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges]),
+                "dst": pa.array([e[1] for e in edges]),
+            }
+        )
+    )
+    got = pagerank(ds, iters=iters).to_pandas()
+    assert dict(zip(got["node"], got["r"])) == r
+    # hub c (degree 3) outranks the leaf d (degree 1)
+    assert r["c"] > r["d"]
+
+
+def test_pagerank_empty_edges():
+    from oboyu_ray.stages.components import pagerank
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    out = pagerank(ds)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "r"]
