@@ -1282,6 +1282,83 @@ SQL_GROUPED_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group IQR outlier detection (Tukey fences): events whose value
+    falls outside [q1 - 1.5*IQR, q3 + 1.5*IQR] for their event_type.  Exact
+    per-group quantiles come from the bucketed-lexsort operator; the tiny
+    (group, fence) table broadcasts via ray.put and the corpus side is an
+    embarrassingly-parallel filter.  All arithmetic integer micros — the
+    1.5 factor is the exact rational (3*iqr)//2 both engines compute
+    identically."""
+    import ray as _ray
+
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.quantiles import grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def to_vm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "vm": pa.array(
+                    micros(t.column("value").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    vms = ev.map_batches(to_vm, batch_format="pyarrow")
+    qdf = grouped_quantiles(vms, "event_type", "vm", [0.25, 0.75]).to_pandas()
+    fences: dict = {}
+    for etype, grp in qdf.groupby("event_type"):
+        q = dict(zip(grp["q_micros"], grp["value"].astype(np.int64)))
+        q1, q3 = q[250_000], q[750_000]
+        iqr = q3 - q1
+        fences[etype] = (q1 - (3 * iqr) // 2, q3 + (3 * iqr) // 2)
+    ref = _ray.put(fences)
+
+    def flag(t: pa.Table) -> pa.Table:
+        f = _ray.get(ref)
+        types = t.column("event_type").to_pylist()
+        vm = t.column("vm").to_numpy(zero_copy_only=False)
+        lo = np.array([f[x][0] for x in types], dtype=np.int64)
+        hi = np.array([f[x][1] for x in types], dtype=np.int64)
+        keep = pa.array((vm < lo) | (vm > hi))
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "event_id": out.column("event_id"),
+                "event_type": out.column("event_type"),
+                "value_micros": out.column("vm"),
+            }
+        )
+
+    return vms.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH v AS (
+    SELECT event_id, event_type,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+    FROM events
+),
+q AS (
+    SELECT event_type,
+           quantile_disc(vm, 0.25)::BIGINT AS q1,
+           quantile_disc(vm, 0.75)::BIGINT AS q3
+    FROM v GROUP BY 1
+)
+SELECT v.event_id, v.event_type, v.vm AS value_micros
+FROM v JOIN q USING (event_type)
+WHERE v.vm < q.q1 - (3 * (q.q3 - q.q1)) // 2
+   OR v.vm > q.q3 + (3 * (q.q3 - q.q1)) // 2
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct user_id count over events (the
     mergeable-sketch operator; ~1.6% standard error at p=12).  Rows-only
@@ -1491,6 +1568,19 @@ GROUP BY 1
 """
 
 
+def q_decontaminate_bloom(sf_dir: str) -> "ray.data.Dataset":
+    """Bloom-filter decontamination — the scale path when the benchmark
+    n-gram set can't broadcast as raw hashes: a fixed 128 KiB bit array
+    stands in, flagged set provably a superset of the exact operator's
+    (false positives only over-redact).  Rows-only: pytest pins superset +
+    FPR; the exact variant carries the SQL oracle."""
+    import ray as _ray
+
+    docs = _docs(sf_dir)
+    words = trainprep.benchmark_bloom(docs)
+    return trainprep.decontaminate_bloom(docs, _ray.put(words))
+
+
 def q_join_revenue(sf_dir: str) -> "ray.data.Dataset":
     """Large-large shuffle join: lineitem ⋈ orders on orderkey (neither side
     broadcastable at target scale), then revenue by (priority, returnflag).
@@ -1587,6 +1677,49 @@ SELECT o_orderpriority, l_returnflag,
        count(*)::BIGINT AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2
+"""
+
+
+def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP in one distributed pass: order counts + revenue at
+    (status, priority), per-status subtotals, and the grand total.  Revenue
+    fixed-pointed to micros per row so every partial sum is associative."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import rollup_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_micros": pa.array(
+                    micros(t.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return rollup_sum(
+        orders.map_batches(fix, batch_format="pyarrow"),
+        keys=["o_orderstatus", "o_orderpriority"],
+        value_col="price_micros",
+        n_name="n_orders",
+        sum_name="revenue_micros",
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))::BIGINT AS revenue_micros
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
@@ -2288,6 +2421,9 @@ def corpus_queries() -> dict:
         "langid_confusion": q_langid_confusion,
         "user_day_activity": q_user_day_activity,
         "kg_pagerank": q_kg_pagerank,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "revenue_rollup": q_revenue_rollup,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -2343,6 +2479,8 @@ def corpus_oracle_sql() -> dict:
         "langid_confusion": SQL_LANGID_CONFUSION,
         "user_day_activity": SQL_USER_DAY_ACTIVITY,
         "kg_pagerank": _sql_kg_pagerank(),
+        "revenue_rollup": SQL_REVENUE_ROLLUP,
+        "value_outliers": SQL_VALUE_OUTLIERS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -223,25 +223,36 @@ def grouped_quantiles(
     qmic = np.array([int(round(q * 1e6)) for q in qarr], dtype=np.int64)
 
     def add_gb(t: pa.Table) -> pa.Table:
-        g = t.column(group_col).to_numpy().astype(np.int64)
-        v = t.column(val_col).to_numpy().astype(np.float64)
+        col = t.column(group_col)
+        if pa.types.is_integer(col.type):
+            g = col.to_numpy().astype(np.int64)
+            gb = (g.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+            grp = pa.array(g, type=pa.int64())
+        else:
+            # string groups: same content-hash both engines-agnostic bucket
+            # rule the joins use
+            from oboyu_ray.stages.sketch import _hash64
+
+            gb = (_hash64(col) % np.uint64(n_buckets)).astype(np.int64)
+            grp = col
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
-                "gb": pa.array(
-                    (g.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
-                ),
-                "grp": pa.array(g, type=pa.int64()),
+                "gb": pa.array(gb),
+                "grp": grp,
                 "val": pa.array(v, type=pa.float64()),
             }
         )
 
     def bucket_quantiles(b: pd.DataFrame) -> pd.DataFrame:
-        g = b["grp"].to_numpy(dtype=np.int64)
+        # factorize → int codes keeps the lexsort vectorized for BOTH int
+        # and string groups (string compares happen once, in factorize)
+        codes, uniq = pd.factorize(b["grp"], sort=True)
         v = b["val"].to_numpy(dtype=np.float64)
-        order = np.lexsort((v, g))
-        g_s, v_s = g[order], v[order]
-        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
-        ends = np.r_[starts[1:], len(g_s)]
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(c_s)]
         sizes = ends - starts
         # rank per (group, q): max(ceil(q*n)-1, 0) — vectorized over the
         # (groups × quantiles) grid
@@ -251,7 +262,7 @@ def grouped_quantiles(
         idx = starts[:, None] + ranks
         return pd.DataFrame(
             {
-                group_col: np.repeat(g_s[starts], len(qarr)),
+                group_col: np.repeat(np.asarray(uniq)[c_s[starts]], len(qarr)),
                 "q_micros": np.tile(qmic, len(starts)),
                 "value": v_s[idx].ravel(),
             }

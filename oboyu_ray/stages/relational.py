@@ -729,3 +729,70 @@ def funnel_conversion(
         .sum(["n_signups", "n_converted"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------------------------- rollup
+
+ROLLUP_ALL = "ALL"  # sentinel for rolled-up key levels (SQL: COALESCE(k,'ALL'))
+
+
+def rollup_sum(
+    ds: "ray.data.Dataset",
+    keys: "list[str]",
+    value_col: str,
+    n_name: str = "n_rows",
+    sum_name: str = "value_sum",
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP in ONE distributed pass: every batch emits partial
+    (count, sum) rows for each rollup level — (k1, k2, ...), (k1, ALL, ...),
+    ..., (ALL, ALL, ...) — and a single groupby over the key tuple folds
+    them.  The shuffle moves per-batch GROUP partials x (len(keys)+1)
+    levels, never raw rows, so subtotals and the grand total cost one
+    aggregation instead of len(keys)+1 separate scans.  ``value_col`` must
+    be int64 (pre-fixed-pointed) so partial sums are associative and
+    order-independent.  String keys only; rolled-up levels carry the
+    ``ROLLUP_ALL`` sentinel (the SQL twin COALESCEs NULL to the same)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for level in range(len(keys), -1, -1):
+            cols = {}
+            for i, k in enumerate(keys):
+                if i < level:
+                    cols[k] = t.column(k)
+                else:
+                    cols[k] = pa.array(
+                        np.full(t.num_rows, ROLLUP_ALL, dtype=object),
+                        type=pa.string(),
+                    )
+            cols["_n"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+            cols["_v"] = t.column(value_col)
+            g = pa.table(cols).group_by(keys).aggregate(
+                [("_n", "sum"), ("_v", "sum")]
+            )
+            outs.append(
+                pa.table(
+                    {
+                        **{k: g.column(k) for k in keys},
+                        "_n": g.column("_n_sum").cast(pa.int64()),
+                        "_v": g.column("_v_sum").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                n_name: t.column("sum(_n)").cast(pa.int64()),
+                sum_name: t.column("sum(_v)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["_n", "_v"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

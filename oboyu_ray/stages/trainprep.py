@@ -302,6 +302,112 @@ def decontaminate(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+# Bloom variant: the scale path for when the benchmark n-gram set is too
+# big to broadcast as raw sorted hashes (billions of eval n-grams).  The
+# filter is a FIXED-size bit array regardless of set size; the trade is a
+# bounded false-positive rate — decontamination stays SAFE (no false
+# negatives: every true benchmark trigram probes positive, so the flagged
+# set is a superset of the exact one; FPs only over-redact).
+BLOOM_BITS_LOG2 = 20  # 2^20 bits = 128 KiB packed
+BLOOM_K = 4
+
+
+def _bloom_positions(h: np.ndarray, bits_log2: int, k: int) -> list:
+    """k probe positions per hash via double hashing (h + i*step) — the
+    standard Kirsch–Mitzenmacher construction; step forced odd so probes
+    cover the table."""
+    mask = np.uint64((1 << bits_log2) - 1)
+    step = (h >> np.uint64(32)) | np.uint64(1)
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            out.append((h + np.uint64(i) * step) & mask)
+    return out
+
+
+def _bloom_set(words: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_test(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1) != 0
+
+
+def benchmark_bloom(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = BENCH_MOD,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+) -> np.ndarray:
+    """Distributed Bloom build over the benchmark docs: each map task emits
+    its batch's PACKED bit words as one binary blob; the driver ORs the
+    bounded set of blobs (n_batches x 2^bits_log2/8 bytes — independent of
+    how many n-grams the benchmark holds).  Returns the uint64 word array
+    ready for ``ray.put``."""
+    import ray
+
+    n_words = (1 << bits_log2) >> 6
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = _np(b.column(id_col), np.int64)
+        sel = np.flatnonzero(ids % bench_mod == 0)
+        texts = b.column(text_col).take(pa.array(sel)).to_pylist()
+        _, h = _batch_shingle_hashes(texts)
+        words = np.zeros(n_words, dtype=np.uint64)
+        for pos in _bloom_positions(h, bits_log2, k):
+            _bloom_set(words, pos)
+        return pa.table({"blob": pa.array([words.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for t in ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows and t.num_columns:
+            for blob in t.column("blob").to_pylist():
+                acc |= np.frombuffer(blob, dtype=np.uint64)
+    return acc
+
+
+def decontaminate_bloom(
+    ds: "ray.data.Dataset",
+    bloom_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = BENCH_MOD,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+) -> "ray.data.Dataset":
+    """``decontaminate`` with Bloom membership instead of the sorted hash
+    array — same output shape (id, n_hits over distinct trigrams), flagged
+    set guaranteed to be a SUPERSET of the exact operator's (no false
+    negatives; pytest pins both the superset property and the FPR bound)."""
+    import ray
+
+    def flag(b: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)
+        ids = _np(b.column(id_col), np.int64)
+        texts = b.column(text_col).to_pylist()
+        d, h = _batch_shingle_hashes(texts)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        if len(h) and words.any():
+            hit = np.ones(len(h), dtype=bool)
+            for pos in _bloom_positions(h, bits_log2, k):
+                hit &= _bloom_test(words, pos)
+            n_hits += np.bincount(d[hit], minlength=len(ids))
+        keep = (n_hits > 0) & (ids % bench_mod != 0)
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                id_col: b.column(id_col).take(sel),
+                "n_hits": pa.array(n_hits[np.flatnonzero(keep)], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- stratified sampling
 
 def stratified_sample_by_hash(

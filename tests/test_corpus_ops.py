@@ -1809,3 +1809,64 @@ def test_pagerank_empty_edges():
     out = pagerank(ds)
     assert out.count() == 0
     assert out.schema().names == ["node", "r"]
+
+
+def test_decontaminate_bloom_superset_and_fpr():
+    import ray as _ray
+
+    from oboyu_ray.stages import trainprep
+    from oboyu_ray.stages.trainprep import (
+        BLOOM_BITS_LOG2,
+        BLOOM_K,
+        _bloom_positions,
+        _bloom_test,
+    )
+
+    # docs where id % 97 == 0 play the benchmark; 1 and 2 share its trigrams
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "quick brown fox story and other tales"},
+        {"doc_id": 2, "text": "over the lazy dog went the quick brown fox"},
+        {"doc_id": 3, "text": "completely unrelated content about databases"},
+        {"doc_id": 97, "text": "another benchmark document with shared words here"},
+        {"doc_id": 4, "text": "benchmark document with shared words here indeed"},
+    ]
+    ds = ray.data.from_items(rows)
+    exact = trainprep.decontaminate(
+        ds, _ray.put(trainprep.benchmark_shingle_set(ds))
+    ).to_pandas()
+    words = trainprep.benchmark_bloom(ds)
+    bloom = trainprep.decontaminate_bloom(ds, _ray.put(words)).to_pandas()
+
+    e = dict(zip(exact["doc_id"], exact["n_hits"]))
+    b = dict(zip(bloom["doc_id"], bloom["n_hits"]))
+    # no false negatives: every exact hit present with >= the exact count
+    assert set(e) <= set(b)
+    for k, v in e.items():
+        assert b[k] >= v
+    # benchmark members never flagged
+    assert 0 not in b and 97 not in b
+
+    # FPR bound: random non-member hashes probe positive well under 1%
+    rng_h = (np.arange(1, 200_001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(0xDEADBEEFCAFE)
+    hit = np.ones(len(rng_h), dtype=bool)
+    for pos in _bloom_positions(rng_h, BLOOM_BITS_LOG2, BLOOM_K):
+        hit &= _bloom_test(words, pos)
+    assert hit.mean() < 0.01
+
+
+def test_grouped_quantiles_string_groups():
+    from oboyu_ray.stages.quantiles import grouped_quantiles
+
+    rows = [
+        {"g": "a", "v": float(x)} for x in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    ] + [{"g": "b", "v": float(x)} for x in [100, 200, 300]]
+    out = grouped_quantiles(ray.data.from_items(rows), "g", "v", [0.25, 0.5]).to_pandas()
+    got = {(r.g, r.q_micros): r.value for r in out.itertuples(index=False)}
+    # quantile_disc: rank = max(ceil(q*n)-1, 0)
+    assert got == {
+        ("a", 250_000): 3.0,
+        ("a", 500_000): 5.0,
+        ("b", 250_000): 100.0,
+        ("b", 500_000): 200.0,
+    }
