@@ -1282,6 +1282,79 @@ SQL_GROUPED_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+TOP_TERMS_K = 5
+
+
+def q_top_terms_per_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Top-K most frequent words per language — the per-stratum vocabulary
+    report of a corpus audit.  Composition: per-batch partial (lang, word)
+    counts → ONE distributed count groupby → string-keyed exact top-k per
+    group (map-side partial top-k, group-bucketed reduce)."""
+    from oboyu_ray.stages.relational import topk_per_group_str
+    from oboyu_ray.stages.textstats import WORD_RE
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        L: list = []
+        W: list = []
+        for lang, txt in zip(langs, texts):
+            ws = WORD_RE.findall((txt or "").lower())
+            L.extend([lang] * len(ws))
+            W.extend(ws)
+        tt = pa.table(
+            {
+                "lang": pa.array(L, type=pa.string()),
+                "word": pa.array(W, type=pa.string()),
+                "one": pa.array(np.ones(len(W), dtype=np.int64)),
+            }
+        )
+        g = tt.group_by(["lang", "word"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "word": g.column("word"),
+                "n": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "word": t.column("word"),
+                "n": t.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .sum("n")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return topk_per_group_str(counts, "lang", "word", "n", TOP_TERMS_K)
+
+
+SQL_TOP_TERMS_PER_LANG = rf"""
+WITH w AS (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '{textstats.WORD_RE_SQL}')) AS word
+    FROM documents
+),
+c AS (SELECT lang, word, count(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+r AS (
+    SELECT lang, word, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
+    FROM c
+)
+SELECT lang, word, n, rnk::BIGINT AS "rank" FROM r WHERE rnk <= {TOP_TERMS_K}
+"""
+
+
 def q_value_outliers(sf_dir: str) -> "ray.data.Dataset":
     """Per-group IQR outlier detection (Tukey fences): events whose value
     falls outside [q1 - 1.5*IQR, q3 + 1.5*IQR] for their event_type.  Exact
@@ -2424,6 +2497,7 @@ def corpus_queries() -> dict:
         "decontaminate_bloom": q_decontaminate_bloom,
         "revenue_rollup": q_revenue_rollup,
         "value_outliers": q_value_outliers,
+        "top_terms_per_lang": q_top_terms_per_lang,
     }
 
 
@@ -2481,6 +2555,7 @@ def corpus_oracle_sql() -> dict:
         "kg_pagerank": _sql_kg_pagerank(),
         "revenue_rollup": SQL_REVENUE_ROLLUP,
         "value_outliers": SQL_VALUE_OUTLIERS,
+        "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -796,3 +796,68 @@ def rollup_sum(
         .sum(["_n", "_v"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def topk_per_group_str(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    val_col: str,
+    k: int,
+    n_buckets: int = ASOF_BUCKETS,
+) -> "ray.data.Dataset":
+    """``topk_per_group`` for STRING group/key columns (top terms per
+    language, top domains per source, ...).  Same two-level shape — map-side
+    partial top-k, group-bucketed exact reduce — with per-stage
+    ``pd.factorize(sort=True)`` turning string ordering into int codes once,
+    so the selection lexsort stays fully vectorized (codes are
+    order-isomorphic to the strings within the stage, which is all the
+    per-group (val DESC, key ASC) rule needs).  Output: (group, key, val,
+    rank) with rank 1..k."""
+    import pandas as pd
+
+    from oboyu_ray.stages.sketch import _hash64
+
+    def codes(s: "pd.Series") -> np.ndarray:
+        c, _ = pd.factorize(s, sort=True)
+        return c.astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = _topk_mask(
+            codes(df[group_col]), codes(df[key_col]),
+            df[val_col].to_numpy(dtype=np.int64), k,
+        )
+        out = df.loc[sel, [group_col, key_col, val_col]].reset_index(drop=True)
+        out["bucket"] = (
+            _hash64(pa.array(out[group_col])) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        gc = codes(g[group_col])
+        kc = codes(g[key_col])
+        val = g[val_col].to_numpy(dtype=np.int64)
+        sel = _topk_mask(gc, kc, val, k)
+        gc, kc, val = gc[sel], kc[sel], val[sel]
+        out = g.loc[sel, [group_col, key_col, val_col]].reset_index(drop=True)
+        order = np.lexsort((kc, -val, gc))
+        g_s = gc[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        rank = (
+            np.arange(len(g_s))
+            - np.repeat(starts, np.diff(np.r_[starts, len(g_s)]))
+            + 1
+        )
+        out = out.iloc[order].reset_index(drop=True)
+        out["rank"] = rank.astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .map_batches(
+            lambda df: df[[group_col, key_col, val_col, "rank"]],
+            batch_format="pandas",
+        )
+    )

@@ -1870,3 +1870,26 @@ def test_grouped_quantiles_string_groups():
         ("b", 250_000): 100.0,
         ("b", 500_000): 200.0,
     }
+
+
+def test_topk_per_group_str_tiebreak():
+    from oboyu_ray.stages.relational import topk_per_group_str
+
+    rows = [
+        {"g": "en", "w": "beta", "n": 5},
+        {"g": "en", "w": "alpha", "n": 5},   # tie on n -> word ASC wins
+        {"g": "en", "w": "gamma", "n": 9},
+        {"g": "en", "w": "delta", "n": 1},
+        {"g": "ja", "w": "zz", "n": 2},
+    ]
+    out = (
+        topk_per_group_str(ray.data.from_items(rows), "g", "w", "n", k=2)
+        .to_pandas()
+        .sort_values(["g", "rank"], ignore_index=True)
+    )
+    got = list(zip(out["g"], out["w"], out["n"], out["rank"]))
+    assert got == [
+        ("en", "gamma", 9, 1),
+        ("en", "alpha", 5, 2),
+        ("ja", "zz", 2, 1),
+    ]
