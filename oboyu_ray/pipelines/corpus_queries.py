@@ -1282,6 +1282,73 @@ SQL_GROUPED_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_prefix_dups(sf_dir: str) -> "ray.data.Dataset":
+    """Truncated-copy dedup: docs whose text is a prefix of another doc's
+    (longer, or equal with a larger id — exact-dup runs keep one survivor).
+    Global Ray Data sort + vectorized adjacent-row startswith; the only
+    driver work is the O(blocks) boundary seam."""
+    from oboyu_ray.stages.dedup import prefix_dups
+
+    return prefix_dups(_docs(sf_dir))
+
+
+SQL_PREFIX_DUPS = """
+WITH w AS (
+    SELECT doc_id, text,
+           lead(text) OVER (ORDER BY text, doc_id) AS nxt
+    FROM documents
+)
+SELECT doc_id FROM w WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+"""
+
+
+def q_user_running_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running total + 3-row moving sum of event value (integer
+    micros), ordered by (ts, event_id) within user.  ONE hash-bucketed
+    cogroup on user_id — no global sort; per-bucket vectorized cumsum."""
+    from oboyu_ray.stages.window import keyed_window_scan
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return keyed_window_scan(ev, "user_id", "ts", "event_id", "value", window=3)
+
+
+SQL_USER_RUNNING_TOTALS = """
+WITH e AS (
+    SELECT event_id AS id, user_id AS key, ts,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+    FROM events
+)
+SELECT id, key,
+       sum(vm) OVER (PARTITION BY key ORDER BY ts, id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_micros,
+       sum(vm) OVER (PARTITION BY key ORDER BY ts, id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS mv_micros
+FROM e
+"""
+
+
+def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Current-state-per-user selection: latest event row by (ts DESC,
+    event_id DESC).  Map-side partial argmax per batch → bucketed reduce;
+    the shuffle moves ≤ one row per (user, batch)."""
+    from oboyu_ray.stages.window import last_row_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return last_row_per_key(ev, "user_id", "ts", "event_id", ["event_type"])
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id AS key, event_id AS id, epoch_us(ts)::BIGINT AS ts_i, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 TOP_TERMS_K = 5
 
 
@@ -2498,6 +2565,9 @@ def corpus_queries() -> dict:
         "revenue_rollup": q_revenue_rollup,
         "value_outliers": q_value_outliers,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "prefix_dups": q_prefix_dups,
+        "user_running_totals": q_user_running_totals,
+        "latest_event_per_user": q_latest_event_per_user,
     }
 
 
@@ -2556,6 +2626,9 @@ def corpus_oracle_sql() -> dict:
         "revenue_rollup": SQL_REVENUE_ROLLUP,
         "value_outliers": SQL_VALUE_OUTLIERS,
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
+        "prefix_dups": SQL_PREFIX_DUPS,
+        "user_running_totals": SQL_USER_RUNNING_TOTALS,
+        "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

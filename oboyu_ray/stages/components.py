@@ -348,19 +348,30 @@ def pagerank(
     def sym(t: pa.Table) -> pa.Table:
         a = t.column(a_col)
         b = t.column(b_col)
-        return pa.concat_tables(
+        both = pa.concat_tables(
             [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
         ).combine_chunks()
-
-    def first_row(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["src", "dst"]]
+        # map-side pre-distinct (empty aggregate = distinct rows) shrinks
+        # what the UNION-distinct shuffle moves
+        return both.group_by(["src", "dst"]).aggregate([])
 
     edges = (
         pairs.map_batches(sym, batch_format="pyarrow")
         .groupby(["src", "dst"])
-        .map_groups(first_row, batch_format="pandas")
+        .count()
+        .drop_columns(["count()"])
         .materialize()
     )
+    # size downstream parallelism to the GRAPH, not the corpus: the edge
+    # list is usually orders of magnitude smaller than the input that
+    # produced it, but the distinct shuffle hands back one block per reduce
+    # task — and every later round is an all-to-all whose task count scales
+    # with block count, so a 90-edge graph inheriting 64 corpus blocks pays
+    # ~100 scheduler round-trips per round for nothing
+    n_edges = edges.count()
+    nparts = int(max(1, min(n_buckets, n_edges // 200_000 + 1)))
+    if edges.num_blocks() > nparts * 2:
+        edges = edges.repartition(nparts).materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("src").aggregate([("dst", "count")])
@@ -404,7 +415,17 @@ def pagerank(
             }
         )
 
-    ranks = deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    # ranks stays LAZY through the rounds: each intermediate is consumed
+    # exactly once, so the whole iteration chain executes as ONE streaming
+    # plan when the caller consumes the result (materializing per round
+    # just adds driver round-trips; only the multiply-consumed edges/deg/
+    # edges_deg tables above are pinned)
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow")
+
+    left_schema = pa.schema(
+        [("dst", pa.string()), ("esrc", pa.string()), ("d", pa.int64())]
+    )
+    ranks_schema = pa.schema([("node", pa.string()), ("r", pa.int64())])
 
     for _ in range(iters):
         joined = hash_join(
@@ -416,6 +437,8 @@ def pagerank(
             "esrc",
             "node",
             n_buckets,
+            left_schema=left_schema,
+            right_schema=ranks_schema,
         )
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
@@ -437,7 +460,6 @@ def pagerank(
             .groupby("dst")
             .sum("c")
             .map_batches(next_rank, batch_format="pyarrow")
-            .materialize()
         )
 
     return ranks

@@ -1032,3 +1032,77 @@ def dedup_against_store(
         .groupby("key")
         .aggregate(Min("min_id", alias_name=id_col), Sum("cnt", alias_name="n_dups"))
     )
+
+
+# ------------------------------------------------------- prefix containment
+
+def prefix_dups(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Docs whose text is a PREFIX of another doc's (truncated-copy dedup:
+    a doc is flagged when some other doc's text starts with its text and is
+    longer — or equal with a larger id, so exact-dup runs keep exactly one
+    survivor).
+
+    The sorted-adjacency trick makes this a GLOBAL SORT plus a linear scan:
+    in (text, id) order, if A is a prefix of ANY later doc it is a prefix
+    of its IMMEDIATE successor (every string sorting between A and
+    A+suffix must itself start with A under bytewise UTF-8 comparison —
+    which orders exactly like code points, so Ray/Arrow and DuckDB agree).
+    Ray Data's range-partitioned ``sort`` does the wide work; flags are a
+    per-block vectorized startswith over adjacent rows, plus a driver check
+    of the <=2-rows-per-block boundary seam (block count rows, not data
+    rows).  Output: (doc_id,) of flagged docs.
+    """
+    import ray.data as _rd
+
+    sorted_ds = ds.sort([text_col, id_col]).materialize()
+
+    def block_flags(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(texts) < 2:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        keep = [
+            (texts[i + 1] or "").startswith(texts[i] or "")
+            for i in range(len(texts) - 1)
+        ]
+        return pa.table(
+            {id_col: pa.array(ids[:-1][np.array(keep, dtype=bool)], type=pa.int64())}
+        )
+
+    def block_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pos": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    text_col: pa.array([], type=pa.string()),
+                }
+            )
+        sel = pa.array([0, t.num_rows - 1])
+        return pa.table(
+            {
+                "pos": pa.array([0, 1], type=pa.int64()),
+                id_col: t.column(id_col).take(sel),
+                text_col: t.column(text_col).take(sel),
+            }
+        )
+
+    inner = sorted_ds.map_batches(block_flags, batch_format="pyarrow", batch_size=None)
+
+    # boundary seam: last row of block i vs first row of block i+1 — O(blocks)
+    # rows on the driver, in dataset order
+    edges = sorted_ds.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    boundary: list = []
+    for i in range(0, len(edges) - 2, 2):
+        tail, head = edges[i + 1], edges[i + 2]
+        if (head[text_col] or "").startswith(tail[text_col] or ""):
+            boundary.append(int(tail[id_col]))
+    if boundary:
+        inner = inner.union(
+            _rd.from_arrow(pa.table({id_col: pa.array(boundary, type=pa.int64())}))
+        )
+    return inner

@@ -538,8 +538,15 @@ def hash_join(
     right_on: str,
     n_buckets: int = JOIN_BUCKETS,
     how: str = "inner",
+    left_schema: "pa.Schema" = None,
+    right_schema: "pa.Schema" = None,
 ) -> "ray.data.Dataset":
     """Large-large equi-join as a hash-bucketed cogroup.
+
+    Pass ``left_schema`` / ``right_schema`` when a side is a LAZY dataset
+    with a statically-known schema: ``Dataset.schema()`` triggers execution,
+    so probing it inside an iterative algorithm (PageRank's per-round join)
+    re-executes every prior round — quadratic re-execution.
 
     ``how``: "inner" (default) / "left" (unmatched left rows keep nulls in
     the right columns) / "outer" (full outer — unmatched rows from BOTH
@@ -585,8 +592,8 @@ def hash_join(
             fields.append(pa.field(n, at))
         return pa.schema(fields)
 
-    lschema: pa.Schema = _arrow_schema(left)
-    rschema: pa.Schema = _arrow_schema(right)
+    lschema: pa.Schema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema: pa.Schema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     overlap = set(lcols) & set(rcols)

@@ -1893,3 +1893,73 @@ def test_topk_per_group_str_tiebreak():
         ("en", "alpha", 5, 2),
         ("ja", "zz", 2, 1),
     ]
+
+
+def test_prefix_dups_cross_block_and_ties():
+    from oboyu_ray.stages.dedup import prefix_dups
+
+    rows = [
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": "hello world and more"},   # contains 1
+        {"doc_id": 3, "text": "hello"},                  # prefix of 1 and 2
+        {"doc_id": 4, "text": "zebra"},                  # no relation
+        {"doc_id": 5, "text": "hello world"},            # equal to 1 AND prefix of 2
+        {"doc_id": 6, "text": ""},                       # empty: prefix of everything
+    ]
+    # many tiny blocks force the boundary-seam path
+    ds = ray.data.from_items(rows).repartition(6)
+    got = sorted(prefix_dups(ds).to_pandas()["doc_id"])
+    # 1 (equal text, smaller id), 3 ("hello" prefix), 5 (prefix of doc 2),
+    # 6 (empty) — matches the lead()-window DuckDB oracle exactly
+    assert got == [1, 3, 5, 6]
+
+
+def test_keyed_window_scan_cross_batch():
+    from oboyu_ray.stages.window import keyed_window_scan
+
+    # two keys interleaved across many tiny blocks; values chosen so the
+    # 3-row moving sum differs from the running total from row 3 onward
+    rows = []
+    for i in range(10):
+        rows.append({"user_id": i % 2, "ts": 1000 + i, "event_id": i, "value": float(i + 1)})
+    ds = ray.data.from_items(rows).repartition(5)
+    got = (
+        keyed_window_scan(ds, "user_id", "ts", "event_id", "value", window=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # key 0 gets values 1,3,5,7,9 ; key 1 gets 2,4,6,8,10 (in ts order)
+    import itertools
+
+    for key, vals in ((0, [1, 3, 5, 7, 9]), (1, [2, 4, 6, 8, 10])):
+        sub = got[got["key"] == key].reset_index(drop=True)
+        cums = list(itertools.accumulate(v * 1_000_000 for v in vals))
+        assert list(sub["cum_micros"]) == cums
+        mv = [
+            sum(vals[max(0, i - 2) : i + 1]) * 1_000_000
+            for i in range(len(vals))
+        ]
+        assert list(sub["mv_micros"]) == mv
+
+
+def test_last_row_per_key_cross_batch_ties():
+    from oboyu_ray.stages.window import last_row_per_key
+
+    rows = [
+        {"user_id": 1, "ts": 100, "event_id": 1, "event_type": "a"},
+        {"user_id": 1, "ts": 200, "event_id": 2, "event_type": "b"},
+        {"user_id": 1, "ts": 200, "event_id": 3, "event_type": "c"},  # ts tie → bigger id
+        {"user_id": 2, "ts": 50, "event_id": 4, "event_type": "d"},
+        {"user_id": 2, "ts": 49, "event_id": 5, "event_type": "e"},
+    ]
+    ds = ray.data.from_items(rows).repartition(5)  # force partial-per-batch path
+    got = (
+        last_row_per_key(ds, "user_id", "ts", "event_id", ["event_type"])
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert list(got["key"]) == [1, 2]
+    assert list(got["id"]) == [3, 4]
+    assert list(got["event_type"]) == ["c", "d"]
