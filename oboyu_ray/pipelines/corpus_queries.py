@@ -1349,6 +1349,49 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 """
 
 
+def q_rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact 7-day rolling distinct-user count per active day, via per-user
+    coverage-interval merging + boundary deltas (ONE user-bucketed shuffle,
+    no window_days× replication)."""
+    from oboyu_ray.stages.window import rolling_active_users
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_active_users(ev, window_days=7)
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH d AS (
+    SELECT DISTINCT epoch_us(date_trunc('day', ts))//86400000000 AS day_i, user_id
+    FROM events
+), days AS (SELECT DISTINCT day_i FROM d)
+SELECT days.day_i AS day_i, count(DISTINCT d.user_id)::BIGINT AS active_users
+FROM days JOIN d ON d.day_i BETWEEN days.day_i - 6 AND days.day_i
+GROUP BY days.day_i
+"""
+
+
+def q_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly cohort retention matrix (cohort = Monday week of first event;
+    n distinct users active at each week offset)."""
+    from oboyu_ray.stages.window import cohort_retention
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           epoch_us(date_trunc('week', ts))//86400000000 AS wd
+    FROM events
+), c AS (SELECT user_id, min(wd) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week, (uw.wd - c.cohort)//7 AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 TOP_TERMS_K = 5
 
 
@@ -2568,6 +2611,8 @@ def corpus_queries() -> dict:
         "prefix_dups": q_prefix_dups,
         "user_running_totals": q_user_running_totals,
         "latest_event_per_user": q_latest_event_per_user,
+        "rolling_active_users": q_rolling_active_users,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2629,6 +2674,8 @@ def corpus_oracle_sql() -> dict:
         "prefix_dups": SQL_PREFIX_DUPS,
         "user_running_totals": SQL_USER_RUNNING_TOTALS,
         "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+        "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+        "cohort_retention": SQL_COHORT_RETENTION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -540,8 +540,21 @@ def hash_join(
     how: str = "inner",
     left_schema: "pa.Schema" = None,
     right_schema: "pa.Schema" = None,
+    hot_keys=None,
+    salt: int = 8,
 ) -> "ray.data.Dataset":
     """Large-large equi-join as a hash-bucketed cogroup.
+
+    ``hot_keys`` (+ ``salt``) is the SKEW escape hatch: pass the known
+    heavy keys (e.g. from the ``heavy_hitters`` Misra-Gries operator — at
+    100 TB a single hot key can route >10% of a side into one cogroup
+    task) and each hot key's LEFT rows fan out round-robin over ``salt``
+    private buckets while its RIGHT rows replicate to all of them, so the
+    hot key's work spreads over ``salt`` tasks instead of melting one.
+    Join output is identical (each left row still meets every matching
+    right row exactly once).  Unsupported for ``how="outer"``: with the
+    right side replicated, "right row unmatched anywhere" is no longer
+    decidable inside one bucket.
 
     Pass ``left_schema`` / ``right_schema`` when a side is a LAZY dataset
     with a statically-known schema: ``Dataset.schema()`` triggers execution,
@@ -603,6 +616,11 @@ def hash_join(
     rtypes = {n: rschema.field(n).type for n in rcols}
     _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+    hot_list = sorted(set(hot_keys)) if hot_keys else []
+    if hot_list and how == "outer":
+        raise ValueError("hash_join: hot-key salting is unsupported for how='outer'")
+    if hot_list and salt < 2:
+        raise ValueError("hash_join: salt must be >= 2 when hot_keys are given")
     def _tag(key_col: str, own_cols, other_cols, other_types, side: int):
         def tag(t: pa.Table) -> pa.Table:
             col = t.column(key_col)
@@ -620,9 +638,38 @@ def hash_join(
             for n in other_cols:
                 data[n] = pa.nulls(t.num_rows, type=other_types[n])
             data["side"] = pa.array(np.full(t.num_rows, side, dtype=np.int64))
-            data["jb"] = pa.array(jb)
-            # one column order for both sides so union schemas align
-            return pa.table({n: data[n] for n in lcols + rcols + ["side", "jb"]})
+            out = pa.table(
+                {n: data[n] for n in lcols + rcols + ["side"]}
+            ).append_column("jb", pa.array(jb))
+            if not hot_list:
+                return out
+            # hot rows leave the shared bucket space [0, n_buckets) for the
+            # key's private salted range [n_buckets + idx*salt, +salt)
+            hid = (
+                pc.fill_null(
+                    pc.index_in(col, pa.array(hot_list).cast(col.type)), -1
+                )
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            hot = hid >= 0
+            if not hot.any():
+                return out
+            cold = out.filter(pa.array(~hot))
+            hot_t = out.drop_columns(["jb"]).filter(pa.array(hot))
+            base = np.int64(n_buckets) + hid[hot] * np.int64(salt)
+            if side == 0:
+                # probe side fans out round-robin (any spread works — the
+                # result is salt-assignment-independent)
+                sb = base + (np.arange(int(hot.sum()), dtype=np.int64) % salt)
+                return pa.concat_tables(
+                    [cold, hot_t.append_column("jb", pa.array(sb))]
+                )
+            # build side replicates to every salt bucket of its key
+            reps = []
+            for s in range(salt):
+                reps.append(hot_t.append_column("jb", pa.array(base + s)))
+            return pa.concat_tables([cold] + reps)
 
         return tag
 

@@ -34,9 +34,11 @@ WINDOW_BUCKETS = 64
 
 
 def _ts_int64(col: pa.ChunkedArray) -> np.ndarray:
-    """Timestamp (or integer) column → int64 numpy, order-preserving."""
+    """Timestamp (or integer) column → int64 MICROSECONDS, order-preserving
+    (normalizes the Arrow timestamp unit: parquet testdata is `us`, but
+    pandas-origin blocks arrive as `ns`)."""
     if pa.types.is_timestamp(col.type):
-        col = col.cast(pa.int64())
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
@@ -109,6 +111,184 @@ def keyed_window_scan(
         .map_batches(route, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(scan, batch_format="pandas")
+    )
+
+
+US_PER_DAY = 86_400_000_000
+_EPOCH_MONDAY_OFFSET = 4  # 1970-01-05 (epoch day 4) was a Monday
+
+
+def rolling_active_users(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    n_buckets: int = WINDOW_BUCKETS,
+) -> "ray.data.Dataset":
+    """EXACT rolling ``window_days``-day distinct-user count per active day
+    (the DAU/WAU shape) without replicating rows per window position.
+
+    The textbook plan replicates every (user, day) pair to all
+    ``window_days`` windows it covers and distinct-counts each — a
+    ``window_days``× shuffle blow-up.  Instead, per user: a user counts
+    toward window-day ``w`` iff some active day ``d`` has ``w-(window-1)
+    ≤ d ≤ w``, i.e. ``w`` lies in the union of intervals ``[d, d+window-1]``
+    — so merge each user's sorted active days into coverage runs (new run
+    when the gap exceeds ``window_days``) and emit ±1 BOUNDARY deltas
+    (+1 at run start, −1 at last_day + window).  The only wide op is ONE
+    user-bucketed cogroup over distinct (user, day) pairs; the driver folds
+    per-day deltas over the day grid — bounded by the calendar range, never
+    by data volume (the `join_revenue` bounded-fold pattern).
+
+    Output: (day_i, active_users) for every day with ≥1 event, where
+    ``day_i`` is the epoch day number.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_int64(t.column(ts_col)) // US_PER_DAY
+        pairs = np.unique(np.stack([key, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (pairs[:, 0].astype(np.uint64) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(pairs[:, 0], type=pa.int64()),
+                "day": pa.array(pairs[:, 1], type=pa.int64()),
+            }
+        )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        day = g["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((day, key))
+        key_s, day_s = key[order], day[order]
+        # global distinct (bucket holds every partial row for its users)
+        keep = np.r_[True, (key_s[1:] != key_s[:-1]) | (day_s[1:] != day_s[:-1])]
+        key_s, day_s = key_s[keep], day_s[keep]
+        # coverage runs: new run on user change or gap > window
+        new_run = np.r_[
+            True,
+            (key_s[1:] != key_s[:-1]) | (day_s[1:] - day_s[:-1] > window_days),
+        ]
+        starts = day_s[new_run]
+        run_last = np.r_[new_run[1:], True]  # last pair of each run
+        ends = day_s[run_last] + window_days  # half-open −1 position
+        # present-day marker rows (distinct active days in this bucket)
+        present = np.unique(day_s)
+        d = np.concatenate([starts, ends])
+        v = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        out = pd.DataFrame({"day": d, "delta": v, "present": 0})
+        # pre-aggregate within the bucket before anything moves
+        out = out.groupby("day", sort=False, as_index=False).sum()
+        mark = pd.DataFrame({"day": present, "delta": 0, "present": 1})
+        return pd.concat([out, mark], ignore_index=True)
+
+    rows = (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deltas, batch_format="pandas")
+        .groupby("day")
+        .sum(["delta", "present"])
+        .to_pandas()
+    )
+    # bounded driver fold over the calendar grid (np.add.at: one driver
+    # batch can carry several rows per key — HANDOFF gotcha)
+    day = rows["day"].to_numpy(dtype=np.int64)
+    delta = rows["sum(delta)"].to_numpy(dtype=np.int64)
+    present = rows["sum(present)"].to_numpy(dtype=np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    grid = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(grid, day - lo, delta)
+    active = np.cumsum(grid)
+    mask = np.zeros(hi - lo + 1, dtype=bool)
+    mask[day[present > 0] - lo] = True
+    idx = np.flatnonzero(mask)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day_i": pa.array(idx + lo, type=pa.int64()),
+                "active_users": pa.array(active[idx], type=pa.int64()),
+            }
+        )
+    )
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = WINDOW_BUCKETS,
+) -> "ray.data.Dataset":
+    """Weekly cohort retention: users are cohorted by the Monday-aligned
+    week of their FIRST event; for each (cohort_week, week_offset) count
+    the distinct cohort users active that week.
+
+    ONE user-bucketed cogroup over distinct (user, week) pairs computes
+    per-user cohort + offsets vectorized (users are whole within a bucket,
+    so per-bucket (cohort, offset) partial counts are over DISJOINT user
+    sets — the final small groupby just sums them).
+
+    Output: (cohort_week, week_offset, n_users); ``cohort_week`` is the
+    epoch day of the cohort Monday (DuckDB date_trunc('week') alignment).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_int64(t.column(ts_col)) // US_PER_DAY
+        week = day - ((day - _EPOCH_MONDAY_OFFSET) % 7)
+        pairs = np.unique(np.stack([key, week], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (pairs[:, 0].astype(np.uint64) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(pairs[:, 0], type=pa.int64()),
+                "week": pa.array(pairs[:, 1], type=pa.int64()),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        week = g["week"].to_numpy(dtype=np.int64)
+        order = np.lexsort((week, key))
+        key_s, week_s = key[order], week[order]
+        keep = np.r_[True, (key_s[1:] != key_s[:-1]) | (week_s[1:] != week_s[:-1])]
+        key_s, week_s = key_s[keep], week_s[keep]
+        new_user = np.r_[True, key_s[1:] != key_s[:-1]]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.r_[starts, len(key_s)])
+        cohort = np.repeat(week_s[starts], counts)
+        offset = (week_s - cohort) // 7
+        out = pd.DataFrame({"cohort_week": cohort, "week_offset": offset})
+        return out.groupby(
+            ["cohort_week", "week_offset"], sort=False, as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week").cast(pa.int64()),
+                "week_offset": t.column("week_offset").cast(pa.int64()),
+                "n_users": t.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("n")
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 

@@ -1943,6 +1943,99 @@ def test_keyed_window_scan_cross_batch():
         assert list(sub["mv_micros"]) == mv
 
 
+def test_hash_join_salted_hot_keys_matches_unsalted():
+    from oboyu_ray.stages.relational import hash_join
+
+    rng = np.random.RandomState(3)
+    # 80% of left rows share key 7 (the hot key); right has 3 rows for it
+    lkeys = np.where(rng.rand(500) < 0.8, 7, rng.randint(0, 40, 500))
+    left = pd.DataFrame({"lk": lkeys.astype(np.int64), "lv": np.arange(500, dtype=np.int64)})
+    rkeys = np.r_[np.array([7, 7, 7]), np.arange(0, 40, 2)].astype(np.int64)
+    right = pd.DataFrame({"rk": rkeys, "rv": np.arange(len(rkeys), dtype=np.int64) * 10})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    for how in ("inner", "left", "semi", "anti"):
+        salted = (
+            hash_join(lds, rds, "lk", "rk", n_buckets=8, how=how, hot_keys=[7], salt=4)
+            .to_pandas()
+        )
+        plain = hash_join(lds, rds, "lk", "rk", n_buckets=8, how=how).to_pandas()
+        cols = sorted(salted.columns)
+        assert cols == sorted(plain.columns), how
+        a = salted[cols].sort_values(cols).reset_index(drop=True)
+        b = plain[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=how)
+
+    # outer + salting is undecidable per bucket → must refuse
+    with pytest.raises(ValueError):
+        hash_join(lds, rds, "lk", "rk", how="outer", hot_keys=[7])
+
+
+def test_rolling_active_users_interval_merge():
+    from oboyu_ray.stages.window import rolling_active_users
+
+    # epoch-day → ts(us); user 1 active days {0, 3, 20}; user 2 day {5};
+    # day 3 & 0 merge into one coverage run, 20 starts a new one
+    def ev(uid, day, eid):
+        return {"user_id": uid, "ts": pd.Timestamp(day * 86_400_000_000 * 1000), "event_id": eid}
+
+    rows = [ev(1, 0, 1), ev(1, 3, 2), ev(1, 20, 3), ev(2, 5, 4), ev(1, 3, 5)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = (
+        rolling_active_users(ds, window_days=7)
+        .to_pandas()
+        .sort_values("day_i")
+        .reset_index(drop=True)
+    )
+    # brute force: active(w) = #{u : some active day in [w-6, w]}
+    active_days = {1: {0, 3, 20}, 2: {5}}
+    present = sorted({d for s in active_days.values() for d in s})
+    expect = [
+        (w, sum(1 for s in active_days.values() if any(w - 6 <= d <= w for d in s)))
+        for w in present
+    ]
+    assert list(map(tuple, got[["day_i", "active_users"]].to_numpy())) == expect
+
+
+def test_cohort_retention_brute_force():
+    from oboyu_ray.stages.window import cohort_retention
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for eid in range(400):
+        uid = int(rng.randint(0, 25))
+        day = int(rng.randint(0, 60))
+        rows.append(
+            {"user_id": uid, "ts": pd.Timestamp(day * 86_400_000_000 * 1000), "event_id": eid}
+        )
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        cohort_retention(ds)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    # scalar reference
+    day = df["ts"].astype("int64") // 1000 // 86_400_000_000
+    week = day - ((day - 4) % 7)
+    uw = pd.DataFrame({"u": df["user_id"], "w": week}).drop_duplicates()
+    cohort = uw.groupby("u")["w"].min()
+    uw["cohort_week"] = uw["u"].map(cohort)
+    uw["week_offset"] = (uw["w"] - uw["cohort_week"]) // 7
+    ref = (
+        uw.groupby(["cohort_week", "week_offset"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref.astype("int64"), check_names=False
+    )
+
+
 def test_last_row_per_key_cross_batch_ties():
     from oboyu_ray.stages.window import last_row_per_key
 
