@@ -327,6 +327,28 @@ def q_simsearch_ivf_persisted(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pq_index_dir(sf_dir: str) -> str:
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return f"/tmp/oboyu_pqindex/{os.path.basename(sf_dir.rstrip('/'))}-{st.st_size}-{st.st_mtime_ns}"
+
+
+def q_simsearch_pq(sf_dir: str) -> pd.DataFrame:
+    """Approximate cosine top-k via a persisted product-quantization index
+    (state/pq_index.py): 8-byte codes stream through the ADC scan instead of
+    512-byte vectors; the bounded candidate set is re-ranked EXACTLY from a
+    pushdown point-read, so scores are true cosines and only recall is
+    approximate (pinned ≥0.8 vs brute force in tests; rows-only driver
+    check)."""
+    from oboyu_ray.state.pq_index import pq_persisted_topk
+
+    return pq_persisted_topk(
+        _embs(sf_dir), _pq_index_dir(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.sessionize import sessionize
 
@@ -2613,6 +2635,7 @@ def corpus_queries() -> dict:
         "latest_event_per_user": q_latest_event_per_user,
         "rolling_active_users": q_rolling_active_users,
         "cohort_retention": q_cohort_retention,
+        "simsearch_pq": q_simsearch_pq,
     }
 
 

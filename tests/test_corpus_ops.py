@@ -1943,6 +1943,56 @@ def test_keyed_window_scan_cross_batch():
         assert list(sub["mv_micros"]) == mv
 
 
+def test_pq_recall_exact_scores_and_determinism(entrymod, tmp_path):
+    from oboyu_ray.state.pq_index import build_pq_index, pq_persisted_topk
+
+    src = f"{SF}/embeddings.parquet"
+    embs = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "pq")
+    man = build_pq_index(embs, idx)
+    assert man["n_vectors"] == 500 and man["m"] == 16 and man["dim"] == 64
+
+    got = pq_persisted_topk(embs, idx, k=10, source_path=src)
+    exact = _as_df(entrymod.queries()["simsearch_topk"](SF))
+    # recall@10 ≥ 0.8 per query vs brute force
+    for q in got["query_id"].unique():
+        g = set(got.loc[got["query_id"] == q, "vec_id"])
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"].head(10))
+        assert len(g & e) >= 8, (q, g, e)
+    # returned scores are EXACT cosines: every (q, vec) also in brute force
+    # must carry an identical score
+    merged = got.merge(exact, on=["query_id", "vec_id"], suffixes=("_pq", "_ex"))
+    assert (merged["cos_micros_pq"] == merged["cos_micros_ex"]).all()
+    # deterministic across a rebuild into a fresh dir
+    idx2 = str(tmp_path / "pq2")
+    build_pq_index(embs, idx2)
+    again = pq_persisted_topk(embs, idx2, k=10, source_path=src)
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_pq_codes_are_compact(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from oboyu_ray.state.pq_index import build_pq_index
+
+    src = f"{SF}/embeddings.parquet"
+    embs = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "pq")
+    build_pq_index(embs, idx)
+    codes_dir = os.path.join(idx, "codes")
+    t = pa.concat_tables(
+        pq_.read_table(os.path.join(codes_dir, f))
+        for f in sorted(os.listdir(codes_dir))
+        if f.endswith(".parquet")
+    )
+    assert t.num_rows == 500
+    code_type = t.schema.field("code").type
+    assert pa.types.is_fixed_size_list(code_type) and code_type.list_size == 16
+    assert code_type.value_type == pa.uint8()
+
+
 def test_hash_join_salted_hot_keys_matches_unsalted():
     from oboyu_ray.stages.relational import hash_join
 
