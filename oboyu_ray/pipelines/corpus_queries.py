@@ -349,6 +349,18 @@ def q_simsearch_pq(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_simsearch_mmr(sf_dir: str) -> pd.DataFrame:
+    """MMR-diversified top-k: exact distributed top-pool candidates, then
+    the (bounded, inherently sequential) greedy λ-tradeoff selection on the
+    driver.  Rows-only; pinned against a scalar reference in pytest."""
+    from oboyu_ray.stages.simsearch import mmr_topk
+
+    return mmr_topk(
+        _embs(sf_dir), k=TOPK, query_ids=QUERY_IDS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.sessionize import sessionize
 
@@ -1411,6 +1423,34 @@ SELECT c.cohort AS cohort_week, (uw.wd - c.cohort)//7 AS week_offset,
        count(*)::BIGINT AS n_users
 FROM uw JOIN c ON uw.user_id = c.user_id
 GROUP BY 1, 2
+"""
+
+
+def q_doc_length_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Exact global row_number() by (n_chars, doc_id): range-partitioned
+    sort + O(blocks) driver offset seam (stages/window.global_row_number)."""
+    from oboyu_ray.stages.window import global_row_number
+
+    def lens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": _pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(lens, batch_format="pyarrow")
+    return global_row_number(
+        docs, ["n_chars", "doc_id"], ["doc_id", "n_chars"], rank_col="rnk"
+    )
+
+
+SQL_DOC_LENGTH_RANK = """
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+       row_number() OVER (ORDER BY length(text), doc_id)::BIGINT AS rnk
+FROM documents
 """
 
 
@@ -2636,6 +2676,8 @@ def corpus_queries() -> dict:
         "rolling_active_users": q_rolling_active_users,
         "cohort_retention": q_cohort_retention,
         "simsearch_pq": q_simsearch_pq,
+        "simsearch_mmr": q_simsearch_mmr,
+        "doc_length_rank": q_doc_length_rank,
     }
 
 
@@ -2699,6 +2741,7 @@ def corpus_oracle_sql() -> dict:
         "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
         "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "doc_length_rank": SQL_DOC_LENGTH_RANK,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

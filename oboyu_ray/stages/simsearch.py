@@ -322,6 +322,91 @@ def lsh_cosine_topk(
     return _rank_and_cut(cand, k)
 
 
+# ---------------------------------------------------------------- MMR
+
+MMR_LAMBDA_MICROS = 700_000  # λ = 0.7: relevance weight vs diversity
+MMR_POOL = 50
+
+
+def mmr_topk(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    query_ids: Sequence[int] = DEFAULT_QUERY_IDS,
+    pool: int = MMR_POOL,
+    lambda_micros: int = MMR_LAMBDA_MICROS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source_path: Optional[str] = None,
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998, public method): the EXACT top-``pool`` candidates come from the
+    distributed brute-force scan; the greedy selection — k steps over a
+    pool × pool similarity matrix — is inherently sequential and runs on
+    the driver over the BOUNDED pool (k- and pool-sized work, never
+    corpus-sized; candidate vectors arrive via one pushdown point-read).
+
+    Score: mmr = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), all in integer
+    micros (λ = ``lambda_micros``/1e6); first pick is pure relevance; ties
+    break (score DESC, vec_id ASC).  Output (query_id, vec_id, mmr_micros,
+    rank) — rows-only driver check (greedy selection is not SQL-
+    expressible); pinned against a scalar reference in pytest.
+    """
+    cand = brute_force_cosine_topk(
+        ds, k=pool, query_ids=query_ids, id_col=id_col, vec_col=vec_col,
+        source_path=source_path,
+    )
+    cand_ids = sorted(set(cand["vec_id"].tolist()))
+    if source_path is not None:
+        raw = pq.read_table(
+            source_path, columns=[id_col, vec_col],
+            filters=[(id_col, "in", cand_ids)],
+        )
+    else:
+        vs = pa.array(cand_ids, type=pa.int64())
+
+        def pick(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=vs)
+            return b.select([id_col, vec_col]).filter(mask)
+
+        raw = pa.concat_tables(
+            ray.get(ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        )
+    rid = raw.column(id_col).to_numpy().astype(np.int64)
+    rmat = _normalize_rows(vec_matrix(raw.column(vec_col)))
+    pos = {int(v): i for i, v in enumerate(rid)}
+
+    lam = np.int64(lambda_micros)
+    one_minus = np.int64(1_000_000 - lambda_micros)
+    rows = []
+    for q in sorted(cand["query_id"].unique()):
+        sub = cand[cand["query_id"] == q]
+        ids_q = sub["vec_id"].to_numpy(dtype=np.int64)
+        rel = sub["cos_micros"].to_numpy(dtype=np.int64)
+        idx = np.fromiter((pos[int(v)] for v in ids_q), dtype=np.int64,
+                          count=len(ids_q))
+        # pairwise candidate similarity, fixed-pointed once
+        S = micros(rmat[idx] @ rmat[idx].T)
+        n = len(ids_q)
+        picked: List[int] = []
+        maxsim = np.zeros(n, dtype=np.int64)
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            score = lam * rel - (one_minus * maxsim if picked else 0)
+            score[~avail] = np.iinfo(np.int64).min
+            order = np.lexsort((ids_q, -score))
+            best = order[0]
+            picked.append(best)
+            avail[best] = False
+            maxsim = np.maximum(maxsim, S[best])
+            rows.append(
+                (int(q), int(ids_q[best]), int(score[best] // 1_000_000),
+                 step + 1)
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "vec_id", "mmr_micros", "rank"]
+    ).astype(np.int64)
+
+
 def kmeans_cluster_summary(
     ds: "ray.data.Dataset",
     k: int = IVF_CELLS,

@@ -114,6 +114,70 @@ def keyed_window_scan(
     )
 
 
+def global_row_number(
+    ds: "ray.data.Dataset",
+    order_cols: list,
+    out_cols: list,
+    rank_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """EXACT global row_number() OVER (ORDER BY *order_cols*): Ray Data's
+    range-partitioned sort does the wide work; ranks are the block-local
+    index plus a per-block offset computed from O(blocks) driver state.
+
+    Pass 1 reads each block's (row count, first-row key) in dataset order
+    (Ray preserves block order over a materialized dataset, the same
+    contract ``prefix_dups`` leans on); the driver cumsums counts into
+    offsets keyed by the block's UNIQUE first-row key (``order_cols`` must
+    end in a tiebreaker column making rows unique — the usual id column).
+    Pass 2 over the SAME materialized blocks looks its offset up by first
+    row and emits offset + local index.  No data moves twice; driver state
+    is O(blocks), never O(rows).
+    """
+    sorted_ds = ds.sort(order_cols).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], type=pa.int64()),
+                    "first_key": pa.array([], type=pa.string()),
+                }
+            )
+        key = "|".join(str(t.column(c)[0].as_py()) for c in order_cols)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "first_key": pa.array([key], type=pa.string()),
+            }
+        )
+
+    metas = sorted_ds.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    offsets = {}
+    acc = 0
+    for mrow in metas:
+        offsets[mrow["first_key"]] = acc
+        acc += int(mrow["n"])
+    off_ref = ray.put(offsets)
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(out_cols).append_column(
+                rank_col, pa.array([], type=pa.int64())
+            )
+        offs = ray.get(off_ref)
+        key = "|".join(str(t.column(c)[0].as_py()) for c in order_cols)
+        base = offs[key]
+        cols = {c: t.column(c) for c in out_cols}
+        cols[rank_col] = pa.array(
+            np.arange(1, t.num_rows + 1, dtype=np.int64) + base, type=pa.int64()
+        )
+        return pa.table(cols)
+
+    return sorted_ds.map_batches(rank_block, batch_format="pyarrow", batch_size=None)
+
+
 US_PER_DAY = 86_400_000_000
 _EPOCH_MONDAY_OFFSET = 4  # 1970-01-05 (epoch day 4) was a Monday
 

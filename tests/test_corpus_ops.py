@@ -1993,6 +1993,65 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_global_row_number_cross_block_ties():
+    from oboyu_ray.stages.window import global_row_number
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 10, 200)  # heavy ties → id tiebreak matters
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)[::-1].copy(),
+                       "v": vals.astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        global_row_number(ds, ["v", "doc_id"], ["doc_id", "v"])
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["v", "doc_id"]).reset_index(drop=True)
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert list(got["rnk"]) == list(range(1, 201))
+
+
+def test_mmr_matches_scalar_reference(entrymod):
+    from oboyu_ray.stages.simsearch import mmr_topk
+
+    src = f"{SF}/embeddings.parquet"
+    embs = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    got = mmr_topk(embs, k=10, pool=50, source_path=src)
+
+    # scalar reference: same greedy MMR over the brute-force pool, computed
+    # from first principles with plain numpy
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(src, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    M = M / np.maximum(np.linalg.norm(M, axis=1), 1e-30)[:, None]
+    lam, om = 700_000, 300_000
+    for q in (0, 1, 2, 3, 4):
+        qi = int(np.flatnonzero(ids == q)[0])
+        rel_all = np.floor(M[qi] @ M.T * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -rel_all))[:50]
+        cids, rel = ids[order], rel_all[order]
+        S = np.floor(M[order] @ M[order].T * 1e6 + 0.5).astype(np.int64)
+        picked, maxsim = [], np.zeros(50, dtype=np.int64)
+        avail = np.ones(50, dtype=bool)
+        expect = []
+        for step in range(10):
+            sc = lam * rel - (om * maxsim if picked else 0)
+            sc[~avail] = np.iinfo(np.int64).min
+            b = np.lexsort((cids, -sc))[0]
+            picked.append(b)
+            avail[b] = False
+            maxsim = np.maximum(maxsim, S[b])
+            expect.append((q, int(cids[b]), int(sc[b] // 1_000_000), step + 1))
+        sub = got[got["query_id"] == q].reset_index(drop=True)
+        assert list(map(tuple, sub.to_numpy())) == expect
+    # rank 1 is the pure-relevance top hit (the query's own vector)
+    r1 = got[got["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+
+
 def test_hash_join_salted_hot_keys_matches_unsalted():
     from oboyu_ray.stages.relational import hash_join
 
