@@ -265,6 +265,193 @@ def _resolve_stats(docs_ds, queries, cfg, id_col, text_col, stats):
     return stats, term_dfs(qp)
 
 
+RM3_FB_DOCS = 10
+RM3_EXP_TERMS = 3
+RM3_ALPHA_MICROS = 600_000  # weight of the original-query score
+
+
+def rm3_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: Dict[str, List[str]],
+    k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    n_exp: int = RM3_EXP_TERMS,
+    alpha_micros: int = RM3_ALPHA_MICROS,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_path: str | None = None,
+) -> pd.DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-style, Lavrenko & Croft
+    2001 / Abdul-Jaleel et al. 2004 — public method): run BM25, mine
+    expansion terms from the top ``fb_docs`` feedback documents, re-score
+    with the expanded query.
+
+    Deterministic integer-exact variant (every step mirrors the DuckDB
+    oracle bit-for-bit):
+
+    * expansion weight  w(t) = Σ_{d∈FB} floor(tf(t,d)/dl(d)·1e6+0.5) over
+      the feedback docs' postings, original query terms excluded; top
+      ``n_exp`` terms by (w DESC, term ASC);
+    * per-doc expansion score  e(d) = Σ_t (w(t) · max(c_micros(t,d), 0))
+      // 1e6 — the clamp keeps every integer division non-negative, where
+      numpy (floor) and DuckDB (truncate) agree;
+    * final  rm3_score = o_micros·α + e·(1e6−α)  — a pure integer linear
+      mix with NO further division, so negative BM25 scores stay exact.
+
+    Candidates = docs matching ≥1 original OR expansion term.  Four corpus
+    passes (stats+dfs → feedback top-k → expansion dfs → final scoring);
+    the driver holds only fb_docs·#queries feedback rows, the expansion
+    term lists, and per-batch local top-ks.
+    """
+    import pyarrow.parquet as _pq
+
+    from oboyu_ray.fixedpoint import micros as _micros
+
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "rm3_score": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    stats, df_map = _resolve_stats(docs_ds, queries, cfg, id_col, text_col, None)
+    if int(stats["N"]) == 0 or not df_map:
+        return empty
+    fb = brute_force_topk(
+        docs_ds, queries, k=fb_docs, cfg=cfg, id_col=id_col, text_col=text_col,
+        stats=stats,
+    )
+    if fb.empty:
+        return empty
+
+    # feedback docs' postings via a bounded point-read
+    fb_ids = sorted(set(int(v) for v in fb[id_col]))
+    if source_path is not None:
+        fb_docs_t = _pq.read_table(
+            source_path, columns=[id_col, text_col],
+            filters=[(id_col, "in", fb_ids)],
+        )
+    else:
+        vs = pa.array(fb_ids, type=pa.int64())
+
+        def pick(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=vs)
+            return b.select([id_col, text_col]).filter(mask)
+
+        import ray
+
+        fb_docs_t = pa.concat_tables(
+            ray.get(
+                docs_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+            )
+        )
+    fb_post = postings_batch(fb_docs_t, cfg, id_col=id_col, text_col=text_col).to_pandas()
+    fb_post["w1"] = _micros(
+        fb_post["tf"].to_numpy(np.float64) / fb_post["dl"].to_numpy(np.float64)
+    )
+
+    # per-query expansion terms: top n_exp by (Σ w1 over that query's
+    # feedback docs DESC, term ASC), original terms excluded
+    exp_terms: Dict[str, Dict[str, int]] = {}
+    for qid in queries:
+        fset = set(fb.loc[fb["query_id"] == qid, id_col].astype(int))
+        orig = set(queries[qid])
+        sub = fb_post[fb_post[id_col].isin(fset) & ~fb_post["term"].isin(orig)]
+        if sub.empty:
+            exp_terms[qid] = {}
+            continue
+        w = sub.groupby("term")["w1"].sum().reset_index()
+        w = w.sort_values(["w1", "term"], ascending=[False, True], kind="mergesort")
+        exp_terms[qid] = {
+            t: int(v) for t, v in w.head(n_exp)[["term", "w1"]].to_numpy()
+        }
+
+    all_exp = sorted({t for m in exp_terms.values() for t in m})
+    exp_df = (
+        term_dfs(query_postings(docs_ds, all_exp, cfg, id_col=id_col, text_col=text_col))
+        if all_exp
+        else {}
+    )
+
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    oweights = _query_weights(queries, df_map, n_docs)
+    exp_idf = {t: idf(int(df), n_docs) for t, df in exp_df.items()}
+    k1, b = cfg.k1, cfg.b
+    alpha = np.int64(alpha_micros)
+    one_minus = np.int64(1_000_000 - alpha_micros)
+    all_terms = sorted(
+        {t for w in oweights.values() for t in w} | set(all_exp)
+    )
+    term_set = pa.array(all_terms, type=pa.string())
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        for qid in queries:
+            ow = oweights.get(qid, {})
+            ew = exp_terms.get(qid, {})
+            sub = pdf[pdf["term"].isin(set(ow) | set(ew))]
+            if sub.empty:
+                continue
+            tf = sub["tf"].to_numpy(np.float64)
+            dl = sub["dl"].to_numpy(np.float64)
+            base = bm25_term_score(tf, dl, 1.0, avgdl, k1, b)
+            # original-query float contributions (summed per doc, THEN micros
+            # — same as brute_force_topk so the α-mix reuses its exact o)
+            oc = base * sub["term"].map(lambda t: ow.get(t, 0.0)).to_numpy(np.float64)
+            g = (
+                pd.DataFrame({id_col: sub[id_col].to_numpy(), "o": oc})
+                .groupby(id_col, sort=True)["o"].sum()
+            )
+            omicros = pd.Series(_micros(g.to_numpy(np.float64)), index=g.index)
+            # expansion integer contributions: (w · max(c_micros,0)) // 1e6
+            is_exp = sub["term"].isin(ew).to_numpy()
+            if is_exp.any():
+                es = sub[is_exp]
+                c = base[is_exp] * es["term"].map(exp_idf).to_numpy(np.float64)
+                cm = np.maximum(_micros(c), 0).astype(np.int64)
+                wv = es["term"].map(ew).to_numpy(np.int64)
+                contrib = (wv * cm) // np.int64(1_000_000)
+                e = (
+                    pd.DataFrame({id_col: es[id_col].to_numpy(), "e": contrib})
+                    .groupby(id_col, sort=True)["e"].sum()
+                )
+            else:
+                e = pd.Series(dtype=np.int64)
+            docs = omicros.index.union(e.index)
+            o_al = omicros.reindex(docs, fill_value=0).to_numpy(np.int64)
+            e_al = e.reindex(docs, fill_value=0).to_numpy(np.int64)
+            rm3 = o_al * alpha + e_al * one_minus
+            gdf = pd.DataFrame({id_col: docs.to_numpy(), "rm3_score": rm3})
+            gdf = gdf.sort_values(
+                ["rm3_score", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            gdf.insert(0, "query_id", qid)
+            frames.append(gdf)
+        if not frames:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "rm3_score": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["query_id", id_col, "rm3_score"]], preserve_index=False
+        )
+
+    pdf = docs_ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "rm3_score", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return out.astype({id_col: np.int64, "rm3_score": np.int64, "rank": np.int64})
+
+
 def brute_force_topk(
     docs_ds: "ray.data.Dataset",
     queries: Dict[str, List[str]],

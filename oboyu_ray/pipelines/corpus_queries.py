@@ -1046,6 +1046,115 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ------------------------------------------------- RM3 pseudo-relevance feedback
+
+def q_bm25_rm3(sf_dir: str) -> pd.DataFrame:
+    """RM3-style query expansion: BM25 feedback docs → integer-exact
+    expansion-term weights → α-mixed re-scoring (pipelines/bm25_batch.
+    rm3_topk).  Every step mirrors the SQL oracle bit-for-bit."""
+    from oboyu_ray.pipelines.bm25_batch import rm3_topk, tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG
+
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return rm3_topk(
+        docs, queries, k=TOPK, cfg=CFG,
+        source_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def _sql_bm25_rm3() -> str:
+    from oboyu_ray.pipelines.bm25_batch import (
+        RM3_ALPHA_MICROS,
+        RM3_EXP_TERMS,
+        RM3_FB_DOCS,
+        tokenize_queries,
+    )
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG, SQL_POSTINGS_CTE
+
+    tokenized = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qstr in BM25_QUERIES:
+        for t in sorted(set(tokenized[qstr])):
+            rows.append(f"('{qstr}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    k1, b = CFG.k1, CFG.b
+    alpha = RM3_ALPHA_MICROS
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+gstats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+gstats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM gstats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN gstats2 s
+),
+om AS (
+    SELECT query_id, doc_id,
+           CAST(floor(sum(c) * 1e6 + 0.5) AS BIGINT) AS o
+    FROM contrib GROUP BY 1, 2
+),
+fb AS (
+    SELECT query_id, doc_id FROM om
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY o DESC, doc_id ASC
+    ) <= {RM3_FB_DOCS}
+),
+wexp AS (
+    SELECT f.query_id, p.term,
+           sum(CAST(floor(p.tf / p.dl * 1e6 + 0.5) AS BIGINT)) AS w
+    FROM fb f JOIN postings_dl p ON p.doc_id = f.doc_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qterms q
+        WHERE q.query_id = f.query_id AND q.term = p.term
+    )
+    GROUP BY 1, 2
+),
+topexp AS (
+    SELECT query_id, term, w FROM wexp
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY w DESC, term ASC
+    ) <= {RM3_EXP_TERMS}
+),
+econtrib AS (
+    SELECT e.query_id, p.doc_id,
+           (e.w * greatest(CAST(floor(
+               ((p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+                * ln((s.n - d.df + 0.5) / (d.df + 0.5))) * 1e6 + 0.5
+           ) AS BIGINT), 0)) // 1000000 AS ec
+    FROM topexp e
+    JOIN postings_dl p ON p.term = e.term
+    JOIN dfreq d ON d.term = e.term
+    CROSS JOIN gstats2 s
+),
+escores AS (SELECT query_id, doc_id, sum(ec)::BIGINT AS e FROM econtrib GROUP BY 1, 2),
+mixed AS (
+    SELECT coalesce(o.query_id, e.query_id) AS query_id,
+           coalesce(o.doc_id, e.doc_id) AS doc_id,
+           coalesce(o.o, 0) * {alpha} + coalesce(e.e, 0) * {1_000_000 - alpha} AS rm3_score
+    FROM om o FULL OUTER JOIN escores e
+      ON o.query_id = e.query_id AND o.doc_id = e.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, rm3_score::BIGINT AS rm3_score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rm3_score DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM mixed
+)
+SELECT query_id, doc_id, rm3_score, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---------------------------------------------------------------- relational
 
 def q_events_window(sf_dir: str) -> "ray.data.Dataset":
@@ -2678,6 +2787,7 @@ def corpus_queries() -> dict:
         "simsearch_pq": q_simsearch_pq,
         "simsearch_mmr": q_simsearch_mmr,
         "doc_length_rank": q_doc_length_rank,
+        "bm25_rm3": q_bm25_rm3,
     }
 
 
@@ -2705,6 +2815,7 @@ def corpus_oracle_sql() -> dict:
         "asof_join": SQL_ASOF_JOIN,
         "bm25_topk_filtered": _sql_bm25_topk_filtered(),
         "rerank_topk": _sql_rerank_topk(),
+        "bm25_rm3": _sql_bm25_rm3(),
         "sessionize": SQL_SESSIONIZE,
         "interval_join": SQL_INTERVAL_JOIN,
         "topk_per_group": SQL_TOPK_PER_GROUP,

@@ -1993,6 +1993,28 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_rm3_expansion_is_live():
+    """RM3 must actually expand: with α<1 and a corpus where feedback docs
+    share off-query vocabulary, the RM3 ranking differs from plain BM25 for
+    at least one query (else the operator silently degenerated to BM25)."""
+    from oboyu_ray.config import BM25Config
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, rm3_topk, tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rm3 = rm3_topk(docs, queries, k=10, cfg=CFG, source_path=f"{SF}/documents.parquet")
+    plain = brute_force_topk(docs, queries, k=10, cfg=CFG)
+    assert len(rm3) > 0
+    diffs = 0
+    for q in plain["query_id"].unique():
+        a = list(rm3.loc[rm3["query_id"] == q, "doc_id"])
+        b = list(plain.loc[plain["query_id"] == q, "doc_id"])
+        if a != b:
+            diffs += 1
+    assert diffs >= 1
+
+
 def test_global_row_number_cross_block_ties():
     from oboyu_ray.stages.window import global_row_number
 
