@@ -1993,6 +1993,65 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_export_shards_resume_and_determinism(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from oboyu_ray.sources.sinks import export_shards
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = str(tmp_path / "export")
+    man1 = export_shards(docs, out, key_col="doc_id", n_shards=16)
+    assert man1["n_rows"] == 500 and len(man1["rewritten_shards"]) == 16
+
+    def read_commit(s):
+        import json
+
+        with open(os.path.join(out, f"shard={s}", "_COMMIT.json")) as f:
+            return json.load(f)
+
+    commits1 = {s: read_commit(s) for s in range(16)}
+
+    # delete two shards (one data dir, one commit only) → resume rewrites
+    # exactly those; untouched shard files keep their mtimes
+    import shutil as sh
+
+    sh.rmtree(os.path.join(out, "shard=3"))
+    os.remove(os.path.join(out, "shard=7", "_COMMIT.json"))
+    keep_mtime = {}
+    for s in (0, 1, 2):
+        d = os.path.join(out, f"shard={s}")
+        keep_mtime[s] = sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    man2 = export_shards(docs, out, key_col="doc_id", n_shards=16)
+    assert sorted(man2["rewritten_shards"]) == [3, 7]
+    assert man2["n_rows"] == 500
+    for s in (0, 1, 2):
+        d = os.path.join(out, f"shard={s}")
+        now = sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        assert now == keep_mtime[s], s
+    # commit stats identical after resume (content determinism)
+    commits2 = {s: read_commit(s) for s in range(16)}
+    assert commits1 == commits2
+    # every row lands exactly once across shards
+    total = 0
+    ids = []
+    for s in range(16):
+        d = os.path.join(out, f"shard={s}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = pq_.read_table(os.path.join(d, f), columns=["doc_id"])
+                total += t.num_rows
+                ids.extend(t.column("doc_id").to_pylist())
+    assert total == 500 and len(set(ids)) == 500
+
+
 def test_rm3_expansion_is_live():
     """RM3 must actually expand: with α<1 and a corpus where feedback docs
     share off-query vocabulary, the RM3 ranking differs from plain BM25 for
