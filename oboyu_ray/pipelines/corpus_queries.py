@@ -245,6 +245,92 @@ FROM reach GROUP BY node
 """
 
 
+def q_cluster_representatives(sf_dir: str) -> "ray.data.Dataset":
+    """Best-quality representative per near-dup cluster — the "which copy
+    do we KEEP" decision a dedup pass feeds the training corpus: ngram
+    near-dup clusters (distributed CC) hash-joined to the quality scores,
+    then an exact argmax per component by (quality_micros DESC, doc ASC)
+    via the two-level topk_per_group reduce.  Pure composition of three
+    oracled operators."""
+    import pyarrow.compute as _pc
+
+    from oboyu_ray.stages.relational import hash_join, topk_per_group
+
+    cc = q_dedup_clusters(sf_dir)  # (doc_id, component, is_canonical)
+    clusters = ray.data.from_pandas(
+        cc[["doc_id", "component"]].astype(np.int64)
+    )
+    qual = q_text_quality(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "qdoc": t.column("doc_id").cast(pa.int64()),
+                "quality_micros": t.column("quality_micros").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(clusters, qual, "doc_id", "qdoc")
+    rep = topk_per_group(joined, "component", "doc_id", "quality_micros", k=1)
+    sizes = clusters.groupby("component").count()
+
+    def fin_rep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": t.column("grp").cast(pa.int64()),
+                "rep_doc_id": t.column("key").cast(pa.int64()),
+                "rep_quality_micros": t.column("val_cents").cast(pa.int64()),
+            }
+        )
+
+    def fin_size(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "comp2": t.column("component").cast(pa.int64()),
+                "n_members": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return hash_join(
+        rep.map_batches(fin_rep, batch_format="pyarrow"),
+        sizes.map_batches(fin_size, batch_format="pyarrow"),
+        "component",
+        "comp2",
+    ).drop_columns(["comp2"])
+
+
+SQL_CLUSTER_REPRESENTATIVES = rf"""
+WITH RECURSIVE
+pairs AS ({SQL_DEDUP_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+comp AS (SELECT node AS doc_id, min(r)::BIGINT AS component FROM reach GROUP BY node),
+qual AS ({SQL_TEXT_QUALITY}),
+joined AS (
+    SELECT c.component, c.doc_id, q.quality_micros
+    FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+),
+rep AS (
+    SELECT component, doc_id AS rep_doc_id, quality_micros AS rep_quality_micros
+    FROM joined
+    QUALIFY row_number() OVER (
+        PARTITION BY component ORDER BY quality_micros DESC, doc_id ASC
+    ) = 1
+)
+SELECT r.component, r.rep_doc_id, r.rep_quality_micros,
+       (SELECT count(*) FROM comp c WHERE c.component = r.component)::BIGINT AS n_members
+FROM rep r
+"""
+
+
 def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     # probabilistic candidate recall -> rows-only driver check; pytest
     # asserts subset-of-exact + high recall vs ngram_jaccard_pairs
@@ -2788,6 +2874,7 @@ def corpus_queries() -> dict:
         "simsearch_mmr": q_simsearch_mmr,
         "doc_length_rank": q_doc_length_rank,
         "bm25_rm3": q_bm25_rm3,
+        "cluster_representatives": q_cluster_representatives,
     }
 
 
@@ -2853,6 +2940,7 @@ def corpus_oracle_sql() -> dict:
         "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
         "cohort_retention": SQL_COHORT_RETENTION,
         "doc_length_rank": SQL_DOC_LENGTH_RANK,
+        "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(
