@@ -1649,6 +1649,43 @@ FROM documents
 """
 
 
+def q_events_validation(sf_dir: str) -> "ray.data.Dataset":
+    """Data-quality gate over events: null/range/format rules in ONE
+    streaming pass + a bucketed distinct reduce for event_id uniqueness
+    (stages/validate.py).  Always #rules rows — zero violations included."""
+    from oboyu_ray.stages.validate import (
+        empty_string_rule,
+        negative_rule,
+        null_rule,
+        validation_report,
+    )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        null_rule("user_id"),
+        null_rule("ts"),
+        negative_rule("value"),
+        empty_string_rule("event_type"),
+    ]
+    return validation_report(ev, rules, unique_col="event_id")
+
+
+SQL_EVENTS_VALIDATION = """
+SELECT 'null_user_id' AS rule,
+       count(*) FILTER (WHERE user_id IS NULL)::BIGINT AS n_violations FROM events
+UNION ALL
+SELECT 'null_ts', count(*) FILTER (WHERE ts IS NULL)::BIGINT FROM events
+UNION ALL
+SELECT 'negative_value', count(*) FILTER (WHERE value < 0)::BIGINT FROM events
+UNION ALL
+SELECT 'empty_event_type',
+       count(*) FILTER (WHERE event_type IS NULL OR event_type = '')::BIGINT FROM events
+UNION ALL
+SELECT 'duplicate_event_id',
+       (count(*) - count(DISTINCT event_id))::BIGINT FROM events
+"""
+
+
 TOP_TERMS_K = 5
 
 
@@ -2875,6 +2912,7 @@ def corpus_queries() -> dict:
         "doc_length_rank": q_doc_length_rank,
         "bm25_rm3": q_bm25_rm3,
         "cluster_representatives": q_cluster_representatives,
+        "events_validation": q_events_validation,
     }
 
 
@@ -2941,6 +2979,7 @@ def corpus_oracle_sql() -> dict:
         "cohort_retention": SQL_COHORT_RETENTION,
         "doc_length_rank": SQL_DOC_LENGTH_RANK,
         "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
+        "events_validation": SQL_EVENTS_VALIDATION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -1,0 +1,135 @@
+"""Data-quality validation report — the contract gate a training pipeline
+runs before ingesting a table.
+
+One streaming pass computes every batch-local rule count (nulls, range
+violations, malformed values) as map-side partials; the one inherently
+GLOBAL rule — key uniqueness — is a distinct-count reduce with map-side
+pre-aggregation (per-batch distinct first, so the shuffle moves ≤ one row
+per (key, batch), the same shape as ``last_row_per_key``).  Output is a
+tiny (rule, n_violations) table the driver can gate on.
+
+Rules are data-driven: each is ``(name, batch_fn)`` where ``batch_fn(table)
+→ int`` counts violations inside one Arrow batch — adding a rule never adds
+a pass.  SQL-oracled per rule (scalar count UNION ALL).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+VALIDATE_BUCKETS = 64
+
+BatchRule = Tuple[str, Callable[[pa.Table], int]]
+
+
+def null_rule(col: str) -> BatchRule:
+    return (f"null_{col}", lambda t: int(t.column(col).null_count))
+
+
+def negative_rule(col: str) -> BatchRule:
+    def fn(t: pa.Table) -> int:
+        return int(
+            pc.sum(
+                pc.less(t.column(col), 0).cast(pa.int64())
+            ).as_py()
+            or 0
+        )
+
+    return (f"negative_{col}", fn)
+
+
+def empty_string_rule(col: str) -> BatchRule:
+    def fn(t: pa.Table) -> int:
+        c = t.column(col)
+        bad = pc.or_kleene(pc.is_null(c), pc.equal(c, ""))
+        return int(pc.sum(bad.cast(pa.int64())).as_py() or 0)
+
+    return (f"empty_{col}", fn)
+
+
+def validation_report(
+    ds: "ray.data.Dataset",
+    rules: List[BatchRule],
+    unique_col: Optional[str] = None,
+    n_buckets: int = VALIDATE_BUCKETS,
+) -> "ray.data.Dataset":
+    """(rule, n_violations) — batch rules in ONE pass; ``unique_col`` adds
+    a ``duplicate_<col>`` rule counting surplus rows (total − distinct),
+    computed as a bucketed distinct reduce."""
+
+    names = [n for n, _ in rules]
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = [int(fn(t)) for _, fn in rules]
+        return pa.table(
+            {
+                "rule": pa.array(names, type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    report = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "rule": t.column("rule"),
+                    "n_violations": t.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    if unique_col is None:
+        return report
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        k = t.column(unique_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (uk.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "k": pa.array(uk, type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def dup_count(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby("k", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "rule": [f"duplicate_{unique_col}"],
+                "n_violations": [int((per_key - 1).clip(lower=0).sum())],
+            }
+        )
+
+    dups = (
+        ds.select_columns([unique_col])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_count, batch_format="pandas")
+        .groupby("rule")
+        .sum("n_violations")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "rule": t.column("rule"),
+                    "n_violations": t.column("sum(n_violations)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return report.union(dups)

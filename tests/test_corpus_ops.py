@@ -1993,6 +1993,43 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_validation_report_planted_violations():
+    from oboyu_ray.stages.validate import (
+        empty_string_rule,
+        negative_rule,
+        null_rule,
+        validation_report,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i % 35,  # 5 duplicate ids
+                "user_id": None if i in (3, 9) else i,
+                "value": -1.5 if i in (1, 2, 4) else float(i),
+                "event_type": "" if i == 5 else ("x" if i != 6 else None),
+            }
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(6)
+    rep = (
+        validation_report(
+            ds,
+            [null_rule("user_id"), negative_rule("value"), empty_string_rule("event_type")],
+            unique_col="event_id",
+        )
+        .to_pandas()
+        .set_index("rule")["n_violations"]
+        .to_dict()
+    )
+    assert rep == {
+        "null_user_id": 2,
+        "negative_value": 3,
+        "empty_event_type": 2,
+        "duplicate_event_id": 5,
+    }
+
+
 def test_export_shards_resume_and_determinism(tmp_path):
     import os
 
