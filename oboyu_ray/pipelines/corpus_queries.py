@@ -1649,6 +1649,16 @@ FROM documents
 """
 
 
+def _q_corpus_build_summary(sf_dir: str) -> pd.DataFrame:
+    """Flagship composed data pipeline: clean → near-dup representative
+    thinning → token-budget packing → resumable sharded export
+    (pipelines/corpus_build.py).  Rows-only (side-effecting composition of
+    individually-oracled stages); determinism + resume pinned in pytest."""
+    from oboyu_ray.pipelines.corpus_build import corpus_build_summary
+
+    return corpus_build_summary(sf_dir)
+
+
 def q_events_validation(sf_dir: str) -> "ray.data.Dataset":
     """Data-quality gate over events: null/range/format rules in ONE
     streaming pass + a bucketed distinct reduce for event_id uniqueness
@@ -2913,6 +2923,7 @@ def corpus_queries() -> dict:
         "bm25_rm3": q_bm25_rm3,
         "cluster_representatives": q_cluster_representatives,
         "events_validation": q_events_validation,
+        "corpus_build_summary": _q_corpus_build_summary,
     }
 
 

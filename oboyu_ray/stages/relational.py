@@ -682,6 +682,17 @@ def hash_join(
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
 
+    def _restore_int_dtypes(frame: pd.DataFrame, cols, types) -> pd.DataFrame:
+        # the union's typed-null padding turns int64 columns float64 inside
+        # pandas bucket blocks; rows that survive a given mode can't carry
+        # join-introduced NaN in these columns, so the cast back to the
+        # declared schema dtype is always safe (and DETERMINISTIC — never
+        # data-dependent, or downstream unions would see mixed block types)
+        for c in cols:
+            if pa.types.is_integer(types[c]) and frame[c].dtype != np.int64:
+                frame = frame.assign(**{c: frame[c].astype(np.int64)})
+        return frame
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         is_l = g["side"].to_numpy() == 0
         lf = g.loc[is_l, lcols]
@@ -689,8 +700,13 @@ def hash_join(
         if how in ("semi", "anti"):
             hit = lf[left_on].isin(rf[right_on].to_numpy())
             keep = hit if how == "semi" else ~hit
-            return lf.loc[keep].reset_index(drop=True)
+            return _restore_int_dtypes(
+                lf.loc[keep].reset_index(drop=True), lcols, ltypes
+            )
         out = lf.merge(rf, left_on=left_on, right_on=right_on, how=how)
+        out = _restore_int_dtypes(out, lcols, ltypes) if how != "outer" else out
+        if how == "inner":
+            out = _restore_int_dtypes(out, rcols, rtypes)
         return out.reset_index(drop=True)
 
     return unioned.groupby("jb").map_groups(merge, batch_format="pandas")

@@ -1993,6 +1993,41 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_build_corpus_end_to_end(tmp_path):
+    import os
+
+    from oboyu_ray.pipelines.corpus_build import build_corpus
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = str(tmp_path / "corpus")
+    man = build_corpus(docs, out, n_shards=8)
+    # funnel sanity: every stage only removes rows
+    assert man["n_input"] == 500
+    assert 0 < man["n_clean"] <= man["n_input"]
+    assert man["n_exported"] == man["n_clean"] - man["n_neardup_dropped"]
+    assert man["n_neardup_dropped"] > 0  # sf0.01 has planted near-dups
+    assert man["n_bins"] > 0
+    assert sorted(man["rewritten_shards"]) == list(range(8))
+    # resume: a second call rewrites nothing
+    man2 = build_corpus(docs, out, n_shards=8)
+    assert man2["rewritten_shards"] == []
+    assert man2["n_exported"] == man["n_exported"]
+    # exported rows carry (doc_id, text, n_words, bin) exactly once each
+    import pyarrow.parquet as pq_
+
+    tables = []
+    for name in os.listdir(out):
+        d = os.path.join(out, name)
+        if name.startswith("shard=") and os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    tables.append(pq_.read_table(os.path.join(d, f)))
+    t = pa.concat_tables(tables, promote_options="default")
+    assert t.num_rows == man["n_exported"]
+    assert {"doc_id", "text", "n_words", "bin"} <= set(t.schema.names)
+    assert len(set(t.column("doc_id").to_pylist())) == t.num_rows
+
+
 def test_validation_report_planted_violations():
     from oboyu_ray.stages.validate import (
         empty_string_rule,
