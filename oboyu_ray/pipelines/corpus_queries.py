@@ -1649,6 +1649,47 @@ FROM documents
 """
 
 
+def q_session_paths(sf_dir: str) -> "ray.data.Dataset":
+    """Top-20 in-session event-type trigram paths (path mining): user-
+    bucketed cogroup, factorized combo ids, bounded global reduce."""
+    from oboyu_ray.stages.sessionize import session_paths
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return session_paths(ev)
+
+
+SQL_SESSION_PATHS = """
+WITH w AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER s IS NULL
+                  OR ts - lag(ts) OVER s > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW s AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+x AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM w
+),
+t AS (
+    SELECT event_type || '>' || lead(event_type, 1) OVER p
+                      || '>' || lead(event_type, 2) OVER p AS path
+    FROM x WINDOW p AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+),
+agg AS (
+    SELECT path, count(*)::BIGINT AS n FROM t WHERE path IS NOT NULL GROUP BY 1
+)
+SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC)::BIGINT AS rank
+FROM agg
+ORDER BY rank LIMIT 20
+"""
+
+
 def _q_corpus_build_summary(sf_dir: str) -> pd.DataFrame:
     """Flagship composed data pipeline: clean → near-dup representative
     thinning → token-budget packing → resumable sharded export
@@ -2924,6 +2965,7 @@ def corpus_queries() -> dict:
         "cluster_representatives": q_cluster_representatives,
         "events_validation": q_events_validation,
         "corpus_build_summary": _q_corpus_build_summary,
+        "session_paths": q_session_paths,
     }
 
 
@@ -2991,6 +3033,7 @@ def corpus_oracle_sql() -> dict:
         "doc_length_rank": SQL_DOC_LENGTH_RANK,
         "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
         "events_validation": SQL_EVENTS_VALIDATION,
+        "session_paths": SQL_SESSION_PATHS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -1993,6 +1993,30 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_session_paths_break_mid_triple():
+    from oboyu_ray.stages.sessionize import session_paths
+
+    MIN = 60_000_000  # 1 minute in us
+
+    def ev(uid, t_min, eid, et):
+        return {"user_id": uid, "ts": pd.Timestamp(t_min * MIN * 1000), "event_id": eid,
+                "event_type": et}
+
+    rows = [
+        # user 1, session 1: a b c d → paths a>b>c, b>c>d
+        ev(1, 0, 1, "a"), ev(1, 1, 2, "b"), ev(1, 2, 3, "c"), ev(1, 3, 4, "d"),
+        # 31-minute gap → session 2: a b c → a>b>c again
+        ev(1, 40, 5, "a"), ev(1, 41, 6, "b"), ev(1, 42, 7, "c"),
+        # user 2: only two events — no triple
+        ev(2, 0, 8, "a"), ev(2, 1, 9, "b"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = session_paths(ds).to_pandas()
+    assert list(got["path"]) == ["a>b>c", "b>c>d"]
+    assert list(got["n"]) == [2, 1]
+    assert list(got["rank"]) == [1, 2]
+
+
 def test_build_corpus_end_to_end(tmp_path):
     import os
 
