@@ -447,6 +447,38 @@ def q_simsearch_mmr(sf_dir: str) -> pd.DataFrame:
     )
 
 
+KNN_CLASSIFY_K = 10
+
+
+def q_knn_classify(sf_dir: str) -> "ray.data.Dataset":
+    """kNN auto-labeling: majority label of the 10 nearest reference
+    vectors (broadcast labeled set, self excluded; stages/simsearch.
+    knn_classify)."""
+    from oboyu_ray.stages.simsearch import knn_classify
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return knn_classify(embs, k=KNN_CLASSIFY_K)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+s AS (
+    SELECT a.vec_id AS q, b.vec_id AS r, b.label,
+           CAST(floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) AS BIGINT) AS cm
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+nn AS (
+    SELECT q, r, label FROM s
+    QUALIFY row_number() OVER (PARTITION BY q ORDER BY cm DESC, r ASC) <= {KNN_CLASSIFY_K}
+),
+votes AS (SELECT q, label, count(*)::BIGINT AS n FROM nn GROUP BY 1, 2)
+SELECT q AS vec_id, label::BIGINT AS predicted_label, n AS n_votes FROM votes
+QUALIFY row_number() OVER (PARTITION BY q ORDER BY n DESC, label ASC) = 1
+"""
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.sessionize import sessionize
 
@@ -2966,6 +2998,7 @@ def corpus_queries() -> dict:
         "events_validation": q_events_validation,
         "corpus_build_summary": _q_corpus_build_summary,
         "session_paths": q_session_paths,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -3034,6 +3067,7 @@ def corpus_oracle_sql() -> dict:
         "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
         "events_validation": SQL_EVENTS_VALIDATION,
         "session_paths": SQL_SESSION_PATHS,
+        "knn_classify": SQL_KNN_CLASSIFY,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

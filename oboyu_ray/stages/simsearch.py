@@ -322,6 +322,90 @@ def lsh_cosine_topk(
     return _rank_and_cut(cand, k)
 
 
+# ---------------------------------------------------------------- kNN classify
+
+KNN_K = 10
+
+
+def knn_classify(
+    ds: "ray.data.Dataset",
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ref: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+) -> "ray.data.Dataset":
+    """kNN label classification (auto-labeling): each vector gets the
+    majority label of its ``k`` nearest reference vectors by cosine
+    (self-matches excluded), ties broken (count DESC, label ASC); neighbor
+    selection ties break (cos_micros DESC, ref id ASC).
+
+    The labeled REFERENCE set is the broadcast small side (``ray.put``
+    once, read per task — auto-labeling streams through a bounded labeled
+    set; here the embeddings table classifies itself).  Beyond
+    memory-sized references, route through the persisted IVF index
+    (state/vector_index.py) instead — this operator is the broadcast-exact
+    tier.  Output: (vec_id, predicted_label, n_votes), SQL-oracled.
+    """
+    from oboyu_ray.stages.relational import _topk_mask
+
+    if ref is None:
+        t = pa.concat_tables(
+            b for b in ray.get(
+                ds.select_columns([id_col, vec_col, label_col]).to_arrow_refs()
+            )
+            if b.num_columns
+        )
+        rid = t.column(id_col).to_numpy().astype(np.int64)
+        rmat = _normalize_rows(vec_matrix(t.column(vec_col)))
+        rlab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        rid, rmat, rlab = ref
+    # factorize labels once: sorted uniques make "label ASC" the same as
+    # "code ASC", and votes index a dense (n, n_labels) matrix regardless
+    # of the label values themselves
+    ulab, lcode = np.unique(rlab, return_inverse=True)
+    rref = ray.put((rid, rmat, ulab, lcode.astype(np.int64)))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        r_id, r_mat, u_lab, l_code = ray.get(rref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = _normalize_rows(vec_matrix(batch.column(vec_col)))
+        n, m = len(bids), len(r_id)
+        S = micros(bm @ r_mat.T)  # (n, m)
+        # exclude self-matches by id.  Sentinel is min+1, NOT int64 min:
+        # _topk_mask ranks by np.lexsort on -val, and -int64.min silently
+        # overflows back to int64.min — which would rank the excluded entry
+        # FIRST instead of last
+        S[bids[:, None] == r_id[None, :]] = np.iinfo(np.int64).min + 1
+        # deterministic per-row top-k: reuse the grouped top-k mask with
+        # grp = row index (ties → smaller ref id)
+        grp = np.repeat(np.arange(n, dtype=np.int64), m)
+        key = np.tile(r_id, n)
+        mask = _topk_mask(grp, key, S.ravel(), k).reshape(n, m)
+        # majority vote over label codes; winner by (count DESC, label ASC)
+        L = len(u_lab)
+        counts = np.zeros((n, L), dtype=np.int64)
+        rows, cols = np.nonzero(mask)
+        np.add.at(counts, (rows, l_code[cols]), 1)
+        score = counts * np.int64(L + 1) + (np.int64(L) - np.arange(L, dtype=np.int64))
+        score[counts == 0] = np.iinfo(np.int64).min
+        win = np.argmax(score, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(bids, type=pa.int64()),
+                "predicted_label": pa.array(u_lab[win].astype(np.int64), type=pa.int64()),
+                "n_votes": pa.array(
+                    counts[np.arange(n), win].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------- MMR
 
 MMR_LAMBDA_MICROS = 700_000  # λ = 0.7: relevance weight vs diversity
@@ -392,9 +476,10 @@ def mmr_topk(
         avail = np.ones(n, dtype=bool)
         for step in range(min(k, n)):
             score = lam * rel - (one_minus * maxsim if picked else 0)
-            score[~avail] = np.iinfo(np.int64).min
-            order = np.lexsort((ids_q, -score))
-            best = order[0]
+            # rank only the AVAILABLE candidates — a -int64.min sentinel
+            # would overflow under lexsort's negation and rank FIRST
+            pool = np.flatnonzero(avail)
+            best = pool[np.lexsort((ids_q[pool], -score[pool]))[0]]
             picked.append(best)
             avail[best] = False
             maxsim = np.maximum(maxsim, S[best])

@@ -1993,6 +1993,29 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_knn_classify_planted_clusters():
+    from oboyu_ray.stages.simsearch import knn_classify
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # two tight clusters around orthogonal axes with labels 7 and 3
+    for i in range(30):
+        base = np.zeros(8)
+        if i < 15:
+            base[0] = 1.0
+            lab = 7
+        else:
+            base[1] = 1.0
+            lab = 3
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": lab})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = knn_classify(ds, k=5).to_pandas().sort_values("vec_id")
+    # every vector is labeled by its own cluster, never by itself
+    assert list(got["predicted_label"]) == [7] * 15 + [3] * 15
+    assert (got["n_votes"] == 5).all()
+
+
 def test_session_paths_break_mid_triple():
     from oboyu_ray.stages.sessionize import session_paths
 
@@ -2216,14 +2239,17 @@ def test_mmr_matches_scalar_reference(entrymod):
         expect = []
         for step in range(10):
             sc = lam * rel - (om * maxsim if picked else 0)
-            sc[~avail] = np.iinfo(np.int64).min
-            b = np.lexsort((cids, -sc))[0]
+            cand = np.flatnonzero(avail)
+            b = cand[np.lexsort((cids[cand], -sc[cand]))[0]]
             picked.append(b)
             avail[b] = False
             maxsim = np.maximum(maxsim, S[b])
             expect.append((q, int(cids[b]), int(sc[b] // 1_000_000), step + 1))
         sub = got[got["query_id"] == q].reset_index(drop=True)
         assert list(map(tuple, sub.to_numpy())) == expect
+        # each pick is a DISTINCT vector (regression: an int64-min sentinel
+        # under lexsort negation overflowed and re-picked the same row)
+        assert sub["vec_id"].nunique() == 10
     # rank 1 is the pure-relevance top hit (the query's own vector)
     r1 = got[got["rank"] == 1]
     assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
