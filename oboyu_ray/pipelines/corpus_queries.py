@@ -1371,6 +1371,32 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_next_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """Forward as-of self-join: each event's NEXT same-user purchase
+    (strictly after in (ts, event_id)); the time-to-conversion feature."""
+    from oboyu_ray.stages.relational import next_event_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return next_event_join(ev, match_type="purchase")
+
+
+SQL_NEXT_PURCHASE = """
+SELECT e.event_id, e.user_id,
+       coalesce(p.id, -1)::BIGINT AS next_id,
+       coalesce(p.gap, -1)::BIGINT AS gap_us
+FROM events e LEFT JOIN LATERAL (
+    SELECT p.event_id AS id, epoch_us(p.ts) - epoch_us(e.ts) AS gap
+    FROM events p
+    WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+    ORDER BY p.ts ASC, p.event_id ASC LIMIT 1
+) p ON TRUE
+"""
+
+
 def q_interval_join(sf_dir: str) -> "ray.data.Dataset":
     """Keyed range join (event → ALL of the user's orders inside a window
     reaching back into the orders era; both bounds bind, a strict subset
@@ -2999,6 +3025,7 @@ def corpus_queries() -> dict:
         "corpus_build_summary": _q_corpus_build_summary,
         "session_paths": q_session_paths,
         "knn_classify": q_knn_classify,
+        "next_purchase": q_next_purchase,
     }
 
 
@@ -3068,6 +3095,7 @@ def corpus_oracle_sql() -> dict:
         "events_validation": SQL_EVENTS_VALIDATION,
         "session_paths": SQL_SESSION_PATHS,
         "knn_classify": SQL_KNN_CLASSIFY,
+        "next_purchase": SQL_NEXT_PURCHASE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -447,6 +447,86 @@ def interval_join(
 
 # ---------------------------------------------------------------- top-k per group
 
+def next_event_join(
+    events: "ray.data.Dataset",
+    match_type: str = "purchase",
+    n_buckets: int = ASOF_BUCKETS,
+) -> "ray.data.Dataset":
+    """FORWARD as-of self-join: for every event, the same user's NEXT event
+    of ``match_type`` strictly after it — (ts, event_id) lexicographic
+    "after", so ts ties are well-defined and a purchase never matches
+    itself.  The time-to-conversion feature extractor.
+
+    Same bucketed-cogroup shape as the backward ``asof_join``, scanned in
+    DESCENDING (ts, id) order: match rows accumulate via one
+    maximum.accumulate ffill, so "last accumulated" = the minimal
+    admissible (ts, id) — the next match.  Output: (event_id, user_id,
+    next_id, gap_us) with -1 sentinels for events with no later match.
+    """
+
+    def rows(t: pa.Table) -> "pa.Table":
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        rid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        is_match = (et == match_type).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "user": pa.array(u, type=pa.int64()),
+                "rid": pa.array(rid, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "is_match": pa.array(is_match, type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def bucket_next(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user"].to_numpy(dtype=np.int64)
+        time_ = g["ts_us"].to_numpy(dtype=np.int64)
+        rid = g["rid"].to_numpy(dtype=np.int64)
+        is_m = g["is_match"].to_numpy(dtype=np.int64) == 1
+        n = len(user)
+        # every row is a LEFT row; match rows additionally act as RIGHT
+        # rows.  Descending (ts, id) scan: a match accumulated BEFORE row i
+        # is strictly after i in (ts, id) — including the self row, which
+        # is its own left copy and only enters the accumulator after being
+        # answered (tie column orders the probe before the accumulate at
+        # identical sort keys is unnecessary: each row is one physical row;
+        # we answer with the accumulator state EXCLUDING the current row by
+        # shifting the ffill by one).
+        order = np.lexsort((-rid, -time_, user))
+        u_s = user[order]
+        m_s = is_m[order]
+        pos = np.where(m_s, np.arange(n), -1)
+        last_incl = np.maximum.accumulate(pos)
+        # exclude the current row from its own answer: shift within the scan
+        last = np.concatenate(([-1], last_incl[:-1]))
+        # user-run boundaries reset implicitly via the same-user check below
+        carry = last
+        ok = carry >= 0
+        ok[ok] &= u_s[carry[ok]] == u_s[ok]
+        src = order[np.maximum(carry, 0)]
+        out = pd.DataFrame(
+            {
+                "event_id": rid[order],
+                "user_id": u_s,
+                "next_id": np.where(ok, rid[src], -1),
+                "gap_us": np.where(ok, time_[src] - time_[order], -1),
+            }
+        )
+        return out
+
+    return (
+        events.map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_next, batch_format="pandas")
+    )
+
+
 def topk_per_group(
     ds: "ray.data.Dataset",
     group_col: str,

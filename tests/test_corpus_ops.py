@@ -1993,6 +1993,35 @@ def test_pq_codes_are_compact(tmp_path):
     assert code_type.value_type == pa.uint8()
 
 
+def test_next_event_join_self_and_ties():
+    from oboyu_ray.stages.relational import next_event_join
+
+    MIN = 60_000_000
+
+    def ev(uid, t_min, eid, et):
+        return {"user_id": uid, "ts": pd.Timestamp(t_min * MIN * 1000),
+                "event_id": eid, "event_type": et}
+
+    rows = [
+        ev(1, 0, 1, "view"),       # → purchase 3
+        ev(1, 1, 3, "purchase"),   # → purchase 4 (same ts, larger id)
+        ev(1, 1, 4, "purchase"),   # → purchase 9
+        ev(1, 5, 9, "purchase"),   # → none (-1)
+        ev(2, 0, 2, "view"),       # user 2 never purchases → -1
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    got = (
+        next_event_join(ds, match_type="purchase")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = {1: 3, 3: 4, 4: 9, 9: -1, 2: -1}
+    assert {int(e): int(n) for e, n in zip(got["event_id"], got["next_id"])} == expect
+    gaps = {int(e): int(g) for e, g in zip(got["event_id"], got["gap_us"])}
+    assert gaps[3] == 0 and gaps[1] == MIN and gaps[4] == 4 * MIN
+
+
 def test_knn_classify_planted_clusters():
     from oboyu_ray.stages.simsearch import knn_classify
 
