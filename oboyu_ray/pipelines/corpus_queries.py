@@ -2939,6 +2939,133 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
 """
 
 
+def q_events_json_stats(sf_dir: str) -> "pd.DataFrame":
+    """Semi-structured extraction at scale: pull the integer field ``k`` out
+    of the flat-JSON ``props`` column with ONE vectorized RE2 kernel call per
+    batch (no per-row json.loads), then per-event-type row count, sum, and
+    EXACT distinct-value count.  The only shuffle moves one row per distinct
+    (event_type, k) pair per batch (map-side group_by partials)."""
+    from oboyu_ray.stages import trainprep
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return trainprep.json_grouped_stats(ds, "event_type", "props", "k")
+
+
+SQL_EVENTS_JSON_STATS = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0)::BIGINT
+           AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+           AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+PRICING_CUTOFF = "2000-01-01"
+
+
+def q_pricing_summary(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q1-shaped pricing summary: filter at the scan, per-row
+    fixed-point money math (micros), in-batch group_by partials, driver fold
+    over the bounded (returnflag × linestatus) key space — zero all-to-all
+    shuffles for a 6-row result."""
+    from oboyu_ray.fixedpoint import micros
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64(PRICING_CUTOFF, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ship.astype("datetime64[us]") <= cutoff))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "base_micros": pa.array([], pa.int64()),
+                    "disc_micros": pa.array([], pa.int64()),
+                    "charge_micros": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": pa.array(qty.astype(np.int64)),
+                "base_micros": pa.array(micros(price)),
+                "disc_micros": pa.array(micros(price * (1.0 - disc))),
+                "charge_micros": pa.array(
+                    micros(price * (1.0 - disc) * (1.0 + tax))
+                ),
+                "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"), ("base_micros", "sum"),
+                ("disc_micros", "sum"), ("charge_micros", "sum"),
+                ("n_items", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("sum_qty_sum"),
+                "base_micros": g.column("base_micros_sum"),
+                "disc_micros": g.column("disc_micros_sum"),
+                "charge_micros": g.column("charge_micros_sum"),
+                "n_items": g.column("n_items_sum"),
+            }
+        )
+
+    cols = ["sum_qty", "base_micros", "disc_micros", "charge_micros", "n_items"]
+    parts = [
+        b.to_pandas()
+        for b in li.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)[cols]
+        .sum()
+    )
+    return out.astype({c: "int64" for c in cols})
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS base_micros,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                AS BIGINT))::BIGINT AS disc_micros,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1e6
+                      + 0.5) AS BIGINT))::BIGINT AS charge_micros,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3026,6 +3153,8 @@ def corpus_queries() -> dict:
         "session_paths": q_session_paths,
         "knn_classify": q_knn_classify,
         "next_purchase": q_next_purchase,
+        "events_json_stats": q_events_json_stats,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -3096,6 +3225,8 @@ def corpus_oracle_sql() -> dict:
         "session_paths": SQL_SESSION_PATHS,
         "knn_classify": SQL_KNN_CLASSIFY,
         "next_purchase": SQL_NEXT_PURCHASE,
+        "events_json_stats": SQL_EVENTS_JSON_STATS,
+        "pricing_summary": SQL_PRICING_SUMMARY,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -121,3 +121,61 @@ def test_quantile_sketch_rank_bound_property(values, n_parts):
             assert err == 0  # no compaction ever fired → exact
         else:
             assert err <= max(0.1 * n, 1.0), (q, est, target, lo, hi)
+
+
+# ------------------------------------------------------ flat-JSON extraction
+
+# scalar JSON values whose serialized form round-trips the fast path: no
+# escape-needing characters in strings (documented kernel limit)
+_JSON_SCALARS = st.one_of(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            blacklist_characters='"\\', blacklist_categories=("Cs", "Cc")
+        ),
+        max_size=15,
+    ),
+)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from(["k", "j", "x-y"]), _JSON_SCALARS, max_size=3
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_json_field_matches_json_loads_reference(objs):
+    import json
+
+    rows = [None if o is None else json.dumps(o, ensure_ascii=False) for o in objs]
+    got = tp.json_field(pa.array(rows, pa.string()), "k").to_pylist()
+    for o, g in zip(objs, got):
+        if o is None or "k" not in o or o["k"] is None:
+            assert g is None
+        elif isinstance(o["k"], bool):
+            assert g == ("true" if o["k"] else "false")
+        elif isinstance(o["k"], int):
+            assert g == str(o["k"])
+        else:
+            assert g == o["k"]
+
+
+def test_json_field_edge_cases():
+    a = pa.array(
+        ['{"k": 69}', '{"j": 1}', '{"k": null}', '{"k": ""}', '{"k": "a b"}', None,
+         '{"k":-3}', 'not json at all'],
+        pa.string(),
+    )
+    assert tp.json_field(a, "k").to_pylist() == [
+        "69", None, None, "", "a b", None, "-3", None,
+    ]
+    assert tp.json_int_field(pa.array(['{"k": 7}', '{"j": 1}']), "k").to_pylist() == [7, None]
