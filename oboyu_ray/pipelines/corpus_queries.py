@@ -3066,6 +3066,168 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _event_users(sf_dir: str, event_type: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).filter(expr=f'event_type == "{event_type}"')
+
+
+HIGH_VALUE = 90.0
+
+
+def q_highvalue_no_error(sf_dir: str) -> "ray.data.Dataset":
+    """ANSI EXCEPT DISTINCT as a distributed operator: users who had a
+    high-value event but never a high-value ERROR event.  One shuffle moving
+    ≤1 row per distinct key per batch per side (in-batch distinct partials,
+    indicator max-fold inside ``set_op``)."""
+    from oboyu_ray.stages.relational import set_op
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def high(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("value"), HIGH_VALUE))
+
+    def high_err(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater(t.column("value"), HIGH_VALUE),
+                pc.equal(t.column("event_type"), "error"),
+            )
+        )
+
+    return set_op(
+        ev.map_batches(high, batch_format="pyarrow"),
+        ev.map_batches(high_err, batch_format="pyarrow"),
+        on="user_id", how="except",
+    )
+
+
+SQL_HIGHVALUE_NO_ERROR = f"""
+SELECT user_id FROM events WHERE value > {HIGH_VALUE}
+EXCEPT
+SELECT user_id FROM events WHERE value > {HIGH_VALUE} AND event_type = 'error'
+"""
+
+
+def q_viewers_also_purchasing(sf_dir: str) -> "ray.data.Dataset":
+    """ANSI INTERSECT DISTINCT over the same shape."""
+    from oboyu_ray.stages.relational import set_op
+
+    return set_op(
+        _event_users(sf_dir, "view"), _event_users(sf_dir, "purchase"),
+        on="user_id", how="intersect",
+    )
+
+
+SQL_VIEWERS_ALSO_PURCHASING = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+SHIPPING_CUTOFF = "1997-01-01"
+
+
+def q_shipping_priority(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q3-shaped composition: segment-filtered customers SEMI-join
+    orders, revenue lineitems INNER-join the surviving orders (both joins
+    are the bucketed large-large shuffle join), one grouped-sum shuffle on
+    the order key, then per-block local top-10 partials merged on the
+    driver.  Filters are applied at the scan (column-pruned reads +
+    predicate before any join), revenue is fixed-point micros per row and
+    pre-combined per (l_orderkey) inside each batch before the join."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    cutoff = np.datetime64(SHIPPING_CUTOFF, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr='c_mktsegment == "BUILDING"').map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey")}),
+        batch_format="pyarrow",
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(od.astype("datetime64[us]") < cutoff))
+
+    orders = hash_join(
+        orders.map_batches(ofilter, batch_format="pyarrow"), cust,
+        "o_custkey", "c_custkey", how="semi",
+    ).map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def lrev(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ship.astype("datetime64[us]") > cutoff))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        pre = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": pa.array(micros(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+        g = pre.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey"), "rev": g.column("rev_sum")}
+        )
+
+    joined = hash_join(
+        li.map_batches(lrev, batch_format="pyarrow"), orders,
+        "l_orderkey", "o_orderkey",
+    )
+
+    def top10(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(
+            ["revenue_micros", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    grouped = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .sum("rev")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(rev)": "revenue_micros"}),
+            batch_format="pandas",
+        )
+        .map_batches(top10, batch_format="pandas")
+    )
+    parts = [b for b in grouped.iter_batches(batch_format="pandas")]
+    out = top10(pd.concat(parts, ignore_index=True)).reset_index(drop=True)
+    return out.astype({"revenue_micros": "int64", "l_orderkey": "int64"})
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_micros
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{SHIPPING_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{SHIPPING_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micros DESC, l_orderkey
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3155,6 +3317,9 @@ def corpus_queries() -> dict:
         "next_purchase": q_next_purchase,
         "events_json_stats": q_events_json_stats,
         "pricing_summary": q_pricing_summary,
+        "highvalue_no_error": q_highvalue_no_error,
+        "viewers_also_purchasing": q_viewers_also_purchasing,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -3227,6 +3392,9 @@ def corpus_oracle_sql() -> dict:
         "next_purchase": SQL_NEXT_PURCHASE,
         "events_json_stats": SQL_EVENTS_JSON_STATS,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "highvalue_no_error": SQL_HIGHVALUE_NO_ERROR,
+        "viewers_also_purchasing": SQL_VIEWERS_ALSO_PURCHASING,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

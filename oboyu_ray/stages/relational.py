@@ -1011,3 +1011,63 @@ def topk_per_group_str(
             batch_format="pandas",
         )
     )
+
+
+# ------------------------------------------------------------------ set ops
+
+def set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    how: str = "except",
+) -> "ray.data.Dataset":
+    """Distinct set operations on a key column: ``intersect`` / ``except`` /
+    ``union`` (all DISTINCT, ANSI set-op semantics — the relational shapes
+    the reference has no counterpart for; SURVEY §2.7 notes the gap).
+
+    Shape: each side is projected to its key + a side-indicator pair, the
+    in-batch ``group_by`` collapses a batch to its distinct keys before
+    anything moves, and ONE Ray groupby over the union co-locates equal keys
+    and max-folds the indicators.  The shuffle moves at most one row per
+    distinct key per batch per side; no driver materialization — the result
+    streams out as a Dataset of distinct keys."""
+    if how not in ("intersect", "except", "union"):
+        raise ValueError(f"set_op: unknown how={how!r}")
+
+    def tag(side: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table({on: t.column(on)})
+                .group_by(on)
+                .aggregate([])
+            )
+            n = g.num_rows
+            return pa.table(
+                {
+                    on: g.column(on),
+                    "in_l": pa.array(
+                        np.full(n, 1 - side, dtype=np.int64)
+                    ),
+                    "in_r": pa.array(np.full(n, side, dtype=np.int64)),
+                }
+            )
+
+        return _tag
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    folded = both.groupby(on).max(["in_l", "in_r"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        in_l = t.column("max(in_l)")
+        in_r = t.column("max(in_r)")
+        if how == "intersect":
+            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 1))
+        elif how == "except":
+            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 0))
+        else:  # union distinct: every folded key survives
+            keep = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table({on: t.column(on).filter(keep)})
+
+    return folded.map_batches(pick, batch_format="pyarrow")

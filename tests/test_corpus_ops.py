@@ -2397,3 +2397,35 @@ def test_last_row_per_key_cross_batch_ties():
     assert list(got["key"]) == [1, 2]
     assert list(got["id"]) == [3, 4]
     assert list(got["event_type"]) == ["c", "d"]
+
+
+def test_set_op_matches_python_sets():
+    from oboyu_ray.stages.relational import set_op
+
+    rng = np.random.default_rng(7)
+    left = [f"k{int(x)}" for x in rng.integers(0, 40, 300)]
+    right = [f"k{int(x)}" for x in rng.integers(20, 60, 300)]
+    lds = ray.data.from_pandas(pd.DataFrame({"key": left})).repartition(5)
+    rds = ray.data.from_pandas(pd.DataFrame({"key": right})).repartition(3)
+    ls, rs = set(left), set(right)
+    expect = {
+        "intersect": ls & rs,
+        "except": ls - rs,
+        "union": ls | rs,
+    }
+    for how, want in expect.items():
+        got = set(
+            set_op(lds, rds, on="key", how=how).to_pandas()["key"].tolist()
+        )
+        assert got == want, how
+    with pytest.raises(ValueError):
+        set_op(lds, rds, on="key", how="xor")
+
+
+def test_set_op_int_keys_distinct_output():
+    from oboyu_ray.stages.relational import set_op
+
+    lds = ray.data.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3, 3, 3]}))
+    rds = ray.data.from_pandas(pd.DataFrame({"k": [3, 4]}))
+    out = set_op(lds, rds, on="k", how="union").to_pandas()["k"].tolist()
+    assert sorted(out) == [1, 2, 3, 4]  # distinct, ANSI UNION semantics
