@@ -3228,6 +3228,35 @@ LIMIT 10
 """
 
 
+def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-event gap stats (count / total / max gap in integer
+    microseconds) — the lag-window aggregate shape.  ONE user-bucketed
+    cogroup; gaps are not mergeable across partial runs, so this is the
+    minimal-shuffle exact plan."""
+    from oboyu_ray.stages.window import event_gap_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return event_gap_stats(ev, "user_id", "ts", "event_id")
+
+
+SQL_USER_EVENT_GAPS = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(gap_us)::BIGINT AS n_gaps,
+       sum(gap_us)::BIGINT AS sum_gap_us,
+       max(gap_us)::BIGINT AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3320,6 +3349,7 @@ def corpus_queries() -> dict:
         "highvalue_no_error": q_highvalue_no_error,
         "viewers_also_purchasing": q_viewers_also_purchasing,
         "shipping_priority": q_shipping_priority,
+        "user_event_gaps": q_user_event_gaps,
     }
 
 
@@ -3395,6 +3425,7 @@ def corpus_oracle_sql() -> dict:
         "highvalue_no_error": SQL_HIGHVALUE_NO_ERROR,
         "viewers_also_purchasing": SQL_VIEWERS_ALSO_PURCHASING,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "user_event_gaps": SQL_USER_EVENT_GAPS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -415,3 +415,83 @@ def last_row_per_key(
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def event_gap_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    n_buckets: int = WINDOW_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key inter-event gap statistics: number of gaps, total gap, and
+    maximum gap in integer MICROSECONDS (keys with fewer than two events
+    yield no row — SQL ``lag`` null semantics).
+
+    Gaps are consecutive-pair differences of the (ts, id)-ordered stream, so
+    partial per-batch runs can NOT be merged (the merge interleaves unseen
+    pairs) — the honest distributed shape is ONE hash-bucketed cogroup on
+    the key, a local lexsort per bucket, and a vectorized diff with
+    key-boundary masking.  Per-user order never needs cross-user order, so
+    this is exactly the per-node layout a 256-node cluster wants."""
+
+    def route(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "key": pa.array(key, type=pa.int64()),
+                "ts_i": pa.array(_ts_int64(t.column(ts_col)), type=pa.int64()),
+                "id": pa.array(
+                    t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        ts = g["ts_i"].to_numpy(dtype=np.int64)
+        rid = g["id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, ts, key))
+        key_s, ts_s = key[order], ts[order]
+        same = key_s[1:] == key_s[:-1]          # consecutive pair stays in-key
+        gap = (ts_s[1:] - ts_s[:-1])[same]
+        gkey = key_s[1:][same]
+        if len(gkey) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "sum_gap_us": pd.Series([], dtype=np.int64),
+                    "max_gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        new = np.r_[True, gkey[1:] != gkey[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(gkey)])
+        csum = np.cumsum(gap)
+        tot = csum[starts + counts - 1] - np.where(starts > 0, csum[starts - 1], 0)
+        mx = np.maximum.reduceat(gap, starts)
+        return pd.DataFrame(
+            {
+                "key": gkey[starts],
+                "n_gaps": counts.astype(np.int64),
+                "sum_gap_us": tot.astype(np.int64),
+                "max_gap_us": mx.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, id_col])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .map_batches(
+            lambda df: df.rename(columns={"key": key_col}).drop(
+                columns=[c for c in ("bucket",) if c in df.columns]
+            ),
+            batch_format="pandas",
+        )
+    )

@@ -2429,3 +2429,42 @@ def test_set_op_int_keys_distinct_output():
     rds = ray.data.from_pandas(pd.DataFrame({"k": [3, 4]}))
     out = set_op(lds, rds, on="k", how="union").to_pandas()["k"].tolist()
     assert sorted(out) == [1, 2, 3, 4]  # distinct, ANSI UNION semantics
+
+
+def test_event_gap_stats_cross_partition_matches_pandas():
+    from oboyu_ray.stages.window import event_gap_stats
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 9, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # single-event user must yield no row
+    df = pd.concat(
+        [df, pd.DataFrame({"user_id": [99], "ts": [pd.Timestamp("2030-01-01")],
+                           "event_id": [n]})],
+        ignore_index=True,
+    )
+    got = (
+        event_gap_stats(
+            ray.data.from_pandas(df).repartition(7), "user_id", "ts", "event_id"
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].astype("datetime64[us]").astype("int64").diff().dropna()
+        if len(gap):
+            ref_rows.append((uid, len(gap), int(gap.sum()), int(gap.max())))
+    ref = pd.DataFrame(
+        ref_rows, columns=["user_id", "n_gaps", "sum_gap_us", "max_gap_us"]
+    ).astype("int64").sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[ref.columns].astype("int64"), ref)
+    assert 99 not in got["user_id"].tolist()
