@@ -3257,6 +3257,79 @@ GROUP BY user_id
 """
 
 
+def q_events_weekday_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Long → wide crosstab: per event_type, counts per day-of-week as seven
+    int64 columns (DuckDB dayofweek convention, Sunday = 0).  Bounded
+    explicit column set; one (row, col)-pair shuffle."""
+    from oboyu_ray.stages.relational import pivot_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def add_dow(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # epoch day 0 (1970-01-01) was a Thursday; Sunday-0 ⇒ +4 offset
+        dow = (us // 86_400_000_000 + 4) % 7
+        return pa.table(
+            {"event_type": t.column("event_type"), "dow": pa.array(dow, pa.int64())}
+        )
+
+    return pivot_counts(
+        ev.map_batches(add_dow, batch_format="pyarrow"),
+        "event_type", "dow", list(range(7)),
+    )
+
+
+SQL_EVENTS_WEEKDAY_PIVOT = """
+SELECT event_type,
+       count(*) FILTER (dayofweek(ts) = 0)::BIGINT AS dow_0,
+       count(*) FILTER (dayofweek(ts) = 1)::BIGINT AS dow_1,
+       count(*) FILTER (dayofweek(ts) = 2)::BIGINT AS dow_2,
+       count(*) FILTER (dayofweek(ts) = 3)::BIGINT AS dow_3,
+       count(*) FILTER (dayofweek(ts) = 4)::BIGINT AS dow_4,
+       count(*) FILTER (dayofweek(ts) = 5)::BIGINT AS dow_5,
+       count(*) FILTER (dayofweek(ts) = 6)::BIGINT AS dow_6
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_daily_revenue_dense(sf_dir: str) -> "pd.DataFrame":
+    """Gap-filled daily revenue time series over orders: every calendar day
+    between the observed min and max appears, zero-filled — in-batch day
+    partials + a calendar-bounded driver fold (no shuffle)."""
+    from oboyu_ray.stages.relational import dense_daily_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return dense_daily_agg(orders, "o_orderdate", "o_totalprice")
+
+
+SQL_DAILY_REVENUE_DENSE = """
+WITH d AS (
+    SELECT time_bucket(INTERVAL 1 DAY, o_orderdate) AS day,
+           sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS rev,
+           count(*) AS n
+    FROM orders GROUP BY 1
+), cal AS (
+    SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                  (SELECT max(day) FROM d),
+                                  INTERVAL 1 DAY)) AS day
+)
+SELECT cal.day AS day,
+       COALESCE(d.rev, 0)::BIGINT AS revenue_micros,
+       COALESCE(d.n, 0)::BIGINT AS n_rows
+FROM cal LEFT JOIN d USING (day)
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3350,6 +3423,8 @@ def corpus_queries() -> dict:
         "viewers_also_purchasing": q_viewers_also_purchasing,
         "shipping_priority": q_shipping_priority,
         "user_event_gaps": q_user_event_gaps,
+        "events_weekday_pivot": q_events_weekday_pivot,
+        "daily_revenue_dense": q_daily_revenue_dense,
     }
 
 
@@ -3426,6 +3501,8 @@ def corpus_oracle_sql() -> dict:
         "viewers_also_purchasing": SQL_VIEWERS_ALSO_PURCHASING,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "user_event_gaps": SQL_USER_EVENT_GAPS,
+        "events_weekday_pivot": SQL_EVENTS_WEEKDAY_PIVOT,
+        "daily_revenue_dense": SQL_DAILY_REVENUE_DENSE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -1071,3 +1071,134 @@ def set_op(
         return pa.table({on: t.column(on).filter(keep)})
 
     return folded.map_batches(pick, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- pivot
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    col_values: "list",
+    val_col: str = None,
+) -> "ray.data.Dataset":
+    """Long → wide crosstab: one output row per ``row_key`` value, one
+    ``{col_key}_{v}`` int64 column per entry of ``col_values`` holding the
+    count (or the sum of integer ``val_col``) of rows at that (row, col).
+
+    ``col_values`` is explicit and bounded by contract — at 100 TB you
+    cannot stream-discover the output schema, and a pivot with unbounded
+    column cardinality is a modelling error, not an operator.  Shape:
+    in-batch ``group_by (row, col)`` partials (the shuffle moves one row per
+    distinct pair per batch) → ONE Ray groupby on ``row_key`` →
+    ``map_groups`` reshapes each key's ≤ ``len(col_values)`` rows to the
+    wide layout.  Unlisted col values are dropped; absent combinations fill
+    0 (SQL FILTER-count parity)."""
+    allowed = list(col_values)
+    names = [f"{col_key}_{v}" for v in allowed]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "rk": t.column(row_key),
+                    "ck": t.column(col_key),
+                    "v": (
+                        t.column(val_col).cast(pa.int64())
+                        if val_col is not None
+                        else pa.array(np.ones(t.num_rows, dtype=np.int64))
+                    ),
+                }
+            )
+            .group_by(["rk", "ck"])
+            .aggregate([("v", "sum")])
+        )
+        return pa.table(
+            {"rk": g.column("rk"), "ck": g.column("ck"), "v": g.column("v_sum")}
+        )
+
+    def widen(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out = {row_key: [g["rk"].iloc[0]]}
+        # one partial row per (ck, source batch) — fold them here
+        m = g.groupby("ck")["v"].sum().to_dict()
+        for v, name in zip(allowed, names):
+            out[name] = [int(m.get(v, 0))]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rk")
+        .map_groups(widen, batch_format="pandas")
+    )
+
+
+def dense_daily_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    val_col: str,
+) -> "pd.DataFrame":
+    """Gap-filled daily time series: per-day row count + fixed-point sum of
+    ``val_col``, densified so every calendar day between the observed min
+    and max appears (zero-filled) — the feed shape downstream forecasting /
+    anomaly jobs expect.
+
+    Shape: in-batch ``group_by(day)`` partials (a batch shrinks to its
+    distinct days before leaving the task) → driver fold.  The fold key
+    space is bounded by CALENDAR TIME, not data size (decades ≈ 10⁴ days),
+    so the driver fold is the cheap exact plan — same justification as the
+    HLL register merge; no shuffle at all."""
+    import pandas as pd
+
+    from oboyu_ray.fixedpoint import micros
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        day = us // 86_400_000_000
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "vm": pa.array(
+                        micros(t.column(val_col).to_numpy(zero_copy_only=False))
+                    ),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("day")
+            .aggregate([("vm", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {"day": g.column("day"), "vm": g.column("vm_sum"), "n": g.column("one_sum")}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("day", as_index=False)[["vm", "n"]]
+        .sum()
+    )
+    full = np.arange(folded["day"].min(), folded["day"].max() + 1, dtype=np.int64)
+    out = (
+        folded.set_index("day")
+        .reindex(full, fill_value=0)
+        .reset_index(names="day")
+    )
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(out["day"] * 86_400_000_000, unit="us"),
+            "revenue_micros": out["vm"].astype("int64"),
+            "n_rows": out["n"].astype("int64"),
+        }
+    )
