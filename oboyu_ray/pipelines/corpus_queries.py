@@ -3330,6 +3330,137 @@ FROM cal LEFT JOIN d USING (day)
 """
 
 
+PROFILE_COLS = ["event_id", "user_id", "event_type", "ts"]
+
+
+def q_events_profile(sf_dir: str) -> "pd.DataFrame":
+    """One-pass column profiler over events (row/null counts + lexicographic
+    min/max of the string-cast value per column) — schema-drift detection as
+    a zero-shuffle streaming fold."""
+    from oboyu_ray.stages.validate import profile_columns
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=PROFILE_COLS)
+    out = profile_columns(ev, PROFILE_COLS)
+    return out.rename(columns={"column": "col_name"})
+
+
+SQL_EVENTS_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str FROM events"""
+    for c in PROFILE_COLS
+)
+
+
+def q_brand_revenue_by_region(sf_dir: str) -> "pd.DataFrame":
+    """Star-schema rollup touching every dimension table: lineitem facts
+    resolve part→brand and supplier→nation→region through ray.put-broadcast
+    sorted-array lookups (each dimension shipped ONCE, read zero-copy per
+    task — the correct join side for dimensions at 100 TB), then in-batch
+    partials and a bounded (regions × brands) driver fold.  ZERO shuffles."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import load_broadcast_map
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    bcode = {b: i for i, b in enumerate(brands)}
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pv = part["p_brand"].map(bcode).to_numpy(np.int64)
+    po = np.argsort(pk, kind="stable")
+
+    sup_k, sup_nat = load_broadcast_map(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        "s_suppkey", "s_nationkey",
+    )
+    nat_k, nat_reg = load_broadcast_map(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        ),
+        "n_nationkey", "n_regionkey",
+    )
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rname = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    # fold supplier→nation→region on the driver: one lookup array per fact row
+    sup_reg = nat_reg[np.searchsorted(nat_k, sup_nat)]
+    dims = ray.put((pk[po], pv[po], sup_k, sup_reg))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dpk, dpv, dsk, dsr = ray.get(dims)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pi = np.searchsorted(dpk, lp)
+        si = np.searchsorted(dsk, ls)
+        if (pi >= len(dpk)).any() or (si >= len(dsk)).any() or \
+                (dpk[np.minimum(pi, len(dpk) - 1)] != lp).any() or \
+                (dsk[np.minimum(si, len(dsk) - 1)] != ls).any():
+            raise ValueError("lineitem references unknown part/supplier")
+        brand = dpv[pi]
+        reg = dsr[si]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "reg": pa.array(reg, pa.int64()),
+                    "brand": pa.array(brand, pa.int64()),
+                    "rev": pa.array(micros(price * (1.0 - disc)), pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["reg", "brand"])
+            .aggregate([("rev", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "reg": g.column("reg"), "brand": g.column("brand"),
+                "rev": g.column("rev_sum"), "n": g.column("one_sum"),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    parts = [
+        b.to_pandas()
+        for b in li.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["reg", "brand"], as_index=False)[["rev", "n"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "r_name": out["reg"].map(rname),
+            "p_brand": out["brand"].map(dict(enumerate(brands))),
+            "revenue_micros": out["rev"].astype("int64"),
+            "n_items": out["n"].astype("int64"),
+        }
+    )
+
+
+SQL_BRAND_REVENUE_BY_REGION = """
+SELECT r_name, p_brand,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_micros,
+       count(*)::BIGINT AS n_items
+FROM lineitem, part, supplier, nation, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name, p_brand
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3425,6 +3556,8 @@ def corpus_queries() -> dict:
         "user_event_gaps": q_user_event_gaps,
         "events_weekday_pivot": q_events_weekday_pivot,
         "daily_revenue_dense": q_daily_revenue_dense,
+        "events_profile": q_events_profile,
+        "brand_revenue_by_region": q_brand_revenue_by_region,
     }
 
 
@@ -3503,6 +3636,8 @@ def corpus_oracle_sql() -> dict:
         "user_event_gaps": SQL_USER_EVENT_GAPS,
         "events_weekday_pivot": SQL_EVENTS_WEEKDAY_PIVOT,
         "daily_revenue_dense": SQL_DAILY_REVENUE_DENSE,
+        "events_profile": SQL_EVENTS_PROFILE,
+        "brand_revenue_by_region": SQL_BRAND_REVENUE_BY_REGION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

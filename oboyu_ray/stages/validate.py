@@ -133,3 +133,56 @@ def validation_report(
         )
     )
     return report.union(dups)
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: "list[str]",
+) -> "pd.DataFrame":
+    """One-pass column profiler: per column, row count, null count, and
+    lexicographic min/max of the value CAST TO STRING (a single total order
+    that works for every input type and matches SQL ``min(CAST(x AS
+    VARCHAR))`` exactly — the point is drift detection, not numeric stats).
+
+    Shape: each batch folds to ≤ ``len(columns)`` partial rows inside the
+    task; the driver fold is bounded by columns × blocks.  No shuffle — the
+    profiler is the cheapest possible full-table pass and the natural
+    companion to ``validation_report``'s rule counts."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nrows, nnulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = t.column(c)
+            s = col.cast(pa.string())
+            names.append(c)
+            nrows.append(t.num_rows)
+            nnulls.append(col.null_count)
+            mn = pc.min(s).as_py()
+            mx = pc.max(s).as_py()
+            mins.append(mn)
+            maxs.append(mx)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(nrows, pa.int64()),
+                "n_nulls": pa.array(nnulls, pa.int64()),
+                "min_str": pa.array(mins, pa.string()),
+                "max_str": pa.array(maxs, pa.string()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    allp = pd.concat(parts, ignore_index=True)
+    out = allp.groupby("column", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_nulls=("n_nulls", "sum"),
+        min_str=("min_str", "min"),
+        max_str=("max_str", "max"),
+    )
+    return out.astype({"n_rows": "int64", "n_nulls": "int64"})
