@@ -3132,24 +3132,32 @@ SHIPPING_CUTOFF = "1997-01-01"
 
 
 def q_shipping_priority(sf_dir: str) -> "pd.DataFrame":
-    """TPC-H Q3-shaped composition: segment-filtered customers SEMI-join
-    orders, revenue lineitems INNER-join the surviving orders (both joins
-    are the bucketed large-large shuffle join), one grouped-sum shuffle on
-    the order key, then per-block local top-10 partials merged on the
-    driver.  Filters are applied at the scan (column-pruned reads +
-    predicate before any join), revenue is fixed-point micros per row and
-    pre-combined per (l_orderkey) inside each batch before the join."""
+    """TPC-H Q3-shaped composition in ONE all-to-all: the segment-filtered
+    customer key set is a broadcast membership filter on orders (dimension
+    side, shipped once via ray.put), then lineitem revenue partials and the
+    surviving orders co-shuffle ONCE on hash(orderkey) — each bucket cogroup
+    joins, completes the grouped sum (all rows of a key land in one
+    bucket), and emits its local top-10; the driver merges ≤10 rows per
+    bucket.  Filters at the scan, fixed-point micros per row, in-batch
+    pre-combines per orderkey before anything moves."""
     from oboyu_ray.fixedpoint import micros
-    from oboyu_ray.stages.relational import hash_join
 
     cutoff = np.datetime64(SHIPPING_CUTOFF, "us")
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).filter(expr='c_mktsegment == "BUILDING"').map_batches(
-        lambda t: pa.table({"c_custkey": t.column("c_custkey")}),
-        batch_format="pyarrow",
+    # customer is the DIMENSION side: the segment-filtered key set is
+    # broadcast ONCE (sorted int array + searchsorted membership) instead of
+    # paying a shuffle semi-join — one fewer all-to-all.  If the filtered
+    # dimension ever outgrows worker memory, swap this for
+    # hash_join(..., how="semi") — same semantics, one more shuffle.
+    ckeys = np.sort(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        .filter(expr='c_mktsegment == "BUILDING"')
+        .to_pandas()["c_custkey"]
+        .to_numpy(np.int64)
     )
+    ckeys_ref = ray.put(ckeys)
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -3157,58 +3165,113 @@ def q_shipping_priority(sf_dir: str) -> "pd.DataFrame":
     )
 
     def ofilter(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
         od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(od.astype("datetime64[us]") < cutoff))
+        t = t.filter(pa.array(od.astype("datetime64[us]") < cutoff))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.searchsorted(keys, ck)
+        hit = (ix < len(keys)) & (keys[np.minimum(ix, len(keys) - 1)] == ck)
+        return t.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
 
-    orders = hash_join(
-        orders.map_batches(ofilter, batch_format="pyarrow"), cust,
-        "o_custkey", "c_custkey", how="semi",
-    ).map_batches(
-        lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
-        batch_format="pandas",
-    )
+    orders = orders.map_batches(ofilter, batch_format="pyarrow")
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
+    # ONE all-to-all for join + aggregate + top-k: both sides bucket on
+    # hash(orderkey), so inside a bucket cogroup every row of an order key
+    # is present — the merge task can join, complete the grouped sum, and
+    # emit its bucket-local top-10 in one go.  The driver merges ≤ 10 rows
+    # per bucket.  (A generic hash_join + groupby pays two extra sort
+    # shuffles for data this plan already co-located.)
+    N_BUCKETS = 64
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _jb(key: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            return pa.array(
+                ((key.astype(np.uint64) * _GOLD) % np.uint64(N_BUCKETS)).astype(
+                    np.int64
+                )
+            )
+
     def lrev(t: pa.Table) -> pa.Table:
         ship = t.column("l_shipdate").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ship.astype("datetime64[us]") > cutoff))
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        key = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         pre = pa.table(
             {
-                "l_orderkey": t.column("l_orderkey"),
+                "okey": pa.array(key),
                 "rev": pa.array(micros(price * (1.0 - disc)), pa.int64()),
             }
         )
-        g = pre.group_by("l_orderkey").aggregate([("rev", "sum")])
+        g = pre.group_by("okey").aggregate([("rev", "sum")])
+        gk = g.column("okey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.num_rows
         return pa.table(
-            {"l_orderkey": g.column("l_orderkey"), "rev": g.column("rev_sum")}
+            {
+                "jb": _jb(gk),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "rev": g.column("rev_sum"),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "opri": pa.array([""] * n, pa.string()),
+            }
         )
 
-    joined = hash_join(
-        li.map_batches(lrev, batch_format="pyarrow"), orders,
-        "l_orderkey", "o_orderkey",
-    )
+    def otag(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jb(key),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(key),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+                "odate_us": t.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "opri": t.column("o_orderpriority"),
+            }
+        )
 
     def top10(df: "pd.DataFrame") -> "pd.DataFrame":
         return df.sort_values(
             ["revenue_micros", "l_orderkey"], ascending=[False, True]
         ).head(10)
 
-    grouped = (
-        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-        .sum("rev")
-        .map_batches(
-            lambda df: df.rename(columns={"sum(rev)": "revenue_micros"}),
-            batch_format="pandas",
+    def merge_agg(g: "pd.DataFrame") -> "pd.DataFrame":
+        lef = g[g["side"] == 0]
+        rig = g[g["side"] == 1]
+        sums = lef.groupby("okey", as_index=False)["rev"].sum()
+        j = sums.merge(
+            rig[["okey", "odate_us", "opri"]], on="okey", how="inner"
         )
-        .map_batches(top10, batch_format="pandas")
+        j = pd.DataFrame(
+            {
+                "l_orderkey": j["okey"].astype("int64"),
+                "o_orderdate": pd.to_datetime(j["odate_us"], unit="us"),
+                "o_orderpriority": j["opri"],
+                "revenue_micros": j["rev"].astype("int64"),
+            }
+        )
+        return top10(j)
+
+    both = li.map_batches(lrev, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
     )
-    parts = [b for b in grouped.iter_batches(batch_format="pandas")]
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(merge_agg, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ]
     out = top10(pd.concat(parts, ignore_index=True)).reset_index(drop=True)
     return out.astype({"revenue_micros": "int64", "l_orderkey": "int64"})
 
