@@ -3524,6 +3524,90 @@ GROUP BY r_name, p_brand
 """
 
 
+def q_nation_revenue_share(sf_dir: str) -> "pd.DataFrame":
+    """Ratio-to-report window aggregate: each nation's share of total order
+    revenue in integer parts-per-million.  The grouped sum reuses the
+    broadcast-join operator (customer dimension shipped once); the share is
+    an exact integer division over the bounded 25-row result on the driver
+    (Python ints — no int64 overflow at any scale; the oracle mirrors with
+    HUGEINT)."""
+    from oboyu_ray.stages.relational import orders_by_nation_broadcast
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    rev = orders_by_nation_broadcast(orders, customer).to_pandas()
+    cents = [int(x) for x in rev["revenue_cents"]]
+    total = sum(cents)
+    share = [c * 1_000_000 // total for c in cents]
+    return pd.DataFrame(
+        {
+            "c_nationkey": rev["c_nationkey"].astype("int64"),
+            "revenue_cents": pd.Series(cents, dtype="int64"),
+            "share_ppm": pd.Series(share, dtype="int64"),
+        }
+    )
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH r AS (
+    SELECT c_nationkey,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       revenue_cents::BIGINT AS revenue_cents,
+       (revenue_cents::HUGEINT * 1000000 // sum(revenue_cents::HUGEINT) OVER ())::BIGINT
+           AS share_ppm
+FROM r
+"""
+
+
+def q_order_anomaly_days(sf_dir: str) -> "pd.DataFrame":
+    """Volume-anomaly detection over the gap-filled daily series: calendar
+    days whose order count exceeds the integer Tukey fence q75 + (q75 − q25)
+    of the daily counts (quantile_disc ranks, so the gate is bit-exact).
+    Composition: dense_daily_agg (zero shuffles) + a calendar-bounded driver
+    fold for the fence and filter."""
+    from oboyu_ray.stages.relational import dense_daily_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = dense_daily_agg(orders, "o_orderdate", "o_totalprice")
+    import math
+
+    n = np.sort(daily["n_rows"].to_numpy(np.int64))
+    # quantile_disc rank = max(ceil(q*n)-1, 0), pinned in quantiles.py
+    q25 = int(n[max(math.ceil(0.25 * len(n)) - 1, 0)])
+    q75 = int(n[max(math.ceil(0.75 * len(n)) - 1, 0)])
+    fence = q75 + (q75 - q25)
+    out = daily[daily["n_rows"] > fence][["day", "n_rows"]]
+    return out.reset_index(drop=True).rename(columns={"n_rows": "n_orders"})
+
+
+SQL_ORDER_ANOMALY_DAYS = """
+WITH d AS (
+    SELECT time_bucket(INTERVAL 1 DAY, o_orderdate) AS day,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1
+), cal AS (
+    SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                  (SELECT max(day) FROM d),
+                                  INTERVAL 1 DAY)) AS day
+), dense AS (
+    SELECT cal.day AS day, COALESCE(d.n, 0)::BIGINT AS n
+    FROM cal LEFT JOIN d USING (day)
+)
+SELECT day, n AS n_orders FROM dense
+WHERE n > (SELECT 2 * quantile_disc(n, 0.75) - quantile_disc(n, 0.25) FROM dense)
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3621,6 +3705,8 @@ def corpus_queries() -> dict:
         "daily_revenue_dense": q_daily_revenue_dense,
         "events_profile": q_events_profile,
         "brand_revenue_by_region": q_brand_revenue_by_region,
+        "nation_revenue_share": q_nation_revenue_share,
+        "order_anomaly_days": q_order_anomaly_days,
     }
 
 
@@ -3701,6 +3787,8 @@ def corpus_oracle_sql() -> dict:
         "daily_revenue_dense": SQL_DAILY_REVENUE_DENSE,
         "events_profile": SQL_EVENTS_PROFILE,
         "brand_revenue_by_region": SQL_BRAND_REVENUE_BY_REGION,
+        "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+        "order_anomaly_days": SQL_ORDER_ANOMALY_DAYS,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(
