@@ -40,8 +40,18 @@ def cmd_build(args: argparse.Namespace) -> int:
 
     files = sorted(glob.glob(args.transcripts))
     if not files:
-        print(f"no parquet files match {args.transcripts!r}", file=sys.stderr)
+        print(f"no {args.format} files match {args.transcripts!r}", file=sys.stderr)
         return 2
+    if args.format == "jsonl":
+        # normalize-at-the-edge: resumable distributed JSONL→parquet shard
+        # conversion, then the ordinary columnar build path
+        import os
+
+        from oboyu_ray.sources.jsonl import jsonl_to_parquet_shards
+
+        files = jsonl_to_parquet_shards(
+            files, os.path.join(args.index_dir, "converted_shards")
+        )
     cfg = BuildConfig(
         bm25=BM25Config(k1=args.k1, b=args.b),
         window_docs=args.window_docs,
@@ -107,7 +117,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the BM25 index over transcripts parquet")
-    b.add_argument("--transcripts", required=True, help="glob of transcript parquet files")
+    b.add_argument("--transcripts", required=True, help="glob of transcript input files")
+    b.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="input shard format (jsonl converts once into "
+                        "<index-dir>/converted_shards, then builds columnar)")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--files-per-part", type=int, default=1)
     b.add_argument("--window-docs", type=int, default=8192)

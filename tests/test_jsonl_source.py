@@ -1,0 +1,104 @@
+"""JSONL transcript source: exact round-trip, streaming Dataset parity,
+resumable distributed conversion, and end-to-end index parity (an index
+built from converted JSONL answers queries identically to one built from
+the original parquet shards)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from oboyu_ray.config import BuildConfig
+from oboyu_ray.pipelines.build_index import build_index
+from oboyu_ray.pipelines.query import QueryEngine
+from oboyu_ray.sources.jsonl import (
+    jsonl_to_parquet_shards,
+    read_jsonl_shard,
+    read_transcripts_jsonl,
+    write_transcripts_jsonl,
+)
+from oboyu_ray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    synth_transcripts_table,
+    write_synth_transcripts,
+)
+
+N_CONVS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp("jsonl_src")
+    pq_dir = str(base / "parquet")
+    jl_dir = str(base / "jsonl")
+    os.makedirs(jl_dir)
+    files = write_synth_transcripts(pq_dir, n_convs=N_CONVS, seed=7, convs_per_file=40)
+    jsonl_paths = []
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        jsonl_paths.append(
+            write_transcripts_jsonl(pq.read_table(f), os.path.join(jl_dir, stem + ".jsonl"))
+        )
+    return {"base": base, "files": files, "jsonl": jsonl_paths}
+
+
+def test_roundtrip_exact(corpus):
+    src = pq.read_table(corpus["files"][0])
+    got = read_jsonl_shard(corpus["jsonl"][0])
+    assert got.schema.equals(TRANSCRIPT_SCHEMA)
+    assert got.equals(src)
+
+
+def test_dataset_parity(corpus):
+    ds = read_transcripts_jsonl(corpus["jsonl"])
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = (
+        pa.concat_tables([pq.read_table(f) for f in corpus["files"]])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_conversion_resumable(corpus, tmp_path):
+    out_dir = str(tmp_path / "conv")
+    outs = jsonl_to_parquet_shards(corpus["jsonl"], out_dir)
+    assert all(os.path.exists(p) for p in outs)
+    mtimes = {p: os.path.getmtime(p) for p in outs}
+    # drop one shard; re-run converts ONLY the missing one
+    os.unlink(outs[1])
+    outs2 = jsonl_to_parquet_shards(corpus["jsonl"], out_dir)
+    assert outs2 == outs
+    assert os.path.exists(outs[1])
+    for p in outs:
+        if p != outs[1]:
+            assert os.path.getmtime(p) == mtimes[p]
+    # converted shards carry the exact canonical content
+    assert pq.read_table(outs[0]).equals(pq.read_table(corpus["files"][0]))
+
+
+def test_index_parity_jsonl_vs_parquet(corpus, tmp_path):
+    cfg = BuildConfig(window_docs=256)
+    conv = jsonl_to_parquet_shards(corpus["jsonl"], str(tmp_path / "shards"))
+    build_index(conv, str(tmp_path / "idx_jsonl"), cfg, files_per_part=2)
+    build_index(corpus["files"], str(tmp_path / "idx_pq"), cfg, files_per_part=2)
+    a = QueryEngine(str(tmp_path / "idx_jsonl"), num_shards=2)
+    b = QueryEngine(str(tmp_path / "idx_pq"), num_shards=2)
+    try:
+        for q in ["検索 インデックス", "python model", "です", "token"]:
+            ra = a.search(q, k=10)
+            rb = b.search(q, k=10)
+            assert ra.equals(rb)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_empty_lines_and_unicode(tmp_path):
+    t = synth_transcripts_table(3, 0, 5)  # includes empty/whitespace turns
+    p = write_transcripts_jsonl(t, str(tmp_path / "u.jsonl"))
+    assert read_jsonl_shard(p).equals(t)
