@@ -3608,6 +3608,47 @@ WHERE n > (SELECT 2 * quantile_disc(n, 0.75) - quantile_disc(n, 0.25) FROM dense
 """
 
 
+def q_orders_range_sorted(sf_dir: str) -> "pd.DataFrame":
+    """Range-partitioned global sort export (the terasort shape): orders
+    sorted by o_totalprice into 8 range files under /tmp, with EXPLICIT
+    deterministic boundaries (exact quantile_disc at i/8 — no sampling
+    nondeterminism).  Returns the per-partition summary; the files
+    themselves are the artifact (read in part order = globally sorted).
+    The oracle recomputes part_id as #(boundaries strictly below the key)
+    from the same quantile_disc boundaries."""
+    import os
+
+    from oboyu_ray.stages.sortexport import range_sort_export
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out_dir = os.path.join(
+        "/tmp/oboyu_sortexport", os.path.basename(os.path.normpath(sf_dir))
+    )
+    return range_sort_export(orders, "o_totalprice", out_dir, n_parts=8)
+
+
+def _range_sorted_sql(n_parts: int = 8) -> str:
+    bs = [f"quantile_disc(o_totalprice, {i / n_parts}) AS b{i}" for i in range(1, n_parts)]
+    cases = " + ".join(
+        f"(CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END)" for i in range(1, n_parts)
+    )
+    return f"""
+WITH b AS (SELECT {", ".join(bs)} FROM orders)
+SELECT ({cases})::BIGINT AS part_id,
+       count(*)::BIGINT AS n_rows,
+       min(o_totalprice) AS key_min,
+       max(o_totalprice) AS key_max,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS key_sum_cents
+FROM orders, b
+GROUP BY part_id
+"""
+
+
+SQL_ORDERS_RANGE_SORTED = _range_sorted_sql(8)
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3707,6 +3748,7 @@ def corpus_queries() -> dict:
         "brand_revenue_by_region": q_brand_revenue_by_region,
         "nation_revenue_share": q_nation_revenue_share,
         "order_anomaly_days": q_order_anomaly_days,
+        "orders_range_sorted": q_orders_range_sorted,
     }
 
 
@@ -3789,6 +3831,7 @@ def corpus_oracle_sql() -> dict:
         "brand_revenue_by_region": SQL_BRAND_REVENUE_BY_REGION,
         "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "order_anomaly_days": SQL_ORDER_ANOMALY_DAYS,
+        "orders_range_sorted": SQL_ORDERS_RANGE_SORTED,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(
