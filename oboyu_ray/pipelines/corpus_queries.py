@@ -3649,6 +3649,33 @@ GROUP BY part_id
 SQL_ORDERS_RANGE_SORTED = _range_sorted_sql(8)
 
 
+def q_price_ship_frontier(sf_dir: str) -> "pd.DataFrame":
+    """Pareto frontier of lineitem on (minimize l_extendedprice, minimize
+    l_shipdate): the "no cheaper-and-earlier alternative exists" rows.
+    Distributed shape: per-batch vectorized local skyline (closure property
+    — global frontier points survive their batch's frontier) → bounded
+    driver fold with the same kernel.  The oracle is the O(n log n) window
+    formulation of the same semantics, not the O(n²) NOT EXISTS."""
+    from oboyu_ray.stages.skyline import pareto_frontier_min2
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_shipdate"]
+    )
+    return pareto_frontier_min2(li, "l_extendedprice", "l_shipdate")
+
+
+SQL_PRICE_SHIP_FRONTIER = """
+WITH d AS (SELECT DISTINCT l_extendedprice AS p, l_shipdate AS s FROM lineitem),
+m AS (SELECT p, min(s) AS s FROM d GROUP BY p),
+r AS (SELECT p, s,
+             min(s) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_min
+      FROM m)
+SELECT p AS l_extendedprice, s AS l_shipdate
+FROM r WHERE prev_min IS NULL OR s < prev_min
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3749,6 +3776,7 @@ def corpus_queries() -> dict:
         "nation_revenue_share": q_nation_revenue_share,
         "order_anomaly_days": q_order_anomaly_days,
         "orders_range_sorted": q_orders_range_sorted,
+        "price_ship_frontier": q_price_ship_frontier,
     }
 
 
@@ -3832,6 +3860,7 @@ def corpus_oracle_sql() -> dict:
         "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "order_anomaly_days": SQL_ORDER_ANOMALY_DAYS,
         "orders_range_sorted": SQL_ORDERS_RANGE_SORTED,
+        "price_ship_frontier": SQL_PRICE_SHIP_FRONTIER,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(
