@@ -3676,6 +3676,74 @@ FROM r WHERE prev_min IS NULL OR s < prev_min
 """
 
 
+def q_user_growth(sf_dir: str) -> "pd.DataFrame":
+    """Cumulative distinct-user growth curve (each user counts on their
+    first-seen day): one key-bucketed cogroup over per-batch min-day
+    partials, bounded calendar-grid driver fold."""
+    from oboyu_ray.stages.window import first_seen_growth
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return first_seen_growth(events, "user_id", "ts")
+
+
+SQL_USER_GROWTH = """
+WITH f AS (
+    SELECT user_id, min(time_bucket(INTERVAL 1 DAY, ts)) AS day
+    FROM events GROUP BY user_id
+), c AS (
+    SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY day
+)
+SELECT day, new_users,
+       (sum(new_users) OVER (ORDER BY day))::BIGINT AS cum_users
+FROM c
+"""
+
+
+def q_user_skew_report(sf_dir: str) -> "pd.DataFrame":
+    """Exact top-10 heaviest event keys with integer-ppm share and
+    cumulative coverage — the pre-shuffle skew diagnostic."""
+    from oboyu_ray.stages.validate import key_skew_report
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_skew_report(events, "user_id", top_n=10)
+
+
+SQL_USER_SKEW_REPORT = """
+WITH c AS (
+    SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+), t AS (SELECT sum(n)::HUGEINT AS total FROM c),
+r AS (
+    SELECT user_id, n,
+           row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk,
+           sum(n) OVER (ORDER BY n DESC, user_id ASC) AS cum
+    FROM c
+)
+SELECT user_id, n AS n_rows,
+       (n::HUGEINT * 1000000 // total)::BIGINT AS share_ppm,
+       (cum::HUGEINT * 1000000 // total)::BIGINT AS cum_ppm
+FROM r, t WHERE rk <= 10
+"""
+
+
+def q_documents_checksum(sf_dir: str) -> "pd.DataFrame":
+    """Order-insensitive md5 content checksum of the documents table —
+    the migration/replication equality proof (modular row-hash sum:
+    independent of row order, partitioning, and batch boundaries)."""
+    from oboyu_ray.stages.validate import table_checksum
+
+    return table_checksum(_docs(sf_dir), "doc_id", "text")
+
+
+SQL_DOCUMENTS_CHECKSUM = """
+SELECT count(*)::BIGINT AS n_rows,
+       (sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || COALESCE(text, '')), 1, 15))
+                ::BIGINT::HUGEINT) % 2305843009213693951)::BIGINT AS checksum
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3777,6 +3845,9 @@ def corpus_queries() -> dict:
         "order_anomaly_days": q_order_anomaly_days,
         "orders_range_sorted": q_orders_range_sorted,
         "price_ship_frontier": q_price_ship_frontier,
+        "user_growth": q_user_growth,
+        "user_skew_report": q_user_skew_report,
+        "documents_checksum": q_documents_checksum,
     }
 
 
@@ -3861,6 +3932,9 @@ def corpus_oracle_sql() -> dict:
         "order_anomaly_days": SQL_ORDER_ANOMALY_DAYS,
         "orders_range_sorted": SQL_ORDERS_RANGE_SORTED,
         "price_ship_frontier": SQL_PRICE_SHIP_FRONTIER,
+        "user_growth": SQL_USER_GROWTH,
+        "user_skew_report": SQL_USER_SKEW_REPORT,
+        "documents_checksum": SQL_DOCUMENTS_CHECKSUM,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -186,3 +186,127 @@ def profile_columns(
         max_str=("max_str", "max"),
     )
     return out.astype({"n_rows": "int64", "n_nulls": "int64"})
+
+
+def key_skew_report(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    top_n: int = 10,
+    n_buckets: int = VALIDATE_BUCKETS,
+) -> "pd.DataFrame":
+    """Shuffle-planning skew diagnostic: the exact ``top_n`` heaviest keys
+    with their row counts, integer-ppm share, and cumulative coverage —
+    the table you read before choosing a partitioning key (a key holding
+    5% of 100 TB makes one reducer eat 5 TB; this report says so upfront).
+
+    Shape: per-batch partial counts per key (map-side combine) → ONE
+    key-bucketed cogroup sums globally and emits only its LOCAL top_n plus
+    one total-rows row — the global top_n is a subset of the union of
+    bucket-local top_ns because bucket counts are already global.  Driver
+    folds buckets × (top_n + 1) rows.  Ties break (count DESC, key ASC),
+    pinned in both the kernel and the oracle."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (uk.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "key": pa.array(uk, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("key", as_index=False)["n"].sum()
+        c = c.sort_values(["n", "key"], ascending=[False, True], kind="mergesort")
+        top = c.head(top_n).copy()
+        top["is_total"] = 0
+        total = pd.DataFrame(
+            {"key": [-1], "n": [int(c["n"].sum())], "is_total": [1]}
+        )
+        return pd.concat([top, total], ignore_index=True)[["key", "n", "is_total"]]
+
+    parts = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(parts.loc[parts["is_total"] == 1, "n"].sum())
+    top = (
+        parts.loc[parts["is_total"] == 0]
+        .sort_values(["n", "key"], ascending=[False, True], kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    n = [int(x) for x in top["n"]]
+    cum = np.cumsum(n)
+    return pd.DataFrame(
+        {
+            key_col: top["key"].astype(np.int64),
+            "n_rows": pd.Series(n, dtype=np.int64),
+            "share_ppm": pd.Series(
+                [x * 1_000_000 // total for x in n], dtype=np.int64
+            ),
+            "cum_ppm": pd.Series(
+                [int(c) * 1_000_000 // total for c in cum], dtype=np.int64
+            ),
+        }
+    )
+
+
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime; modular sum = order-free
+
+
+def table_checksum(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+) -> "pd.DataFrame":
+    """Order-insensitive content checksum of a table — the cheap equality
+    proof for migration/replication at scale (two engines agree iff every
+    row agrees, without ever co-locating the tables).
+
+    Per row: md5 of ``id|text`` (md5 so ANY engine reproduces it — the
+    deliberate md5-oracle trade documented at textstats.winnowing; a
+    vectorized-FNV fast mode would not be cross-engine checkable), top 60
+    bits as int, summed mod a Mersenne prime.  Partial sums fold modularly
+    per batch, so the checksum is independent of row order, partitioning,
+    and batch boundaries.  Returns one row: (n_rows, checksum)."""
+    import hashlib
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        acc = 0
+        for i, x in zip(ids, texts):
+            h = hashlib.md5(f"{i}|{x or ''}".encode("utf-8")).hexdigest()
+            acc = (acc + int(h[:15], 16)) % CHECKSUM_MOD
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "c": pa.array([acc], type=pa.int64()),
+            }
+        )
+
+    n_rows, acc = 0, 0
+    for b in (
+        ds.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        n_rows += int(np.sum(b.column("n").to_numpy()))
+        # Python-int fold: a coalesced driver batch can hold many ~2^61
+        # partials, which overflows an int64 accumulator after 4 rows
+        acc = (acc + sum(b.column("c").to_pylist())) % CHECKSUM_MOD
+    return pd.DataFrame(
+        {"n_rows": pd.Series([n_rows], dtype=np.int64),
+         "checksum": pd.Series([acc], dtype=np.int64)}
+    )

@@ -495,3 +495,69 @@ def event_gap_stats(
             batch_format="pandas",
         )
     )
+
+
+def first_seen_growth(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = WINDOW_BUCKETS,
+) -> "pd.DataFrame":
+    """Cumulative distinct-key growth curve: each key counts once, on its
+    FIRST-seen day — (day, new_users, cum_users) per first-seen day.
+
+    The naive plan distinct-counts users per day prefix (quadratic in days
+    or a full re-shuffle per day).  Exact min-per-key needs ONE wide op:
+    map-side per-batch (key → min day) partials, then a key-bucketed
+    cogroup takes the global min per key and folds to per-day first-seen
+    counts INSIDE the bucket — so the driver receives ≤ buckets × calendar
+    days rows and only cumsums over the bounded day grid (the
+    `dense_daily_agg` bounded-fold pattern).
+
+    Output ``day`` is a timestamp (midnight UTC), matching the SQL
+    ``time_bucket(INTERVAL 1 DAY, ts)``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_int64(t.column(ts_col)) // US_PER_DAY
+        order = np.lexsort((day, key))
+        ks, ds_ = key[order], day[order]
+        first = np.r_[True, ks[1:] != ks[:-1]]  # min day per key in batch
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ks[first].astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "key": pa.array(ks[first], type=pa.int64()),
+                "day": pa.array(ds_[first], type=pa.int64()),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(dtype=np.int64)
+        day = g["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((day, key))
+        ks, ds_ = key[order], day[order]
+        first = np.r_[True, ks[1:] != ks[:-1]]  # global min day per key
+        ud, cnt = np.unique(ds_[first], return_counts=True)
+        return pd.DataFrame({"day": ud, "new_users": cnt.astype(np.int64)})
+
+    parts = (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    # bounded driver fold: rows ≤ buckets × days; np.add.at (blocks coalesce)
+    agg = parts.groupby("day", as_index=False)["new_users"].sum().sort_values("day")
+    out = pd.DataFrame(
+        {
+            "day": (agg["day"].to_numpy(dtype=np.int64) * US_PER_DAY).astype(
+                "datetime64[us]"
+            ),
+            "new_users": agg["new_users"].to_numpy(dtype=np.int64),
+        }
+    )
+    out["cum_users"] = out["new_users"].cumsum().astype(np.int64)
+    return out.reset_index(drop=True)

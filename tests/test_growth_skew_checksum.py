@@ -1,0 +1,87 @@
+"""first_seen_growth / key_skew_report / table_checksum — partitioning
+invariance and scalar-reference parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from oboyu_ray.stages.validate import CHECKSUM_MOD, key_skew_report, table_checksum
+from oboyu_ray.stages.window import first_seen_growth
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.RandomState(3)
+    n = 30_000
+    return pd.DataFrame(
+        {
+            # Zipf-ish keys → real skew
+            "user_id": (rng.zipf(1.3, n) % 500).astype(np.int64),
+            "ts": pd.Timestamp("2025-02-01").value // 1000
+            + rng.randint(0, 40 * 86_400_000_000, n),
+        }
+    ).assign(ts=lambda d: d["ts"].astype("datetime64[us]"))
+
+
+def test_first_seen_growth_matches_pandas(events):
+    got = first_seen_growth(ray.data.from_pandas(events).repartition(16))
+    f = events.assign(day=events["ts"].dt.floor("D")).groupby("user_id")["day"].min()
+    want = f.value_counts().sort_index()
+    assert np.array_equal(got["day"].to_numpy(), want.index.to_numpy())
+    assert np.array_equal(got["new_users"].to_numpy(), want.to_numpy())
+    assert got["cum_users"].iloc[-1] == events["user_id"].nunique()
+    assert (np.diff(got["cum_users"]) > 0).all()
+
+
+def test_key_skew_report_exact(events):
+    got = key_skew_report(ray.data.from_pandas(events).repartition(16), "user_id", top_n=5)
+    c = events["user_id"].value_counts()
+    want = (
+        c.reset_index()
+        .sort_values(["count", "user_id"], ascending=[False, True], kind="mergesort")
+        .head(5)
+    )
+    assert np.array_equal(got["user_id"].to_numpy(), want["user_id"].to_numpy())
+    assert np.array_equal(got["n_rows"].to_numpy(), want["count"].to_numpy())
+    total = len(events)
+    assert got["share_ppm"].tolist() == [
+        int(x) * 1_000_000 // total for x in want["count"]
+    ]
+    assert got["cum_ppm"].is_monotonic_increasing
+    assert got["cum_ppm"].iloc[-1] <= 1_000_000
+
+
+def test_checksum_partition_invariant():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000, dtype=np.int64),
+         "text": [f"doc {i} 検索" * (i % 7) for i in range(1000)]}
+    )
+    a = table_checksum(ray.data.from_pandas(df).repartition(1), "doc_id", "text")
+    b = table_checksum(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(13),
+        "doc_id", "text",
+    )
+    assert a["checksum"][0] == b["checksum"][0]
+    assert a["n_rows"][0] == b["n_rows"][0] == 1000
+    # scalar reference
+    want = sum(
+        int(hashlib.md5(f"{i}|{t}".encode()).hexdigest()[:15], 16)
+        for i, t in zip(df["doc_id"], df["text"])
+    ) % CHECKSUM_MOD
+    assert a["checksum"][0] == want
+
+
+def test_checksum_detects_single_row_change():
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": ["x"] * 200})
+    df2 = df.copy()
+    df2.loc[137, "text"] = "y"
+    a = table_checksum(ray.data.from_pandas(df), "doc_id", "text")
+    b = table_checksum(ray.data.from_pandas(df2), "doc_id", "text")
+    assert a["checksum"][0] != b["checksum"][0]
