@@ -3744,6 +3744,28 @@ FROM documents
 """
 
 
+def q_price_percentiles_cont(sf_dir: str) -> "pd.DataFrame":
+    """Interpolated (quantile_cont / percentile_cont) price percentiles —
+    the same sort-free streaming rank selection as `price_quantiles`, with
+    the two bracketing order statistics per target interpolated via the
+    DuckDB-pinned ``lo·(1−frac) + hi·frac`` expression (bit-exact)."""
+    from oboyu_ray.stages.quantiles import exact_quantiles_cont
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_quantiles_cont(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+SQL_PRICE_PERCENTILES_CONT = " UNION ALL ".join(
+    f"SELECT {int(q * 1e6)}::BIGINT AS q_micros, "
+    f"quantile_cont(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+)
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3848,6 +3870,7 @@ def corpus_queries() -> dict:
         "user_growth": q_user_growth,
         "user_skew_report": q_user_skew_report,
         "documents_checksum": q_documents_checksum,
+        "price_percentiles_cont": q_price_percentiles_cont,
     }
 
 
@@ -3935,6 +3958,7 @@ def corpus_oracle_sql() -> dict:
         "user_growth": SQL_USER_GROWTH,
         "user_skew_report": SQL_USER_SKEW_REPORT,
         "documents_checksum": SQL_DOCUMENTS_CHECKSUM,
+        "price_percentiles_cont": SQL_PRICE_PERCENTILES_CONT,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -63,6 +63,70 @@ def exact_quantiles(
     float results compare bit-exactly against the SQL oracle reading the
     same parquet."""
     proj = ds.select_columns([col])
+    stats = _count_nonnull(proj, col)
+    n_total = stats[0]
+    if n_total == 0:
+        return pd.DataFrame(
+            {"q_micros": pd.Series(dtype=np.int64), "value": pd.Series(dtype=np.float64)}
+        )
+    ranks = [_disc_rank(float(q), n_total) for q in qs]
+    out_vals = _values_at_ranks(proj, col, ranks, n_bins, collect_limit, stats=stats)
+    return pd.DataFrame(
+        {
+            "q_micros": np.array([int(round(q * 1e6)) for q in qs], dtype=np.int64),
+            "value": np.array(out_vals, dtype=np.float64),
+        }
+    )
+
+
+def exact_quantiles_cont(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float],
+    n_bins: int = QUANTILE_BINS,
+    collect_limit: int = COLLECT_LIMIT,
+) -> pd.DataFrame:
+    """Exact CONTINUOUS (interpolated) quantiles — ``quantile_cont`` /
+    ``percentile_cont`` semantics: value at fractional rank h = q·(n−1)
+    interpolated as ``lo·(1−frac) + hi·frac`` between the elements at
+    ranks ⌊h⌋ and ⌈h⌉.  That exact expression order is pinned empirically
+    against DuckDB (the naive ``lo + frac·(hi−lo)`` differs in the last
+    ulp), so results compare bit-exactly against the SQL oracle.
+
+    Same streaming rank-selection machinery as ``exact_quantiles`` — the
+    two bracketing ranks per target just join the same refinement pass."""
+    proj = ds.select_columns([col])
+    stats = _count_nonnull(proj, col)
+    n_total = stats[0]
+    if n_total == 0:
+        return pd.DataFrame(
+            {"q_micros": pd.Series(dtype=np.int64), "value": pd.Series(dtype=np.float64)}
+        )
+    hs = [float(q) * (n_total - 1) for q in qs]
+    ranks: List[int] = []
+    for h in hs:
+        ranks.append(int(np.floor(h)))
+        ranks.append(int(np.ceil(h)))
+    # de-duplicate ranks for the refinement pass, then map back
+    uniq = sorted(set(ranks))
+    vals = dict(
+        zip(uniq, _values_at_ranks(proj, col, uniq, n_bins, collect_limit, stats=stats))
+    )
+    out_vals = []
+    for h in hs:
+        lo, hi = vals[int(np.floor(h))], vals[int(np.ceil(h))]
+        frac = h - np.floor(h)
+        out_vals.append(lo * (1 - frac) + hi * frac)
+    return pd.DataFrame(
+        {
+            "q_micros": np.array([int(round(q * 1e6)) for q in qs], dtype=np.int64),
+            "value": np.array(out_vals, dtype=np.float64),
+        }
+    )
+
+
+def _count_nonnull(proj: "ray.data.Dataset", col: str):
+    """One streaming pass → (non-NaN count, global min, global max)."""
 
     def minmax_partial(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy().astype(np.float64)
@@ -91,18 +155,29 @@ def exact_quantiles(
         if b.num_rows:
             gmin = min(gmin, float(np.min(b.column("lo").to_numpy())))
             gmax = max(gmax, float(np.max(b.column("hi").to_numpy())))
-    if n_total == 0:
-        return pd.DataFrame(
-            {"q_micros": pd.Series(dtype=np.int64), "value": pd.Series(dtype=np.float64)}
-        )
+    return n_total, gmin, gmax
 
-    ranks = [_disc_rank(float(q), n_total) for q in qs]
+
+def _values_at_ranks(
+    proj: "ray.data.Dataset",
+    col: str,
+    ranks: Sequence[int],
+    n_bins: int = QUANTILE_BINS,
+    collect_limit: int = COLLECT_LIMIT,
+    stats=None,
+) -> List[float]:
+    """Exact order statistics: the element at each 0-based sorted rank,
+    via the iterative histogram refinement documented in the module
+    docstring.  ``ranks`` must be valid (0 ≤ r < n).  ``stats`` is the
+    (n_total, gmin, gmax) triple from ``_count_nonnull`` (recomputed here
+    when not supplied)."""
+    n_total, gmin, gmax = stats if stats is not None else _count_nonnull(proj, col)
     # per-target live state: [lo, hi] closed interval, residual rank within
     # it, and whether it is already resolved
-    lo = np.full(len(qs), gmin)
-    hi = np.full(len(qs), gmax)
+    lo = np.full(len(ranks), gmin)
+    hi = np.full(len(ranks), gmax)
     resid = np.array(ranks, dtype=np.int64)
-    size = np.full(len(qs), n_total, dtype=np.int64)
+    size = np.full(len(ranks), n_total, dtype=np.int64)
 
     for _ in range(MAX_ROUNDS):
         live = (size > collect_limit) & (lo < hi)
@@ -157,7 +232,6 @@ def exact_quantiles(
     # final: collect each unresolved interval's values and select exactly.
     # (Intervals are tiny by now; a still-large duplicate-heavy interval
     # means nearly all values are identical — the collect below dedups.)
-    values: List[float] = []
     ref2 = ray.put((lo, hi))
 
     def collect_partial(t: pa.Table) -> pa.Table:
@@ -179,18 +253,13 @@ def exact_quantiles(
     ucnts = agg.to_numpy(dtype=np.int64)
 
     out_vals: List[float] = []
-    for i in range(len(qs)):
+    for i in range(len(ranks)):
         m = (uvals >= lo[i]) & (uvals <= hi[i])
         vv, cc = uvals[m], ucnts[m]
         cum = np.cumsum(cc)
         j = int(np.searchsorted(cum, resid[i], side="right"))
         out_vals.append(float(vv[j]))
-    return pd.DataFrame(
-        {
-            "q_micros": np.array([int(round(q * 1e6)) for q in qs], dtype=np.int64),
-            "value": np.array(out_vals, dtype=np.float64),
-        }
-    )
+    return out_vals
 
 
 # ---------------------------------------------------------------- per group

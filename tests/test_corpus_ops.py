@@ -1117,6 +1117,37 @@ def test_exact_quantiles_adversarial_vs_duckdb():
         assert got["value"].tolist() == want, name
 
 
+def test_exact_quantiles_cont_vs_duckdb():
+    """Interpolated quantiles must be BIT-exact vs DuckDB quantile_cont —
+    the lerp expression order (lo·(1−f) + hi·f) is pinned empirically;
+    same adversarial shapes as the disc test plus tiny-n edge cases."""
+    import duckdb as _duck
+
+    from oboyu_ray.stages.quantiles import exact_quantiles_cont
+
+    rng = np.random.RandomState(23)
+    cases = {
+        "normal": rng.standard_normal(20_000) * 100,
+        "heavy_dup": np.repeat([1.0, 2.0, 2.0, 3.0], 5_000)[rng.permutation(20_000)],
+        "constant": np.full(3_000, 7.25),
+        "skewed": np.exp(rng.standard_normal(10_000) * 3),
+        "small": np.array([3.0, 1.0, 2.0]),
+        "single": np.array([42.0]),
+        "pair": np.array([10.0, 20.0]),
+    }
+    qs = [0.0, 0.01, 0.25, 0.5, 0.613, 0.75, 0.9, 0.99, 1.0]
+    for name, vals in cases.items():
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+        got = exact_quantiles_cont(ds, "x", qs, n_bins=32, collect_limit=128)
+        con = _duck.connect()
+        con.register("v", pa.table({"x": pa.array(vals)}))
+        want = [
+            con.execute(f"SELECT quantile_cont(x, {q}) FROM v").fetchone()[0]
+            for q in qs
+        ]
+        assert got["value"].tolist() == want, name
+
+
 def test_interval_join_bound_edges():
     """Inclusive bounds on both ends; multi-match fan-out; users with no
     in-window orders emit nothing."""
