@@ -3766,6 +3766,24 @@ SQL_PRICE_PERCENTILES_CONT = " UNION ALL ".join(
 )
 
 
+def q_price_robust_dispersion(sf_dir: str) -> "pd.DataFrame":
+    """Robust dispersion of order prices: median + median absolute
+    deviation — two chained streaming rank selections (no sort)."""
+    from oboyu_ray.stages.quantiles import mad
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return mad(orders, "o_totalprice")
+
+
+SQL_PRICE_ROBUST_DISPERSION = """
+SELECT quantile_cont(o_totalprice, 0.5) AS median,
+       mad(o_totalprice) AS mad_value
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3871,6 +3889,7 @@ def corpus_queries() -> dict:
         "user_skew_report": q_user_skew_report,
         "documents_checksum": q_documents_checksum,
         "price_percentiles_cont": q_price_percentiles_cont,
+        "price_robust_dispersion": q_price_robust_dispersion,
     }
 
 
@@ -3959,6 +3978,7 @@ def corpus_oracle_sql() -> dict:
         "user_skew_report": SQL_USER_SKEW_REPORT,
         "documents_checksum": SQL_DOCUMENTS_CHECKSUM,
         "price_percentiles_cont": SQL_PRICE_PERCENTILES_CONT,
+        "price_robust_dispersion": SQL_PRICE_ROBUST_DISPERSION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

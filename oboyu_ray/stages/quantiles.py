@@ -550,3 +550,31 @@ def value_histogram(
     return pd.DataFrame(
         {"bin": pd.array(nz, dtype="int64"), "n": pd.array(totals[nz], dtype="int64")}
     )
+
+
+def mad(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_bins: int = QUANTILE_BINS,
+    collect_limit: int = COLLECT_LIMIT,
+) -> "pd.DataFrame":
+    """Median absolute deviation — the robust dispersion measure training
+    pipelines use where stddev is ruined by outliers.  DuckDB's ``mad(x)``
+    is pinned empirically as quantile_cont(|x − quantile_cont(x, 0.5)|,
+    0.5), so this is two chained streaming rank selections: the median,
+    then the interpolated median of a derived |x − med| column — no sort,
+    no materialization, same refinement machinery both times.
+
+    Returns one row: (median, mad_value), both bit-exact vs the oracle."""
+    med = float(exact_quantiles_cont(ds, col, [0.5], n_bins, collect_limit)["value"][0])
+
+    def absdev(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy().astype(np.float64)
+        return pa.table({"absdev": pa.array(np.abs(v - med))})
+
+    d = ds.select_columns([col]).map_batches(absdev, batch_format="pyarrow")
+    m = float(exact_quantiles_cont(d, "absdev", [0.5], n_bins, collect_limit)["value"][0])
+    return pd.DataFrame(
+        {"median": pd.Series([med], dtype=np.float64),
+         "mad_value": pd.Series([m], dtype=np.float64)}
+    )

@@ -1148,6 +1148,30 @@ def test_exact_quantiles_cont_vs_duckdb():
         assert got["value"].tolist() == want, name
 
 
+def test_mad_vs_duckdb():
+    """mad() == quantile_cont(|x − quantile_cont(x,0.5)|, 0.5), bit-exact,
+    including the heavy-duplicate shape where refinement stalls."""
+    import duckdb as _duck
+
+    from oboyu_ray.stages.quantiles import mad
+
+    rng = np.random.RandomState(31)
+    for name, vals in {
+        "skewed": np.round(np.exp(rng.standard_normal(15_000) * 2) * 10, 2),
+        "heavy_dup": np.repeat([5.0, 5.0, 9.0, 100.0], 3_000).astype(np.float64),
+        "small": np.array([1.0, 2.0, 10.0]),
+    }.items():
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+        got = mad(ds, "x", n_bins=32, collect_limit=128)
+        con = _duck.connect()
+        con.register("v", pa.table({"x": pa.array(vals)}))
+        med, mv = con.execute(
+            "SELECT quantile_cont(x, 0.5), mad(x) FROM v"
+        ).fetchone()
+        assert got["median"][0] == med, name
+        assert got["mad_value"][0] == mv, name
+
+
 def test_interval_join_bound_edges():
     """Inclusive bounds on both ends; multi-match fan-out; users with no
     in-window orders emit nothing."""
