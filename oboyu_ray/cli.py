@@ -38,11 +38,12 @@ def cmd_build(args: argparse.Namespace) -> int:
     from oboyu_ray.config import BM25Config, BuildConfig
     from oboyu_ray.pipelines.build_index import build_index
 
+    in_format = getattr(args, "format", "parquet")  # absent on programmatic Namespaces
     files = sorted(glob.glob(args.transcripts))
     if not files:
-        print(f"no {args.format} files match {args.transcripts!r}", file=sys.stderr)
+        print(f"no {in_format} files match {args.transcripts!r}", file=sys.stderr)
         return 2
-    if args.format == "jsonl":
+    if in_format == "jsonl":
         # normalize-at-the-edge: resumable distributed JSONL→parquet shard
         # conversion, then the ordinary columnar build path
         import os

@@ -3784,6 +3784,28 @@ FROM orders
 """
 
 
+def q_weighted_sample(sf_dir: str) -> "pd.DataFrame":
+    """Reproducible weighted sampling without replacement (Efraimidis–
+    Spirakis over md5-uniforms): 100 orders drawn proportional to price."""
+    from oboyu_ray.stages.trainprep import weighted_sample
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", k=100)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT + 1)
+                 / 4503599627370496.0,
+             1.0 / o_totalprice) DESC,
+         o_orderkey ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3890,6 +3912,7 @@ def corpus_queries() -> dict:
         "documents_checksum": q_documents_checksum,
         "price_percentiles_cont": q_price_percentiles_cont,
         "price_robust_dispersion": q_price_robust_dispersion,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3979,6 +4002,7 @@ def corpus_oracle_sql() -> dict:
         "documents_checksum": SQL_DOCUMENTS_CHECKSUM,
         "price_percentiles_cont": SQL_PRICE_PERCENTILES_CONT,
         "price_robust_dispersion": SQL_PRICE_ROBUST_DISPERSION,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -85,3 +85,41 @@ def test_checksum_detects_single_row_change():
     a = table_checksum(ray.data.from_pandas(df), "doc_id", "text")
     b = table_checksum(ray.data.from_pandas(df2), "doc_id", "text")
     assert a["checksum"][0] != b["checksum"][0]
+
+
+def test_weighted_sample_deterministic_and_biased():
+    from oboyu_ray.stages.trainprep import weighted_sample
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {"id": np.arange(1, 20_001, dtype=np.int64),
+         "w": np.round(rng.exponential(100.0, 20_000) + 1.0, 2)}
+    )
+    a = weighted_sample(ray.data.from_pandas(df).repartition(8), "id", "w", k=50)
+    b = weighted_sample(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(3),
+        "id", "w", k=50,
+    )
+    # partitioning/order invariant
+    assert a.equals(b)
+    assert len(a) == 50 and a["id"].is_unique
+    # scalar A-Res reference: global top-k of u^(1/w)
+    import hashlib
+
+    h = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) for i in df["id"]),
+        dtype=np.float64, count=len(df),
+    )
+    key = np.power((h + 1.0) / float(1 << 52), 1.0 / df["w"].to_numpy())
+    want = set(df["id"].to_numpy()[np.argsort(-key)[:50]].tolist())
+    assert set(a["id"]) == want
+    # weight bias: sampled mean weight far above population mean
+    assert a["w"].mean() > 2 * df["w"].mean()
+
+
+def test_weighted_sample_rejects_nonpositive():
+    from oboyu_ray.stages.trainprep import weighted_sample
+
+    df = pd.DataFrame({"id": [1, 2, 3], "w": [1.0, 0.0, 2.0]})
+    with pytest.raises(Exception):
+        weighted_sample(ray.data.from_pandas(df), "id", "w", k=2)
