@@ -160,6 +160,7 @@ def _make_score_docs(
     local_k: int | None = None,
     filter_col: str | None = None,
     filter_value=None,
+    require_all: bool = False,
 ):
     """Batch fn scoring a batch of DOCS against every query.
 
@@ -178,6 +179,9 @@ def _make_score_docs(
     """
     n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
     weights = _query_weights(queries, df_map, n_docs)
+    # strict-AND needs the count of distinct terms AS ASKED (a corpus-absent
+    # term is unmatchable → the conjunctive result is empty, not relaxed)
+    need_terms = {qid: len(set(ts)) for qid, ts in queries.items()}
     k1, b = cfg.k1, cfg.b
     all_terms = sorted({t for w in weights.values() for t in w})
     term_set = pa.array(all_terms, type=pa.string())
@@ -192,6 +196,16 @@ def _make_score_docs(
             sub = pdf[pdf["term"].isin(w.keys())]
             if sub.empty:
                 continue
+            if require_all:
+                # conjunctive (AND) semantics: a doc qualifies only with ALL
+                # the query's distinct terms present.  (doc, term) rows are
+                # unique, so the per-doc row count IS the distinct-term
+                # count; batch-local is exact because score_docs sees every
+                # posting of a doc (structural per-doc completeness above).
+                nmatch = sub.groupby(id_col, sort=False)[id_col].transform("size")
+                sub = sub[nmatch.to_numpy() == need_terms[qid]]
+                if sub.empty:
+                    continue
             iw = sub["term"].map(w).to_numpy(dtype=np.float64)
             tf = sub["tf"].to_numpy(dtype=np.float64)
             dl = sub["dl"].to_numpy(dtype=np.float64)
@@ -462,6 +476,7 @@ def brute_force_topk(
     stats: Dict[str, float] | None = None,
     filter_col: str | None = None,
     filter_value=None,
+    require_all: bool = False,
 ) -> pd.DataFrame:
     """EXACT top-k per query: (query_id, <id_col>, score_micros, rank),
     ranked by (score_micros DESC, doc ASC) — deterministic across engines.
@@ -471,7 +486,8 @@ def brute_force_topk(
     of the union); the driver merges k·#batches candidate rows — NEVER the
     full (query, doc) score table.  ``filter_col``/``filter_value`` restrict
     candidates in-batch (M14 filtered search) while statistics stay
-    full-corpus.
+    full-corpus.  ``require_all`` switches to conjunctive (AND) retrieval:
+    only docs containing every distinct query term rank.
     """
     empty = pd.DataFrame(
         {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
@@ -483,6 +499,7 @@ def brute_force_topk(
     score_docs = _make_score_docs(
         queries, cfg, stats, df_map, id_col, text_col,
         local_k=k, filter_col=filter_col, filter_value=filter_value,
+        require_all=require_all,
     )
     pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
     if pdf.empty:

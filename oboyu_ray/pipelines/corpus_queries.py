@@ -3806,6 +3806,73 @@ LIMIT 100
 """
 
 
+def q_bm25_topk_conjunctive(sf_dir: str) -> "pd.DataFrame":
+    """Conjunctive (AND) BM25 retrieval: only documents containing EVERY
+    distinct query term rank — boolean-AND candidate semantics with the
+    ordinary BM25 score order.  A corpus-absent query term makes that
+    query's result empty (strict AND), mirrored in the oracle by counting
+    contrib rows against the full qterms list."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import BM25_QUERIES, CFG, TOPK as _K
+
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return brute_force_topk(docs, queries, k=_K, cfg=CFG, require_all=True)
+
+
+def _sql_bm25_topk_conjunctive() -> str:
+    from oboyu_ray.pipelines.bm25_batch import tokenize_queries
+    from oboyu_ray.pipelines.entry_queries import (
+        BM25_QUERIES,
+        CFG,
+        SQL_POSTINGS_CTE,
+        TOPK as _K,
+    )
+
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qid, terms in queries.items():
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+nq AS (SELECT query_id, count(*)::BIGINT AS need FROM qterms GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (
+    SELECT query_id, doc_id, sum(c) AS score, count(*)::BIGINT AS nt
+    FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id,
+           CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY CAST(floor(s.score * 1e6 + 0.5) AS BIGINT) DESC, s.doc_id ASC
+           )::BIGINT AS rank
+    FROM scores s JOIN nq ON nq.query_id = s.query_id
+    WHERE s.nt = nq.need
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3913,6 +3980,7 @@ def corpus_queries() -> dict:
         "price_percentiles_cont": q_price_percentiles_cont,
         "price_robust_dispersion": q_price_robust_dispersion,
         "weighted_sample": q_weighted_sample,
+        "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
     }
 
 
@@ -4003,6 +4071,7 @@ def corpus_oracle_sql() -> dict:
         "price_percentiles_cont": SQL_PRICE_PERCENTILES_CONT,
         "price_robust_dispersion": SQL_PRICE_ROBUST_DISPERSION,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "bm25_topk_conjunctive": _sql_bm25_topk_conjunctive(),
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -565,15 +565,38 @@ def mad(
     then the interpolated median of a derived |x − med| column — no sort,
     no materialization, same refinement machinery both times.
 
-    Returns one row: (median, mad_value), both bit-exact vs the oracle."""
-    med = float(exact_quantiles_cont(ds, col, [0.5], n_bins, collect_limit)["value"][0])
+    Returns one row: (median, mad_value), both bit-exact vs the oracle.
+
+    Pass economy: the single projected column is materialized once (the
+    refinement re-reads it several times; one float column is bounded —
+    the same column-cache trade the refinement itself makes), and phase 2
+    reuses phase 1's (n, min, max): |x − med| has the same count, a valid
+    conservative interval [0, max(gmax−med, med−gmin)], so its count pass
+    is skipped outright."""
+    proj = ds.select_columns([col]).materialize()
+    stats1 = _count_nonnull(proj, col)
+    n_total, gmin, gmax = stats1
+    if n_total == 0:
+        return pd.DataFrame(
+            {"median": pd.Series(dtype=np.float64),
+             "mad_value": pd.Series(dtype=np.float64)}
+        )
+    h = 0.5 * (n_total - 1)
+    r = sorted({int(np.floor(h)), int(np.ceil(h))})
+    v = _values_at_ranks(proj, col, r, n_bins, collect_limit, stats=stats1)
+    vals = dict(zip(r, v))
+    frac = h - np.floor(h)
+    med = vals[int(np.floor(h))] * (1 - frac) + vals[int(np.ceil(h))] * frac
 
     def absdev(t: pa.Table) -> pa.Table:
-        v = t.column(col).to_numpy().astype(np.float64)
-        return pa.table({"absdev": pa.array(np.abs(v - med))})
+        x = t.column(col).to_numpy().astype(np.float64)
+        return pa.table({"absdev": pa.array(np.abs(x - med))})
 
-    d = ds.select_columns([col]).map_batches(absdev, batch_format="pyarrow")
-    m = float(exact_quantiles_cont(d, "absdev", [0.5], n_bins, collect_limit)["value"][0])
+    d = proj.map_batches(absdev, batch_format="pyarrow").materialize()
+    stats2 = (n_total, 0.0, max(gmax - med, med - gmin))
+    v2 = _values_at_ranks(d, "absdev", r, n_bins, collect_limit, stats=stats2)
+    vals2 = dict(zip(r, v2))
+    m = vals2[int(np.floor(h))] * (1 - frac) + vals2[int(np.ceil(h))] * frac
     return pd.DataFrame(
         {"median": pd.Series([med], dtype=np.float64),
          "mad_value": pd.Series([m], dtype=np.float64)}

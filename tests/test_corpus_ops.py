@@ -2523,3 +2523,29 @@ def test_event_gap_stats_cross_partition_matches_pandas():
     ).astype("int64").sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[ref.columns].astype("int64"), ref)
     assert 99 not in got["user_id"].tolist()
+
+
+def test_bm25_conjunctive_strict_and():
+    """Conjunctive retrieval: every result doc contains ALL distinct query
+    terms; a corpus-absent term empties that query's result entirely."""
+    from oboyu_ray.config import BM25Config
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "spark merge spark table",
+            "spark only here",
+            "merge table spark merge",
+            "table merge nothing-else",
+        ]),
+    })).repartition(2)
+    cfg = BM25Config()
+    res = brute_force_topk(
+        docs,
+        {"both": ["spark", "merge"], "ghost": ["spark", "zzzznohit"]},
+        k=10, cfg=cfg, require_all=True,
+    )
+    both = res[res["query_id"] == "both"]["doc_id"].tolist()
+    assert sorted(both) == [1, 3]          # docs containing BOTH terms
+    assert (res["query_id"] == "ghost").sum() == 0  # absent term → empty
