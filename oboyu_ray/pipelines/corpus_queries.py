@@ -219,9 +219,13 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     the pair query)."""
     from oboyu_ray.stages.components import dedup_clusters
 
-    pairs_df = q_dedup_ngram_jaccard(sf_dir)
-    pairs = ray.data.from_pandas(pairs_df[["doc_a", "doc_b"]])
-    return dedup_clusters(pairs)
+    def build():
+        pairs_df = q_dedup_ngram_jaccard(sf_dir)
+        pairs = ray.data.from_pandas(pairs_df[["doc_a", "doc_b"]])
+        return dedup_clusters(pairs)
+
+    # memoized: the multi-round CC also feeds cluster_representatives
+    return _memo(sf_dir, "dedup_clusters", build).copy()
 
 
 SQL_DEDUP_CLUSTERS = rf"""
@@ -3873,6 +3877,37 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+def q_events_daily_ohlc(sf_dir: str) -> "pd.DataFrame":
+    """Per-day OHLC bars over the event value stream (open/close witness
+    (ts, event_id) tie-break; zero shuffles, bounded calendar fold)."""
+    from oboyu_ray.stages.window import daily_ohlc
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value", "event_id"]
+    )
+    return daily_ohlc(events)
+
+
+SQL_EVENTS_DAILY_OHLC = """
+WITH e AS (
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, ts, event_id, value
+    FROM events
+), r AS (
+    SELECT day, value,
+           row_number() OVER (PARTITION BY day ORDER BY ts ASC, event_id ASC) AS rf,
+           row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rl
+    FROM e
+)
+SELECT day,
+       min(CASE WHEN rf = 1 THEN value END) AS open_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       min(CASE WHEN rl = 1 THEN value END) AS close_value,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -3981,6 +4016,7 @@ def corpus_queries() -> dict:
         "price_robust_dispersion": q_price_robust_dispersion,
         "weighted_sample": q_weighted_sample,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
+        "events_daily_ohlc": q_events_daily_ohlc,
     }
 
 
@@ -4072,6 +4108,7 @@ def corpus_oracle_sql() -> dict:
         "price_robust_dispersion": SQL_PRICE_ROBUST_DISPERSION,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "bm25_topk_conjunctive": _sql_bm25_topk_conjunctive(),
+        "events_daily_ohlc": SQL_EVENTS_DAILY_OHLC,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -561,3 +561,79 @@ def first_seen_growth(
     )
     out["cum_users"] = out["new_users"].cumsum().astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def daily_ohlc(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> "pd.DataFrame":
+    """Per-day OHLC bars (open/high/low/close + count) over an event
+    stream — the telemetry downsampling shape.  open/close tie-break on
+    (ts, id) so the bar is deterministic under duplicate timestamps.
+
+    open/close are NOT mergeable by value, but their (ts, id) argmin /
+    argmax ARE: each batch folds to ≤ one partial row per day carrying its
+    local extremes-with-witnesses, and the driver folds ≤ days × blocks
+    partial rows over the bounded calendar grid (the `dense_daily_agg`
+    zero-shuffle pattern)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _ts_int64(t.column(ts_col))
+        val = t.column(val_col).to_numpy().astype(np.float64)
+        eid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts // US_PER_DAY
+        order = np.lexsort((eid, ts, day))
+        d, tss, eids, vals = day[order], ts[order], eid[order], val[order]
+        new = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(d)] - 1  # last index of each day run
+        return pa.table(
+            {
+                "day": pa.array(d[starts], type=pa.int64()),
+                "open_ts": pa.array(tss[starts], type=pa.int64()),
+                "open_id": pa.array(eids[starts], type=pa.int64()),
+                "open_value": pa.array(vals[starts]),
+                "close_ts": pa.array(tss[ends], type=pa.int64()),
+                "close_id": pa.array(eids[ends], type=pa.int64()),
+                "close_value": pa.array(vals[ends]),
+                "low_value": pa.array(np.minimum.reduceat(vals, starts)),
+                "high_value": pa.array(np.maximum.reduceat(vals, starts)),
+                "n": pa.array(np.diff(np.r_[starts, len(d)]).astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.select_columns([ts_col, val_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    opens = (
+        parts.sort_values(["day", "open_ts", "open_id"], kind="mergesort")
+        .groupby("day", sort=True)["open_value"].first()
+    )
+    closes = (
+        parts.sort_values(
+            ["day", "close_ts", "close_id"], ascending=[True, False, False],
+            kind="mergesort",
+        ).groupby("day", sort=True)["close_value"].first()
+    )
+    agg = parts.groupby("day", sort=True).agg(
+        low_value=("low_value", "min"),
+        high_value=("high_value", "max"),
+        n_events=("n", "sum"),
+    )
+    out = pd.DataFrame(
+        {
+            "day": (agg.index.to_numpy(dtype=np.int64) * US_PER_DAY).astype(
+                "datetime64[us]"
+            ),
+            "open_value": opens.to_numpy(dtype=np.float64),
+            "high_value": agg["high_value"].to_numpy(dtype=np.float64),
+            "low_value": agg["low_value"].to_numpy(dtype=np.float64),
+            "close_value": closes.to_numpy(dtype=np.float64),
+            "n_events": agg["n_events"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out.reset_index(drop=True)

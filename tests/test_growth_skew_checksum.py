@@ -123,3 +123,29 @@ def test_weighted_sample_rejects_nonpositive():
     df = pd.DataFrame({"id": [1, 2, 3], "w": [1.0, 0.0, 2.0]})
     with pytest.raises(Exception):
         weighted_sample(ray.data.from_pandas(df), "id", "w", k=2)
+
+
+def test_daily_ohlc_ties_and_partition_invariance():
+    from oboyu_ray.stages.window import daily_ohlc
+
+    # two events share the day-open timestamp: lower event_id wins open;
+    # two share the day-close timestamp: higher event_id wins close
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([5, 2, 9, 7, 3, 8], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2025-03-01 00:00:00", "2025-03-01 00:00:00",
+                 "2025-03-01 23:59:59", "2025-03-01 23:59:59",
+                 "2025-03-02 10:00:00", "2025-03-02 11:00:00"]
+            ).astype("datetime64[us]"),
+            "value": [10.0, 20.0, 30.0, 40.0, 5.0, 6.0],
+        }
+    )
+    a = daily_ohlc(ray.data.from_pandas(df).repartition(3))
+    assert a["open_value"].tolist() == [20.0, 5.0]   # event_id 2 and 3
+    assert a["close_value"].tolist() == [30.0, 6.0]  # event_id 9 and 8
+    assert a["high_value"].tolist() == [40.0, 6.0]
+    assert a["low_value"].tolist() == [10.0, 5.0]
+    assert a["n_events"].tolist() == [4, 2]
+    b = daily_ohlc(ray.data.from_pandas(df.sample(frac=1.0, random_state=2)))
+    assert a.equals(b)
