@@ -3908,6 +3908,27 @@ FROM r GROUP BY day
 """
 
 
+def q_value_percentiles_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated per-group percentiles (event value per event_type) —
+    grouped_quantiles in quantile_cont mode (string groups, DuckDB-pinned
+    lerp; one lexsort per group bucket)."""
+    from oboyu_ray.stages.quantiles import grouped_quantiles
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_quantiles(
+        events, "event_type", "value", GQ_QS, interpolated=True
+    )
+
+
+SQL_VALUE_PERCENTILES_BY_TYPE = "\nUNION ALL\n".join(
+    f"SELECT event_type, CAST({int(round(q * 1e6))} AS BIGINT) AS q_micros, "
+    f"quantile_cont(value, {q}) AS value FROM events GROUP BY event_type"
+    for q in GQ_QS
+)
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -4017,6 +4038,7 @@ def corpus_queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "events_daily_ohlc": q_events_daily_ohlc,
+        "value_percentiles_by_type": q_value_percentiles_by_type,
     }
 
 
@@ -4109,6 +4131,7 @@ def corpus_oracle_sql() -> dict:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "bm25_topk_conjunctive": _sql_bm25_topk_conjunctive(),
         "events_daily_ohlc": SQL_EVENTS_DAILY_OHLC,
+        "value_percentiles_by_type": SQL_VALUE_PERCENTILES_BY_TYPE,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

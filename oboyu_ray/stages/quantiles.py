@@ -273,10 +273,13 @@ def grouped_quantiles(
     val_col: str,
     qs: Sequence[float],
     n_buckets: int = GQ_BUCKETS,
+    interpolated: bool = False,
 ) -> "ray.data.Dataset":
-    """Exact discrete quantiles PER GROUP (quantile_disc semantics) — the
-    per-stratum statistics pass of a training pipeline (e.g. token-count
-    percentiles per language / source).
+    """Exact quantiles PER GROUP — the per-stratum statistics pass of a
+    training pipeline (e.g. token-count percentiles per language / source).
+    ``interpolated=False`` → quantile_disc semantics; ``interpolated=True``
+    → quantile_cont (value at fractional rank q·(n−1), lerped with the
+    DuckDB-pinned ``lo·(1−f) + hi·f`` expression order — bit-exact).
 
     Groups hash-bucket across ``n_buckets`` reduce tasks; inside a bucket
     ONE lexsort over (group, value) resolves every group's every quantile
@@ -323,17 +326,28 @@ def grouped_quantiles(
         starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
         ends = np.r_[starts[1:], len(c_s)]
         sizes = ends - starts
-        # rank per (group, q): max(ceil(q*n)-1, 0) — vectorized over the
-        # (groups × quantiles) grid
-        ranks = np.maximum(
-            np.ceil(qarr[None, :] * sizes[:, None]).astype(np.int64) - 1, 0
-        )
-        idx = starts[:, None] + ranks
+        if interpolated:
+            # fractional rank h = q·(n−1) per (group, q); lerp between the
+            # bracketing order statistics — vectorized over the grid
+            h = qarr[None, :] * (sizes[:, None] - 1)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.ceil(h).astype(np.int64)
+            frac = h - np.floor(h)
+            vlo = v_s[starts[:, None] + lo]
+            vhi = v_s[starts[:, None] + hi]
+            vals = vlo * (1 - frac) + vhi * frac
+        else:
+            # rank per (group, q): max(ceil(q*n)-1, 0) — vectorized over
+            # the (groups × quantiles) grid
+            ranks = np.maximum(
+                np.ceil(qarr[None, :] * sizes[:, None]).astype(np.int64) - 1, 0
+            )
+            vals = v_s[starts[:, None] + ranks]
         return pd.DataFrame(
             {
                 group_col: np.repeat(np.asarray(uniq)[c_s[starts]], len(qarr)),
                 "q_micros": np.tile(qmic, len(starts)),
-                "value": v_s[idx].ravel(),
+                "value": vals.ravel(),
             }
         )
 
