@@ -51,7 +51,9 @@ def cmd_build(args: argparse.Namespace) -> int:
         from oboyu_ray.sources.jsonl import jsonl_to_parquet_shards
 
         files = jsonl_to_parquet_shards(
-            files, os.path.join(args.index_dir, "converted_shards")
+            files,
+            os.path.join(args.index_dir, "converted_shards"),
+            strict=not getattr(args, "lenient", False),
         )
     cfg = BuildConfig(
         bm25=BM25Config(k1=args.k1, b=args.b),
@@ -123,6 +125,9 @@ def main(argv=None) -> int:
                    help="input shard format (jsonl converts once into "
                         "<index-dir>/converted_shards, then builds columnar)")
     b.add_argument("--index-dir", required=True)
+    b.add_argument("--lenient", action="store_true",
+                   help="jsonl only: quarantine malformed lines (counted in "
+                        "conversion_manifest.json) instead of failing the shard")
     b.add_argument("--files-per-part", type=int, default=1)
     b.add_argument("--window-docs", type=int, default=8192)
     b.add_argument("--vocab-buckets", type=int, default=32)

@@ -71,6 +71,41 @@ def read_jsonl_shard(path: str) -> pa.Table:
     return t.select([f.name for f in TRANSCRIPT_SCHEMA])
 
 
+def read_jsonl_shard_lenient(path: str):
+    """(table, n_bad_lines): the salvage path for scraped shards — tries
+    the vectorized reader first (zero cost on clean data) and only on
+    failure falls back to per-line parsing, SKIPPING lines that are not
+    valid JSON or do not coerce to the canonical schema.  Scraped corpora
+    are never clean; a 10^12-turn ingest must quarantine-and-continue, not
+    die at shard 31,417."""
+    import json
+    from datetime import datetime
+
+    try:
+        return read_jsonl_shard(path), 0
+    except (pa.ArrowInvalid, ValueError):
+        pass
+    cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    n_bad = 0
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                r = json.loads(line)
+                row = (
+                    str(r["conv_id"]), int(r["turn_idx"]), str(r["role"]),
+                    str(r["text"]), str(r.get("tool", "")),
+                    datetime.strptime(str(r["ts"]), _TS_FORMAT),
+                )
+            except Exception:
+                n_bad += 1
+                continue
+            for k, v in zip(cols, row):
+                cols[k].append(v)
+    return pa.Table.from_pydict(cols, schema=TRANSCRIPT_SCHEMA), n_bad
+
+
 def read_transcripts_jsonl(paths: List[str]) -> "ray.data.Dataset":
     """JSONL shards as a streaming transcript Dataset (schema-coerced).
 
@@ -88,14 +123,21 @@ def read_transcripts_jsonl(paths: List[str]) -> "ray.data.Dataset":
 
 
 def jsonl_to_parquet_shards(
-    jsonl_paths: List[str], out_dir: str
+    jsonl_paths: List[str], out_dir: str, strict: bool = True
 ) -> List[str]:
     """Distributed, resumable JSONL→parquet shard conversion.
 
     One Ray task per input shard writes `<stem>.parquet` via tmp+rename;
     already-converted shards are skipped (crash-safe resume — a partial
     tmp file is never visible under the committed name).  Returns the
-    parquet paths in input order, ready for `build_index`."""
+    parquet paths in input order, ready for `build_index`.
+
+    ``strict=False`` quarantines malformed lines instead of failing the
+    shard (`read_jsonl_shard_lenient`); per-shard bad-line counts merge
+    into ``<out_dir>/conversion_manifest.json`` across resumes, so the
+    ingest is auditable — skipped data is COUNTED, never silent."""
+    import json
+
     import ray.data
 
     os.makedirs(out_dir, exist_ok=True)
@@ -112,15 +154,37 @@ def jsonl_to_parquet_shards(
 
         def convert(batch: pa.Table) -> Iterator[pa.Table]:
             for row in batch.to_pylist():
-                tbl = read_jsonl_shard(row["src"])
+                if strict:
+                    tbl, n_bad = read_jsonl_shard(row["src"]), 0
+                else:
+                    tbl, n_bad = read_jsonl_shard_lenient(row["src"])
                 tmp = row["dst"] + ".tmp"
                 pq.write_table(tbl, tmp)
                 os.replace(tmp, row["dst"])
                 yield pa.table(
-                    {"dst": [row["dst"]], "rows": [tbl.num_rows]}
+                    {
+                        "dst": [row["dst"]],
+                        "rows": [tbl.num_rows],
+                        "bad_lines": [n_bad],
+                    }
                 )
 
-        ray.data.from_items(todo).map_batches(
-            convert, batch_format="pyarrow", batch_size=1
-        ).take_all()
+        done = (
+            ray.data.from_items(todo)
+            .map_batches(convert, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        manifest_path = os.path.join(out_dir, "conversion_manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        for r in done:
+            manifest[os.path.basename(r["dst"])] = {
+                "rows": int(r["rows"]), "bad_lines": int(r["bad_lines"])
+            }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True, indent=1)
+        os.replace(tmp, manifest_path)
     return out_paths

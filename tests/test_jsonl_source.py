@@ -102,3 +102,31 @@ def test_empty_lines_and_unicode(tmp_path):
     t = synth_transcripts_table(3, 0, 5)  # includes empty/whitespace turns
     p = write_transcripts_jsonl(t, str(tmp_path / "u.jsonl"))
     assert read_jsonl_shard(p).equals(t)
+
+
+def test_lenient_quarantines_bad_lines(tmp_path):
+    import json
+
+    from oboyu_ray.sources.jsonl import jsonl_to_parquet_shards, read_jsonl_shard_lenient
+
+    t = synth_transcripts_table(5, 0, 10)
+    p = str(tmp_path / "dirty.jsonl")
+    write_transcripts_jsonl(t, p)
+    with open(p, "a", encoding="utf-8") as f:
+        f.write("{not json at all\n")
+        f.write(json.dumps({"conv_id": "x", "turn_idx": "NaNish"}) + "\n")  # missing fields
+        f.write(json.dumps({"conv_id": "c9", "turn_idx": 0, "role": "user",
+                            "text": "ok", "tool": "", "ts": "bad-ts"}) + "\n")
+    got, n_bad = read_jsonl_shard_lenient(p)
+    assert n_bad == 3
+    assert got.num_rows == t.num_rows  # every clean row survived
+    assert got.slice(0, t.num_rows).equals(t)
+    # strict mode fails the shard; lenient conversion commits + manifests
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        jsonl_to_parquet_shards([p], str(tmp_path / "strict"))
+    outs = jsonl_to_parquet_shards([p], str(tmp_path / "lenient"), strict=False)
+    assert pq.read_table(outs[0]).num_rows == t.num_rows
+    man = json.load(open(str(tmp_path / "lenient" / "conversion_manifest.json")))
+    assert man[os.path.basename(outs[0])]["bad_lines"] == 3
