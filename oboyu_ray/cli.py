@@ -128,7 +128,9 @@ def main(argv=None) -> int:
     b.add_argument("--lenient", action="store_true",
                    help="jsonl only: quarantine malformed lines (counted in "
                         "conversion_manifest.json) instead of failing the shard")
-    b.add_argument("--files-per-part", type=int, default=1)
+    b.add_argument("--files-per-part", type=int, default=0,
+                   help="input files per build partition; 0 (default) sizes "
+                        "automatically toward ~16 partitions per CPU")
     b.add_argument("--window-docs", type=int, default=8192)
     b.add_argument("--vocab-buckets", type=int, default=32)
     b.add_argument("--k1", type=float, default=1.2)

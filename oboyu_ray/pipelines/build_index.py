@@ -998,8 +998,21 @@ def build_index(
     ``change_strategy`` selects input change detection (reference
     change_detector.py strategies): "timestamp" (size+mtime, default),
     "hash" (sha256 content — touch-without-change rebuilds nothing) or
-    "smart" (hash under 10MB via a stat-keyed cache, timestamp above)."""
+    "smart" (hash under 10MB via a stat-keyed cache, timestamp above).
+
+    ``files_per_part=0`` sizes partitions automatically: group consecutive
+    files so the partition count lands near 16×CPUs (floor 64).  Measured
+    motivation (BASELINE): the same 10M-turn corpus builds at 194k turns/s
+    as 3,125 tiny partitions but 420k turns/s as 500 right-sized ones —
+    per-partition fixed cost dominates when shards are small, so badly
+    sharded input should never dictate the partition grid."""
     os.makedirs(index_dir, exist_ok=True)
+    if files_per_part == 0:  # auto: ~16 partitions per CPU, floor 64
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
+        max_parts = max(64, cpus * 16)
+        files_per_part = max(1, -(-len(transcript_files) // max_parts))
     _dirs(index_dir)
     t0 = time.time()
 

@@ -130,3 +130,25 @@ def test_lenient_quarantines_bad_lines(tmp_path):
     assert pq.read_table(outs[0]).num_rows == t.num_rows
     man = json.load(open(str(tmp_path / "lenient" / "conversion_manifest.json")))
     assert man[os.path.basename(outs[0])]["bad_lines"] == 3
+
+
+def test_auto_files_per_part_groups_and_matches(tmp_path):
+    """files_per_part=0 groups tiny shards toward 16 parts/CPU and yields
+    rank-identical results to the ungrouped build."""
+    from oboyu_ray.sources.transcripts import write_synth_transcripts
+
+    files = write_synth_transcripts(
+        str(tmp_path / "tiny"), n_convs=400, seed=3, convs_per_file=5
+    )  # 80 tiny files; 4-CPU test session → max_parts 64 → stride 2
+    cfg = BuildConfig(window_docs=256)
+    ra = build_index(files, str(tmp_path / "auto"), cfg, files_per_part=0)
+    rb = build_index(files, str(tmp_path / "one"), cfg, files_per_part=1)
+    assert ra["n_parts"] < rb["n_parts"] == len(files)
+    a = QueryEngine(str(tmp_path / "auto"), num_shards=2)
+    b = QueryEngine(str(tmp_path / "one"), num_shards=2)
+    try:
+        for q in ["検索 インデックス", "python model", "です"]:
+            assert a.search(q, k=10).equals(b.search(q, k=10))
+    finally:
+        a.close()
+        b.close()
