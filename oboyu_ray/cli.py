@@ -74,7 +74,10 @@ def cmd_query(args: argparse.Namespace) -> int:
     from oboyu_ray.pipelines.query import QueryEngine
 
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
-    out = engine.search(args.q, k=args.k, hydrate=args.hydrate)
+    out = engine.search(
+        args.q, k=args.k, hydrate=args.hydrate,
+        require_all=getattr(args, "require_all", False),
+    )
     print(out.to_string(index=False))
     engine.close()
     return 0
@@ -144,6 +147,9 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--num-shards", type=int, default=None)
     q.add_argument("--hydrate", action="store_true")
+    q.add_argument("--require-all", action="store_true",
+                   help="conjunctive (AND) retrieval: only docs containing "
+                        "every query term rank")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

@@ -188,6 +188,17 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
+    def query_all(self, term_weights: Dict[str, float], k: int):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get(
+            [s.query_all.remote(term_weights, k) for s in self.shards]
+        ):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
     def query_many(self, weight_dicts, k: int):
         import ray as _ray
 
@@ -299,13 +310,23 @@ class QueryEngine:
         count, reference bm25_indexer.py:332)."""
         return self._weights_from_dfs(terms, self.vocab.df(terms), int(self.stats["N"]))
 
-    def search_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
+    def search_terms(
+        self, terms: List[str], k: int = 10, require_all: bool = False
+    ) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
         weights = self.term_weights(terms)
         if not weights:
-            return pd.DataFrame(
-                {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
-            )
-        refs = [a.query.remote(weights, k) for a in self._targets]
+            return empty
+        if require_all:
+            # strict AND: a corpus-absent distinct term is unmatchable —
+            # term_weights drops df=0 terms, so compare against the asked set
+            if len(weights) < len(set(terms)):
+                return empty
+            refs = [a.query_all.remote(weights, k) for a in self._targets]
+        else:
+            refs = [a.query.remote(weights, k) for a in self._targets]
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in ray.get(refs):
@@ -341,9 +362,12 @@ class QueryEngine:
             out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         return out
 
-    def search(self, query: str, k: int = 10, hydrate: bool = False) -> pd.DataFrame:
+    def search(
+        self, query: str, k: int = 10, hydrate: bool = False,
+        require_all: bool = False,
+    ) -> pd.DataFrame:
         terms = self.tokenizer.tokenize(query)
-        out = self.search_terms(terms, k)
+        out = self.search_terms(terms, k, require_all=require_all)
         if len(out):
             conv, turn = self.resolver.resolve(out["doc_num"].to_numpy())
             out = out.assign(conv_id=conv, turn_idx=turn)

@@ -357,6 +357,63 @@ class IndexShard:
                     theta = top_scores[-1]
         return top_docs, top_scores
 
+    def query_all(
+        self, term_weights: Dict[str, float], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Conjunctive (AND) top-k: only docs containing EVERY term in
+        ``term_weights`` rank, scored with the ordinary BM25 sum.
+
+        Boolean AND is the classic intersection fast path: a part missing
+        any term is skipped outright, and the aligned-window layout gives
+        window-granular intersection for free — only windows where ALL
+        terms have a posting block can hold a qualifying doc, so the scan
+        set is ∩(term window lists) (np.intersect1d over sorted block-row
+        windows), usually a tiny fraction of any single term's blocks.
+        Within a surviving window, a per-doc presence count == n_terms
+        filters exactly.  AND prunes harder than any WAND bound, so no
+        block-max machinery is needed on this path."""
+        W = self.window_docs
+        nt = len(term_weights)
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0 or nt == 0:
+            return top_docs, top_scores
+        for part in self.parts:
+            hits = [
+                (w, *part.term_slices[t])
+                for t, w in term_weights.items()
+                if t in part.term_slices
+            ]
+            if len(hits) < nt:
+                continue  # some term absent from this part → no AND match
+            wins = None
+            for _, s, e in hits:
+                tw = part.win[s:e]  # sorted, one block row per window
+                wins = tw if wins is None else np.intersect1d(
+                    wins, tw, assume_unique=True
+                )
+                if not len(wins):
+                    break
+            if wins is None or not len(wins):
+                continue
+            for win_abs in wins.tolist():
+                base = int(win_abs) * W
+                acc = np.zeros(W, dtype=np.float64)
+                cnt = np.zeros(W, dtype=np.int64)
+                for w, s, e in hits:
+                    bi = s + int(np.searchsorted(part.win[s:e], win_abs))
+                    docs_abs, tf, dl = part.decode_range(bi, bi + 1)
+                    local = docs_abs - base
+                    acc[local] += w * self._tfnorm(tf, dl)
+                    cnt[local] += 1
+                idx = np.flatnonzero(cnt == nt)
+                if not len(idx):
+                    continue
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, base + idx, acc[idx], k
+                )
+        return top_docs, top_scores
+
     def _tfnorm(self, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         # set per-query via configure(); defaults match BM25Config
         k1 = getattr(self, "k1", 1.2)

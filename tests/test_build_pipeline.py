@@ -126,6 +126,41 @@ def test_wand_matches_brute_force(built, engine):
         )
 
 
+def test_conjunctive_engine_matches_brute_force(built, engine):
+    """query_all (window-intersection AND path) must be rank- and
+    score-identical to the Dataset brute force with require_all=True,
+    including strict-empty on corpus-absent terms."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    queries = tokenize_queries(QUERIES, CFG)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    k = 12
+    brute = brute_force_topk(
+        docs_ds, queries, k=k, cfg=CFG, id_col="doc_num", text_col="text",
+        stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+        require_all=True,
+    )
+    from oboyu_ray.pipelines.bm25_batch import score_micros
+
+    for q, terms in queries.items():
+        got = engine.search_terms(terms, k=k, require_all=True)
+        expect = brute[brute.query_id == q]
+        assert len(got) == len(expect), q
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), q
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=q,
+            )
+        # conjunctive results are a subset of the unrestricted candidates
+        loose = engine.search_terms(terms, k=1000)
+        assert set(got["doc_num"]) <= set(loose["doc_num"]) or len(got) == 0
+    # absent term → strict empty
+    assert len(engine.search_terms(["token", "zzz_nohit"], k=5, require_all=True)) == 0
+
+
 def test_engine_matches_reference_oracle(built, engine):
     """Rank-identical top-k docIDs + scores vs the reference BM25Indexer."""
     from tests.reference_oracle import reference_topk
