@@ -378,7 +378,7 @@ class IndexShard:
         top_scores = np.empty(0, dtype=np.float64)
         if k <= 0 or nt == 0:
             return top_docs, top_scores
-        for part in self.parts:
+        for part_idx, part in enumerate(self.parts):
             hits = [
                 (w, *part.term_slices[t])
                 for t, w in term_weights.items()
@@ -395,6 +395,26 @@ class IndexShard:
                 if not len(wins):
                     break
             if wins is None or not len(wins):
+                continue
+            # adaptive execution, mirroring query(): when the intersection
+            # covers most of the rarest term's windows (common-term ANDs),
+            # per-window decode loses to one vectorized whole-range pass
+            # through the contribution cache + a presence-count filter
+            rarest = min(e - s for _, s, e in hits)
+            if len(wins) * 2 > rarest:
+                span = part.n_windows * W
+                base = part.win_base * W
+                acc = np.zeros(span, dtype=np.float64)
+                cnt = np.zeros(span, dtype=np.int64)
+                for w, s, e in hits:
+                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                    acc[idx] += w * tfnorm
+                    cnt[idx] += 1
+                idx = np.flatnonzero(cnt == nt)
+                if len(idx):
+                    top_docs, top_scores = _merge_topk(
+                        top_docs, top_scores, base + idx, acc[idx], k
+                    )
                 continue
             for win_abs in wins.tolist():
                 base = int(win_abs) * W
