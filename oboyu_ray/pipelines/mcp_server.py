@@ -38,6 +38,12 @@ TOOLS = [
                 "query": {"type": "string"},
                 "top_k": {"type": "integer", "default": 5},
                 "index_dir": {"type": "string"},
+                "require_all": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "conjunctive (AND): only documents "
+                                   "containing every query term rank",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -83,9 +89,11 @@ class McpServer:
             self._engines[index_dir] = open_search(index_dir)
         return self._engines[index_dir]
 
-    def tool_search(self, query: str, index_dir: str, top_k: int = 5) -> Dict:
+    def tool_search(
+        self, query: str, index_dir: str, top_k: int = 5, require_all: bool = False
+    ) -> Dict:
         eng = self._engine(index_dir)
-        df = eng.search(query, k=int(top_k), hydrate=True)
+        df = eng.search(query, k=int(top_k), hydrate=True, require_all=bool(require_all))
         results = [
             {
                 "uri": str(r["doc_id"]),

@@ -578,6 +578,14 @@ def test_mcp_stdio_transport(tmp_path):
         {"jsonrpc": "2.0", "id": 6, "method": "tools/call",
          "params": {"name": "nope", "arguments": {}}},
         {"jsonrpc": "2.0", "id": 7, "method": "bogus/method"},
+        {"jsonrpc": "2.0", "id": 8, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha indexing", "index_dir": index_dir,
+                                  "top_k": 3, "require_all": True}}},
+        {"jsonrpc": "2.0", "id": 9, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens document", "index_dir": index_dir,
+                                  "top_k": 3, "require_all": True}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -598,6 +606,13 @@ def test_mcp_stdio_transport(tmp_path):
     assert "alpha.md" in hits["results"][0]["uri"]
     assert resps[6]["error"]["code"] == -32602
     assert resps[7]["error"]["code"] == -32601
+    # conjunctive: "alpha"∧"indexing" never co-occur → 0; "tokens"∧"document"
+    # co-occur only in alpha.md
+    and_none = _json.loads(resps[8]["result"]["content"][0]["text"])
+    assert and_none["stats"]["count"] == 0
+    and_one = _json.loads(resps[9]["result"]["content"][0]["text"])
+    assert and_one["stats"]["count"] == 1
+    assert "alpha.md" in and_one["results"][0]["uri"]
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
