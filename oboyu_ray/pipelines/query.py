@@ -199,10 +199,12 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
-    def query_many(self, weight_dicts, k: int):
+    def query_many(self, weight_dicts, k: int, require_all: bool = False):
         import ray as _ray
 
-        per_shard = _ray.get([s.query_many.remote(weight_dicts, k) for s in self.shards])
+        per_shard = _ray.get(
+            [s.query_many.remote(weight_dicts, k, require_all) for s in self.shards]
+        )
         out = []
         for j in range(len(weight_dicts)):
             top_docs = np.empty(0, dtype=np.int64)
@@ -333,17 +335,24 @@ class QueryEngine:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
-    def search_many(self, queries: List[str], k: int = 10) -> List[pd.DataFrame]:
+    def search_many(
+        self, queries: List[str], k: int = 10, require_all: bool = False
+    ) -> List[pd.DataFrame]:
         """Batched search: ONE vocab df pass for the union of all queries'
         terms (a single grouped point-lookup sweep instead of one per
         query), ONE fan-out round for all queries (per-shard query_many),
         then per-query exact merges — the throughput-serving path
-        (single-query latency is search())."""
+        (single-query latency is search()).  ``require_all`` applies
+        strict conjunctive semantics per query."""
         token_lists = [self.tokenizer.tokenize(q) for q in queries]
         dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
         n = int(self.stats["N"])
         weight_list = [self._weights_from_dfs(ts, dfs, n) for ts in token_lists]
-        live = [(i, w) for i, w in enumerate(weight_list) if w]
+        live = [
+            (i, w)
+            for i, w in enumerate(weight_list)
+            if w and not (require_all and len(w) < len(set(token_lists[i])))
+        ]
         out: List[pd.DataFrame] = [
             pd.DataFrame({"doc_num": pd.Series(dtype=np.int64),
                           "score": pd.Series(dtype=np.float64)})
@@ -351,7 +360,10 @@ class QueryEngine:
         ]
         if not live:
             return out
-        refs = [a.query_many.remote([w for _, w in live], k) for a in self._targets]
+        refs = [
+            a.query_many.remote([w for _, w in live], k, require_all)
+            for a in self._targets
+        ]
         per_shard = ray.get(refs)
         for j, (i, _) in enumerate(live):
             top_docs = np.empty(0, dtype=np.int64)

@@ -441,10 +441,12 @@ class IndexShard:
         avgdl = getattr(self, "avgdl", 1.0)
         return (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
 
-    def query_many(self, weight_dicts, k: int):
+    def query_many(self, weight_dicts, k: int, require_all: bool = False):
         """Batched queries — one actor round-trip for N queries (amortizes
-        the per-call RPC + serialization overhead for throughput serving)."""
-        return [self.query(w, k) for w in weight_dicts]
+        the per-call RPC + serialization overhead for throughput serving).
+        ``require_all`` routes every query through the conjunctive path."""
+        run = self.query_all if require_all else self.query
+        return [run(w, k) for w in weight_dicts]
 
     def configure(self, k1: float, b: float, avgdl: float) -> None:
         self.k1 = k1

@@ -161,6 +161,17 @@ def test_conjunctive_engine_matches_brute_force(built, engine):
     assert len(engine.search_terms(["token", "zzz_nohit"], k=5, require_all=True)) == 0
 
 
+def test_search_many_require_all_matches_single(built, engine):
+    """Batched conjunctive == per-query conjunctive (incl. an absent-term
+    query that must come back strict-empty in the batch)."""
+    qs = ["token 検索", "です", "python model", "token zzz_nohit"]
+    batched = engine.search_many(qs, k=8, require_all=True)
+    for q, got in zip(qs, batched):
+        single = engine.search_terms(engine.tokenizer.tokenize(q), k=8, require_all=True)
+        assert got["doc_num"].tolist() == single["doc_num"].tolist(), q
+    assert len(batched[3]) == 0  # absent term → strict empty
+
+
 def test_engine_matches_reference_oracle(built, engine):
     """Rank-identical top-k docIDs + scores vs the reference BM25Indexer."""
     from tests.reference_oracle import reference_topk
