@@ -78,3 +78,21 @@ def test_timestamp_dim():
     want = {(4.0, pd.Timestamp("2025-01-04")), (5.0, pd.Timestamp("2025-01-03")),
             (6.0, pd.Timestamp("2025-01-01"))}
     assert set(zip(got["p"], got["t"])) == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=60,
+    )
+)
+def test_kernel_property_vs_brute(pairs):
+    x = np.array([p[0] for p in pairs], dtype=np.float64)
+    y = np.array([p[1] for p in pairs], dtype=np.float64)
+    xs, ys = _skyline_min2(x, y)
+    assert set(zip(xs.tolist(), ys.tolist())) == brute_skyline(x, y)
