@@ -3929,6 +3929,60 @@ SQL_VALUE_PERCENTILES_BY_TYPE = "\nUNION ALL\n".join(
 )
 
 
+def q_leakage_safe_split(sf_dir: str) -> "pd.DataFrame":
+    """Leakage-safe train/val split: the unit of assignment is the near-dup
+    CLUSTER, not the document — two near-duplicates can never straddle the
+    split (the eval-set leakage a naive per-doc hash split causes).
+    Composition: memoized ngram-dedup components (docs outside any cluster
+    are their own singleton component) → deterministic md5 Bernoulli on the
+    COMPONENT id (the `stratified_sample` hash-threshold rule).  Distributed
+    as a map over docs with the bounded cluster map broadcast via ray.put
+    (clusters ≈ near-dup docs only, tiny next to the corpus)."""
+    import hashlib
+
+    cc = q_dedup_clusters(sf_dir)  # (doc_id, component, is_canonical), memoized
+    comp_map = dict(
+        zip(cc["doc_id"].astype(np.int64), cc["component"].astype(np.int64))
+    )
+    comp_ref = ray.put(comp_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(comp_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        comp = np.fromiter((cm.get(i, i) for i in ids), dtype=np.int64, count=len(ids))
+        split = [
+            "train"
+            if hashlib.md5(str(c).encode("utf-8")).hexdigest() < "8"
+            else "val"
+            for c in comp
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "component": pa.array(comp, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_leakage_safe_split() -> str:
+    return f"""
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CASE WHEN md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)) < '8'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d
+LEFT JOIN ({SQL_DEDUP_CLUSTERS}) c ON d.doc_id = c.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -4039,6 +4093,7 @@ def corpus_queries() -> dict:
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "events_daily_ohlc": q_events_daily_ohlc,
         "value_percentiles_by_type": q_value_percentiles_by_type,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -4132,6 +4187,7 @@ def corpus_oracle_sql() -> dict:
         "bm25_topk_conjunctive": _sql_bm25_topk_conjunctive(),
         "events_daily_ohlc": SQL_EVENTS_DAILY_OHLC,
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES_BY_TYPE,
+        "leakage_safe_split": _sql_leakage_safe_split(),
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

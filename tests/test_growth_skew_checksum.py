@@ -149,3 +149,25 @@ def test_daily_ohlc_ties_and_partition_invariance():
     assert a["n_events"].tolist() == [4, 2]
     b = daily_ohlc(ray.data.from_pandas(df.sample(frac=1.0, random_state=2)))
     assert a.equals(b)
+
+
+def test_leakage_safe_split_invariants():
+    """No near-dup pair straddles the split; every doc is assigned; split
+    fractions are sane."""
+    from oboyu_ray.pipelines.corpus_queries import (
+        q_dedup_ngram_jaccard,
+        q_leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_leakage_safe_split(sf)
+    assert out["doc_id"].is_unique
+    # every component lands in exactly one split
+    assert (out.groupby("component")["split"].nunique() == 1).all()
+    # near-dup PAIRS never straddle
+    pairs = q_dedup_ngram_jaccard(sf)
+    s = dict(zip(out["doc_id"], out["split"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert s[int(a)] == s[int(b)]
+    frac = (out["split"] == "train").mean()
+    assert 0.3 < frac < 0.7
