@@ -3983,6 +3983,32 @@ LEFT JOIN ({SQL_DEDUP_CLUSTERS}) c ON d.doc_id = c.doc_id
 """
 
 
+def q_user_action_context(sf_dir: str) -> "ray.data.Dataset":
+    """Context-window concat over the event stream (the SFT-sample shape
+    applied generically): per event, the previous 2 event_types of the
+    same user ordered by (ts, event_id), joined oldest-first.  ONE
+    user-bucketed cogroup, window built from n_prev vectorized
+    group-shifts."""
+    from oboyu_ray.stages.context import context_window_concat
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return context_window_concat(
+        events, "user_id", ["ts", "event_id"], "event_type", n_prev=2, sep=" "
+    )
+
+
+SQL_USER_ACTION_CONTEXT = """
+SELECT user_id, ts, event_id, event_type,
+       COALESCE(string_agg(event_type, ' ') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+       ), '') AS context
+FROM events
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -4094,6 +4120,7 @@ def corpus_queries() -> dict:
         "events_daily_ohlc": q_events_daily_ohlc,
         "value_percentiles_by_type": q_value_percentiles_by_type,
         "leakage_safe_split": q_leakage_safe_split,
+        "user_action_context": q_user_action_context,
     }
 
 
@@ -4188,6 +4215,7 @@ def corpus_oracle_sql() -> dict:
         "events_daily_ohlc": SQL_EVENTS_DAILY_OHLC,
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES_BY_TYPE,
         "leakage_safe_split": _sql_leakage_safe_split(),
+        "user_action_context": SQL_USER_ACTION_CONTEXT,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(

@@ -171,3 +171,28 @@ def test_leakage_safe_split_invariants():
         assert s[int(a)] == s[int(b)]
     frac = (out["split"] == "train").mean()
     assert 0.3 < frac < 0.7
+
+
+def test_sft_samples_from_transcripts():
+    """The transcript-payload SFT extraction: context = previous n turns
+    oldest-first, response = assistant turn text; first-turn responses
+    (no context) are dropped; partitioning-invariant."""
+    from oboyu_ray.sources.transcripts import synth_transcripts_table
+    from oboyu_ray.stages.context import sft_samples
+
+    t = synth_transcripts_table(21, 0, 40)
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = sft_samples(ds, n_prev=2, sep="\n").to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # scalar reference over the same table
+    df = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = []
+    for conv, g in df.groupby("conv_id", sort=True):
+        texts = g["text"].tolist()
+        for i, (ti, role, text) in enumerate(zip(g["turn_idx"], g["role"], g["text"])):
+            ctx = "\n".join(texts[max(i - 2, 0):i])
+            if role == "assistant" and ctx != "":
+                want.append((conv, int(ti), ctx, text))
+    assert list(zip(out["conv_id"], out["turn_idx"], out["context"], out["response"])) == want
+    assert len(want) > 50  # the synthetic corpus actually exercises this
