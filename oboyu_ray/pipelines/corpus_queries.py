@@ -4009,6 +4009,95 @@ FROM events
 """
 
 
+def q_revenue_concentration(sf_dir: str) -> "pd.DataFrame":
+    """Customer revenue concentration: for each revenue-decile threshold,
+    how many customers sit at-or-above it and what integer-ppm share of
+    total revenue they hold ("the top customers drive X%" curve).  No
+    global sort: ONE grouped sum per customer, streaming exact quantiles
+    for the thresholds, one partial-agg pass for the conditional sums,
+    Python-int driver division."""
+    from oboyu_ray.stages.quantiles import exact_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy().astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(cust, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"custkey": pa.array(uk), "rev_cents": pa.array(s)})
+
+    custrev = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .sum("rev_cents")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    thr = exact_quantiles(custrev, "sum(rev_cents)", qs)
+    thr_vals = thr["value"].to_numpy(np.float64)
+    tref = ray.put(thr_vals)
+
+    def above(t: pa.Table) -> pa.Table:
+        tv = ray.get(tref)
+        rev = t.column("sum(rev_cents)").to_numpy().astype(np.int64)
+        n = np.array([(rev >= x).sum() for x in tv], dtype=np.int64)
+        s = np.array([int(rev[rev >= x].sum()) for x in tv], dtype=np.int64)
+        return pa.table(
+            {
+                "qi": pa.array(np.arange(len(tv), dtype=np.int64)),
+                "n": pa.array(n),
+                "s": pa.array(s),
+                "ts": pa.array(np.full(len(tv), int(rev.sum()), dtype=np.int64)),
+            }
+        )
+
+    parts = custrev.map_batches(above, batch_format="pyarrow").to_pandas()
+    # per-batch partials summed per decile row; Python-int ppm division
+    agg = parts.groupby("qi", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), ts=("ts", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "q_micros": thr["q_micros"].to_numpy(np.int64),
+            "threshold_cents": thr_vals.astype(np.int64),
+            "n_customers": agg["n"].to_numpy(np.int64),
+            "revenue_share_ppm": pd.Series(
+                [int(s) * 1_000_000 // int(ts) for s, ts in zip(agg["s"], agg["ts"])],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def _sql_revenue_concentration() -> str:
+    # quantile_disc requires CONSTANT fractions → one branch per decile
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT {int(q * 1e6)}::BIGINT AS q_micros,
+       th::BIGINT AS threshold_cents,
+       (SELECT count(*) FROM c WHERE rev >= th)::BIGINT AS n_customers,
+       ((SELECT sum(rev::HUGEINT) FROM c WHERE rev >= th) * 1000000 // total)::BIGINT
+           AS revenue_share_ppm
+FROM (SELECT (SELECT quantile_disc(rev, {q}) FROM c) AS th), t"""
+        for q in [i / 10 for i in range(1, 10)]
+    )
+    return f"""
+WITH c AS (
+    SELECT o_custkey,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY o_custkey
+), t AS (SELECT sum(rev::HUGEINT) AS total FROM c)
+{branches}
+"""
+
+
+SQL_REVENUE_CONCENTRATION = _sql_revenue_concentration()
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -4121,6 +4210,7 @@ def corpus_queries() -> dict:
         "value_percentiles_by_type": q_value_percentiles_by_type,
         "leakage_safe_split": q_leakage_safe_split,
         "user_action_context": q_user_action_context,
+        "revenue_concentration": q_revenue_concentration,
     }
 
 
@@ -4216,6 +4306,7 @@ def corpus_oracle_sql() -> dict:
         "value_percentiles_by_type": SQL_VALUE_PERCENTILES_BY_TYPE,
         "leakage_safe_split": _sql_leakage_safe_split(),
         "user_action_context": SQL_USER_ACTION_CONTEXT,
+        "revenue_concentration": SQL_REVENUE_CONCENTRATION,
         # the normalize oracle expresses the stdlib fallback chain; register
         # it only when the heavy normalizers are absent (our chain == oracle)
         **(
