@@ -4032,10 +4032,14 @@ def q_revenue_concentration(sf_dir: str) -> "pd.DataFrame":
         np.add.at(s, inv, cents)
         return pa.table({"custkey": pa.array(uk), "rev_cents": pa.array(s)})
 
+    # materialized: the quantile refinement + threshold pass iterate this
+    # several times, and re-executing the groupby per pass would dominate;
+    # per-customer aggregates are orders-of-magnitude smaller than orders
     custrev = (
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("custkey")
         .sum("rev_cents")
+        .materialize()
     )
     qs = [i / 10 for i in range(1, 10)]
     thr = exact_quantiles(custrev, "sum(rev_cents)", qs)
