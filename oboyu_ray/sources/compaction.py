@@ -111,4 +111,26 @@ def compact_parquet(
         ray.data.from_items(todo).map_batches(
             merge, batch_format="pyarrow", batch_size=1
         ).take_all()
+
+    # Retire outputs of PREVIOUS runs whose (index, sig) is not in the
+    # current plan — a changed input set would otherwise leave stale
+    # compact-* files that a directory-swapping caller would read as
+    # duplicated/obsolete rows (ADVICE r3).  The manifest (tmp+rename)
+    # records the current run's valid outputs for callers that prefer an
+    # explicit list over a directory glob.
+    import json
+
+    valid = {os.path.basename(p) for p in out_paths}
+    for name in os.listdir(out_dir):
+        if (
+            name.startswith("compact-")
+            and name.endswith(".parquet")
+            and name not in valid
+        ):
+            os.remove(os.path.join(out_dir, name))
+    manifest = os.path.join(out_dir, "compaction_manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"outputs": [os.path.basename(p) for p in out_paths]}, f, indent=1)
+    os.replace(tmp, manifest)
     return out_paths

@@ -38,6 +38,26 @@ from oboyu_ray.sources.transcripts import TRANSCRIPT_SCHEMA
 _TS_FORMAT = "%Y-%m-%dT%H:%M:%S.%f"
 
 
+def _parse_ts(s: str):
+    """Salvage-path timestamp parse accepting the common ISO-8601 variants
+    real scraped data carries: fractional or whole seconds, trailing 'Z',
+    numeric UTC offsets.  Zoned stamps normalize to naive UTC (the canonical
+    schema is timestamp[us] without tz).  Raises on anything else — the
+    caller quarantines the line."""
+    from datetime import datetime, timezone
+
+    txt = s.strip()
+    if txt.endswith(("Z", "z")):
+        txt = txt[:-1] + "+00:00"
+    try:
+        dt = datetime.fromisoformat(txt)
+    except ValueError:
+        dt = datetime.strptime(s, _TS_FORMAT)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def write_transcripts_jsonl(table: pa.Table, path: str) -> str:
     """Write a transcript table as one JSONL shard (test/export helper;
     atomic).  Timestamps serialize as ISO-8601 with microseconds so the
@@ -79,7 +99,6 @@ def read_jsonl_shard_lenient(path: str):
     are never clean; a 10^12-turn ingest must quarantine-and-continue, not
     die at shard 31,417."""
     import json
-    from datetime import datetime
 
     try:
         return read_jsonl_shard(path), 0
@@ -96,7 +115,7 @@ def read_jsonl_shard_lenient(path: str):
                 row = (
                     str(r["conv_id"]), int(r["turn_idx"]), str(r["role"]),
                     str(r["text"]), str(r.get("tool", "")),
-                    datetime.strptime(str(r["ts"]), _TS_FORMAT),
+                    _parse_ts(str(r["ts"])),
                 )
             except Exception:
                 n_bad += 1
@@ -140,11 +159,28 @@ def jsonl_to_parquet_shards(
 
     import ray.data
 
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
+    # Output names must be unique per INPUT PATH, not per basename —
+    # data/*/shard.jsonl would otherwise map every directory's shard onto
+    # one output and silently drop all but the first (ADVICE r3).  Stems
+    # that collide get a deterministic short hash of the full input path
+    # appended; unique stems keep their plain name so existing committed
+    # conversions stay resumable.
+    stems: dict = {}
+    for p in jsonl_paths:
+        stems.setdefault(os.path.splitext(os.path.basename(p))[0], []).append(p)
+    if len(jsonl_paths) != len(set(jsonl_paths)):
+        dup = sorted({p for p in jsonl_paths if jsonl_paths.count(p) > 1})
+        raise ValueError(f"duplicate input paths: {dup[:5]}")
     out_paths = []
     todo = []
     for p in jsonl_paths:
         stem = os.path.splitext(os.path.basename(p))[0]
+        if len(stems[stem]) > 1:
+            tag = hashlib.md5(os.path.abspath(p).encode()).hexdigest()[:10]
+            stem = f"{stem}-{tag}"
         out = os.path.join(out_dir, stem + ".parquet")
         out_paths.append(out)
         if not os.path.exists(out):

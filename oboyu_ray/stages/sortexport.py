@@ -106,4 +106,17 @@ def range_sort_export(
         .map_groups(sort_write, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values("part_id").reset_index(drop=True)
+    out = out.sort_values("part_id").reset_index(drop=True)
+
+    # Remove part files from previous runs beyond the current plan (fewer
+    # n_parts, shrunk dataset, empty ranges) — "read parts in order =
+    # globally sorted" must never include stale data (ADVICE r3).
+    written = {f"part-{int(p):05d}.parquet" for p in out["part_id"]}
+    for name in os.listdir(out_dir):
+        if (
+            name.startswith("part-")
+            and name.endswith(".parquet")
+            and name not in written
+        ):
+            os.remove(os.path.join(out_dir, name))
+    return out

@@ -29,7 +29,9 @@ BatchRule = Tuple[str, Callable[[pa.Table], int]]
 
 
 def null_rule(col: str) -> BatchRule:
-    return (f"null_{col}", lambda t: int(t.column(col).null_count))
+    fn = lambda t: int(t.column(col).null_count)  # noqa: E731
+    fn.required_columns = (col,)
+    return (f"null_{col}", fn)
 
 
 def negative_rule(col: str) -> BatchRule:
@@ -41,6 +43,7 @@ def negative_rule(col: str) -> BatchRule:
             or 0
         )
 
+    fn.required_columns = (col,)
     return (f"negative_{col}", fn)
 
 
@@ -50,7 +53,27 @@ def empty_string_rule(col: str) -> BatchRule:
         bad = pc.or_kleene(pc.is_null(c), pc.equal(c, ""))
         return int(pc.sum(bad.cast(pa.int64())).as_py() or 0)
 
+    fn.required_columns = (col,)
     return (f"empty_{col}", fn)
+
+
+def rules_columns(
+    rules: List[BatchRule], unique_col: Optional[str] = None
+) -> List[str]:
+    """Union of the columns the given rules touch — the read-pruning list a
+    caller should pass to ``read_parquet(columns=...)``.  A rule whose
+    ``batch_fn`` lacks ``required_columns`` makes pruning unsound, so we
+    refuse loudly rather than silently reading everything."""
+    cols: set = set() if unique_col is None else {unique_col}
+    for name, fn in rules:
+        req = getattr(fn, "required_columns", None)
+        if req is None:
+            raise ValueError(
+                f"rule {name!r} does not declare required_columns; "
+                "cannot derive a pruned column list"
+            )
+        cols.update(req)
+    return sorted(cols)
 
 
 def validation_report(

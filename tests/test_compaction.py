@@ -78,3 +78,24 @@ def test_changed_input_changes_signature(small_files, tmp_path):
     pq.write_table(t, small_files[0])
     outs2 = compact_parquet(small_files, out_dir, target_bytes=20_000)
     assert outs2[0] != outs[0]  # stale output never reused
+
+
+def test_stale_outputs_retired_and_manifest(small_files, tmp_path):
+    """Re-running over a changed input set removes obsolete compact-*
+    outputs and writes a manifest of the valid ones — a directory-swapping
+    caller never reads stale rows (ADVICE r3)."""
+    import json
+
+    out_dir = str(tmp_path / "stale")
+    outs = compact_parquet(small_files, out_dir, target_bytes=20_000)
+    # shrink the input set → fewer groups, different sigs
+    outs2 = compact_parquet(small_files[:5], out_dir, target_bytes=20_000)
+    on_disk = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    assert on_disk == {os.path.basename(p) for p in outs2}
+    assert len(on_disk) < len(outs)
+    man = json.load(open(os.path.join(out_dir, "compaction_manifest.json")))
+    assert man["outputs"] == [os.path.basename(p) for p in outs2]
+    # content of the shrunk set still exact
+    a = table_checksum(ray.data.read_parquet(small_files[:5]), "doc_id", "text")
+    b = table_checksum(ray.data.read_parquet(outs2), "doc_id", "text")
+    assert a.equals(b)

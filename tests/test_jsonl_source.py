@@ -152,3 +152,57 @@ def test_auto_files_per_part_groups_and_matches(tmp_path):
     finally:
         a.close()
         b.close()
+
+
+def test_stem_collision_disambiguated(tmp_path):
+    """Two inputs with the same basename in different directories must map
+    to DISTINCT outputs — neither shard's data may be lost (ADVICE r3)."""
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    ta = synth_transcripts_table(3, 0, 5)
+    tb = synth_transcripts_table(3, 100, 105)
+    pa_ = write_transcripts_jsonl(ta, str(a_dir / "shard.jsonl"))
+    pb_ = write_transcripts_jsonl(tb, str(b_dir / "shard.jsonl"))
+    outs = jsonl_to_parquet_shards([pa_, pb_], str(tmp_path / "out"))
+    assert len(set(outs)) == 2
+    assert pq.read_table(outs[0]).equals(ta)
+    assert pq.read_table(outs[1]).equals(tb)
+    # resumable: second run returns the same names, converts nothing new
+    assert jsonl_to_parquet_shards([pa_, pb_], str(tmp_path / "out")) == outs
+    # duplicate input PATH is an error, not silent double-conversion
+    with pytest.raises(ValueError):
+        jsonl_to_parquet_shards([pa_, pa_], str(tmp_path / "dup"))
+
+
+def test_lenient_salvages_iso_variants(tmp_path):
+    """Whole-second ISO stamps (datetime.isoformat() on whole seconds),
+    'Z' suffix, and numeric offsets are SALVAGED, not quarantined; the
+    zoned forms normalize to naive UTC (ADVICE r3)."""
+    import json
+
+    from oboyu_ray.sources.jsonl import read_jsonl_shard_lenient
+
+    p = str(tmp_path / "variants.jsonl")
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "a",
+         "tool": "", "ts": "2026-01-02T03:04:05"},            # whole-second
+        {"conv_id": "c0", "turn_idx": 1, "role": "assistant", "text": "b",
+         "tool": "", "ts": "2026-01-02T03:04:05.250000Z"},    # Z suffix
+        {"conv_id": "c0", "turn_idx": 2, "role": "user", "text": "c",
+         "tool": "", "ts": "2026-01-02T05:04:05.5+02:00"},    # offset
+        {"conv_id": "c0", "turn_idx": 3, "role": "user", "text": "d",
+         "tool": "", "ts": "not a time"},                     # still bad
+    ]
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("{broken\n")  # force the lenient fallback path
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got, n_bad = read_jsonl_shard_lenient(p)
+    assert n_bad == 2  # the broken line + the unparseable ts only
+    assert got.num_rows == 3
+    ts = got.column("ts").to_pylist()
+    import datetime as dt
+
+    assert ts[0] == dt.datetime(2026, 1, 2, 3, 4, 5)
+    assert ts[1] == dt.datetime(2026, 1, 2, 3, 4, 5, 250000)
+    assert ts[2] == dt.datetime(2026, 1, 2, 3, 4, 5, 500000)  # +02:00 → UTC

@@ -77,3 +77,18 @@ def test_nan_lands_last(tmp_path):
     assert np.isnan(t.column("k").to_numpy()).sum() == 2
     first = pq.read_table(str(tmp_path / "n" / f"part-{int(summary['part_id'].min()):05d}.parquet"))
     assert not np.isnan(first.column("k").to_numpy()).any()
+
+
+def test_rerun_smaller_nparts_removes_stale(keyed, tmp_path):
+    """Re-running with fewer parts must not leave part files from the
+    earlier wider plan — in-order reads stay globally sorted (ADVICE r3)."""
+    out_dir = str(tmp_path / "rerun")
+    ds = ray.data.from_pandas(keyed).repartition(8)
+    range_sort_export(ds, "k", out_dir, n_parts=6)
+    summary = range_sort_export(ds, "k", out_dir, n_parts=3)
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert files == [f"part-{int(p):05d}.parquet" for p in summary["part_id"]]
+    cat = np.concatenate(
+        [pq.read_table(os.path.join(out_dir, f)).column("k").to_numpy() for f in files]
+    )
+    assert np.array_equal(cat, np.sort(keyed["k"].to_numpy()))
