@@ -273,18 +273,32 @@ class QueryEngine:
             avail = int(ray.available_resources().get("CPU", 4))
             num_shards = max(1, min(len(parts), avail))
         assign: List[List[int]] = [parts[i::num_shards] for i in range(num_shards)]
-        assign = [a for a in assign if a]
+        self._assign = [a for a in assign if a]
+        self.actors: List = []
+        self.aggregators: List = []
+        self._spawn_pool()
+
+    def _spawn_pool(self) -> None:
+        """(Re)create the shard actor pool from the on-disk index.  All
+        shard state lives on disk (block tables, dl arrays, vocab), so a
+        respawned pool answers every query identically — this is both the
+        initial construction and the fault-recovery path."""
+        for a in self.aggregators + self.actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
         Shard = ray.remote(IndexShard)
         self.actors = [
-            Shard.options(num_cpus=1).remote(index_dir, a, self.window_docs)
-            for a in assign
+            Shard.options(num_cpus=1).remote(self.index_dir, a, self.window_docs)
+            for a in self._assign
         ]
         avgdl = float(self.stats["avgdl"]) or 1.0
         ray.get([a.configure.remote(self.k1, self.b, avgdl) for a in self.actors])
 
         # two-level merge beyond the fan-out width: ~sqrt-sized groups of
         # shards behind aggregator actors (num_cpus=0 — they only wait+merge)
-        self.aggregators: List = []
+        self.aggregators = []
         if len(self.actors) > self._merge_fanout:
             import math
 
@@ -296,6 +310,22 @@ class QueryEngine:
                 if self.actors[g::n_groups]
             ]
         self._targets = self.aggregators or self.actors
+
+    def _fanout(self, submit):
+        """ray.get(submit(targets)) with one-shot fault recovery: a dead
+        shard/aggregator actor (node loss, OOM kill) raises RayActorError —
+        respawn the whole pool from disk and re-issue.  Queries are pure
+        reads, so the retry is idempotent and rank-identical."""
+        try:
+            return ray.get(submit(self._targets))
+        except ray.exceptions.RayActorError:
+            pass  # a target actor died
+        except ray.exceptions.RayTaskError as e:
+            # an aggregator survived but one of ITS shards died mid-merge
+            if not isinstance(e.cause, ray.exceptions.RayActorError):
+                raise
+        self._spawn_pool()
+        return ray.get(submit(self._targets))
 
     # ------------------------------------------------------------ querying
 
@@ -326,12 +356,16 @@ class QueryEngine:
             # term_weights drops df=0 terms, so compare against the asked set
             if len(weights) < len(set(terms)):
                 return empty
-            refs = [a.query_all.remote(weights, k) for a in self._targets]
+            results = self._fanout(
+                lambda ts: [a.query_all.remote(weights, k) for a in ts]
+            )
         else:
-            refs = [a.query.remote(weights, k) for a in self._targets]
+            results = self._fanout(
+                lambda ts: [a.query.remote(weights, k) for a in ts]
+            )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in ray.get(refs):
+        for docs, scores in results:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
@@ -360,11 +394,12 @@ class QueryEngine:
         ]
         if not live:
             return out
-        refs = [
-            a.query_many.remote([w for _, w in live], k, require_all)
-            for a in self._targets
-        ]
-        per_shard = ray.get(refs)
+        per_shard = self._fanout(
+            lambda ts: [
+                a.query_many.remote([w for _, w in live], k, require_all)
+                for a in ts
+            ]
+        )
         for j, (i, _) in enumerate(live):
             top_docs = np.empty(0, dtype=np.int64)
             top_scores = np.empty(0, dtype=np.float64)

@@ -1,0 +1,84 @@
+"""Query-tier fault injection (VERDICT r3 #6): killing an IndexShard (or
+MergeAggregator) actor mid-flight must not lose or change results — the
+engine respawns the pool from the on-disk index and returns the identical
+ranking.  All shard state is on disk, so recovery is a pure reload."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from oboyu_ray.config import BuildConfig
+from oboyu_ray.pipelines.build_index import build_index
+from oboyu_ray.pipelines.query import QueryEngine
+from oboyu_ray.sources.transcripts import write_synth_transcripts
+
+QUERIES = ["検索 インデックス", "python model", "merge sort", "です"]
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    base = tmp_path_factory.mktemp("fault")
+    files = write_synth_transcripts(
+        str(base / "in"), n_convs=300, seed=11, convs_per_file=50
+    )
+    build_index(files, str(base / "idx"), BuildConfig(window_docs=256))
+    # 4 shards on the 4-CPU test session; merge_fanout=1 forces the
+    # aggregator tier so BOTH actor kinds are exercised
+    eng = QueryEngine(str(base / "idx"), num_shards=4, merge_fanout=1)
+    yield eng
+    eng.close()
+
+
+def _frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if len(a) != len(b):
+        return False
+    return bool(
+        np.array_equal(a["doc_num"].to_numpy(), b["doc_num"].to_numpy())
+        and np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+    )
+
+
+def test_kill_shard_actor_recovers_identically(engine):
+    before = engine.search_many(QUERIES, k=10)
+    assert any(len(df) for df in before)
+
+    ray.kill(engine.actors[1])  # dead before the fan-out → RayActorError
+    after = engine.search_many(QUERIES, k=10)
+    for a, b in zip(before, after):
+        assert _frames_equal(a, b)
+    # pool is healthy again: single-query path too
+    assert _frames_equal(engine.search(QUERIES[0], k=10)[["doc_num", "score"]],
+                         before[0])
+
+
+def test_kill_aggregator_recovers_identically(engine):
+    assert engine.aggregators, "fixture must exercise the two-level merge"
+    before = engine.search_many(QUERIES, k=10, require_all=True)
+
+    ray.kill(engine.aggregators[0])
+    after = engine.search_many(QUERIES, k=10, require_all=True)
+    for a, b in zip(before, after):
+        assert _frames_equal(a, b)
+
+
+def test_kill_shard_behind_aggregator_recovers(engine):
+    """A shard dying while only aggregators are the driver's targets:
+    the failure surfaces as a RayTaskError whose cause is RayActorError —
+    the recovery path must unwrap and respawn, not re-raise."""
+    before = engine.search_terms(["model", "python"], k=10)
+
+    ray.kill(engine.actors[0])
+    after = engine.search_terms(["model", "python"], k=10)
+    assert _frames_equal(before, after)
+
+
+def test_non_actor_errors_still_raise(engine):
+    """Recovery must not swallow genuine bugs: a task that fails for a
+    non-actor-death reason propagates."""
+    with pytest.raises(Exception) as ei:
+        engine._fanout(lambda ts: [a.query.remote(None, 10) for a in ts])
+    assert not isinstance(ei.value, ray.exceptions.RayActorError)
