@@ -218,7 +218,9 @@ class IndexShard:
         self.parts: List[_PartIndex] = []
         for pid in part_ids:
             self.parts.append(_PartIndex(index_dir, pid, window_docs))
-        self._cache: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        # key (part, s, e) → ((idx, tfnorm), n_postings) sparse entries;
+        # key (part, s, e, -1) → (dense tfnorm array, span/2) gather entries
+        self._cache: Dict[Tuple, Tuple] = {}
         self._cache_postings = 0
 
     def _contrib_cached(self, part_idx: int, s: int, e: int):
@@ -230,20 +232,40 @@ class IndexShard:
         key = (part_idx, s, e)
         hit = self._cache.get(key)
         if hit is not None:
-            return hit
+            return hit[0]
         part = self.parts[part_idx]
         docs_abs, tf, dl = part.decode_range(s, e)
         idx = docs_abs - part.win_base * self.window_docs
         tfnorm = self._tfnorm(tf, dl)
         out = (idx, tfnorm)
-        n = len(idx)
-        if n <= self.DECODE_CACHE_POSTINGS:
-            while self._cache and self._cache_postings + n > self.DECODE_CACHE_POSTINGS:
-                old_key = next(iter(self._cache))
-                self._cache_postings -= len(self._cache.pop(old_key)[0])
-            self._cache[key] = out
-            self._cache_postings += n
+        self._cache_put(key, out, len(idx))
         return out
+
+    def _cache_put(self, key, payload, n: int) -> None:
+        if n > self.DECODE_CACHE_POSTINGS:
+            return
+        while self._cache and self._cache_postings + n > self.DECODE_CACHE_POSTINGS:
+            old_key = next(iter(self._cache))
+            self._cache_postings -= self._cache.pop(old_key)[1]
+        self._cache[key] = (payload, n)
+        self._cache_postings += n
+
+    def _dense_contrib_cached(self, part_idx: int, s: int, e: int, span: int):
+        """Dense part-local tfnorm array (0 where the term is absent) for a
+        term's block range — the gather-side representation the MaxScore
+        non-essential lookup uses for LONG lists (O(1) gather per candidate
+        instead of an O(log n) cache-cold binary search).  Built once from
+        the sparse cache entry; accounted in the same posting budget
+        (span/2 entries: 8 B each vs 16 B sparse)."""
+        key = (part_idx, s, e, -1)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit[0]
+        idx, tfnorm = self._contrib_cached(part_idx, s, e)
+        dense = np.zeros(span, dtype=np.float64)
+        dense[idx] = tfnorm
+        self._cache_put(key, dense, span // 2)
+        return dense
 
     def query(
         self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF
@@ -302,27 +324,25 @@ class IndexShard:
                         )
                 pos += m
             # adaptive execution: when pruning cannot drop most windows
-            # (common terms / unfilled heap), decode each term's whole block
-            # range in one vectorized pass and score the part densely; else
-            # walk windows in descending-bound order with block-max pruning.
+            # (common terms / unfilled heap), run the vectorized MaxScore
+            # pass over the whole part (essential/non-essential term split
+            # against θ — see _maxscore_part); else walk windows in
+            # descending-bound order with block-max pruning.
             if len(top_docs) >= k:
                 n_surviving = int((ub >= theta).sum())
             else:
                 n_surviving = len(uniq_wins)
             if n_surviving * 2 > len(uniq_wins):
-                base = part.win_base * W
-                span = part.n_windows * W
-                acc = np.zeros(span, dtype=np.float64)
-                present = np.zeros(span, dtype=bool)
-                for w, s, e in hits:
-                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
-                    acc[idx] += w * tfnorm
-                    present[idx] = True
-                idx = np.flatnonzero(present)
-                if len(idx) == 0:
+                res = self._maxscore_part(
+                    part_idx, part, hits, theta if len(top_docs) >= k else NEG_INF
+                )
+                if res is None:
+                    continue
+                docs_abs, scores = res
+                if len(docs_abs) == 0:
                     continue
                 top_docs, top_scores = _merge_topk(
-                    top_docs, top_scores, base + idx, acc[idx], k
+                    top_docs, top_scores, docs_abs, scores, k
                 )
                 if len(top_docs) >= k:
                     theta = top_scores[-1]
@@ -433,6 +453,112 @@ class IndexShard:
                     top_docs, top_scores, base + idx, acc[idx], k
                 )
         return top_docs, top_scores
+
+    def _maxscore_part(
+        self,
+        part_idx: int,
+        part: _PartIndex,
+        hits: List[Tuple[float, int, int]],
+        theta: float,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Exact MaxScore scan of one whole part (the ≥2-common-term shape
+        where window pruning is toothless: every window's bound clears θ).
+
+        Term-at-a-time, vectorized, document-partition-local:
+
+        1. Per-term part-level upper bound ub_t = w·max(block max_tfnorm)
+           for w > 0, else 0 (a doc lacking a negative-idf term contributes
+           0 — same soundness argument as the window bounds above).
+        2. Terms sorted by ub ascending; the longest prefix whose summed
+           bound is STRICTLY below θ is non-essential: a doc appearing
+           only in those lists scores < θ and cannot even tie (tie-breaks
+           go to (score DESC, doc ASC), but a strictly-lower score never
+           wins).  Common terms have low idf, hence low ub — exactly the
+           lists this split excludes from candidate generation.
+        3. Candidates = union of the essential (high-idf, short) lists;
+           their essential partial scores come from the contribution cache.
+        4. Candidates that cannot reach θ even with every non-essential
+           bound (partial + P < θ, P = summed non-essential ub) are dropped
+           BEFORE the non-essential lookups; survivors get exact
+           contributions via vectorized searchsorted into each
+           non-essential term's cached (sorted, unique) doc array.
+
+        Equality with brute force is pinned in
+        test_maxscore_matches_brute_force (incl. negative-idf terms).
+        Returns None when the whole part is pruned (Σub < θ)."""
+        ubs = np.array(
+            [
+                w * float(part.max_tfnorm[s:e].max()) if w > 0 else 0.0
+                for w, s, e in hits
+            ]
+        )
+        order = np.argsort(ubs, kind="stable")  # ascending bound
+        prefix = np.cumsum(ubs[order])
+        if theta > NEG_INF and prefix[-1] < theta:
+            return None  # no doc in this part can reach θ
+        jstar = (
+            int(np.searchsorted(prefix, theta, side="left"))
+            if theta > NEG_INF
+            else 0
+        )
+        if jstar >= len(hits):  # Σub == θ exactly: ties still possible
+            jstar = len(hits) - 1
+        ess = [hits[order[i]] for i in range(jstar, len(hits))]
+        noness = [hits[order[i]] for i in range(jstar)]
+        P = float(prefix[jstar - 1]) if jstar > 0 else 0.0
+        W = self.window_docs
+        base = part.win_base * W
+
+        if len(ess) == 1:
+            w, s, e = ess[0]
+            idx, tfnorm = self._contrib_cached(part_idx, s, e)
+            cand = idx
+            sc = w * tfnorm
+        else:
+            span = part.n_windows * W
+            acc = np.zeros(span, dtype=np.float64)
+            present = np.zeros(span, dtype=bool)
+            for w, s, e in ess:
+                idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                acc[idx] += w * tfnorm
+                present[idx] = True
+            cand = np.flatnonzero(present)
+            sc = acc[cand]
+        if noness:
+            sc = np.asarray(sc, dtype=np.float64).copy()
+            # pair each non-essential term with its part-level bound;
+            # process highest-bound first so the remaining-bound re-filter
+            # after each term sheds candidates fastest
+            noness_ub = sorted(
+                ((hits[order[i]], float(ubs[order[i]])) for i in range(jstar)),
+                key=lambda p: -p[1],
+            )
+            rem = P
+            span = part.n_windows * W
+            for (w, s, e), ub_t in noness_ub:
+                if theta > NEG_INF and len(cand):
+                    # drop candidates that cannot reach θ even if every
+                    # remaining term contributes its full bound (≥ keeps
+                    # exact-tie docs alive for the doc-id tie-break)
+                    keep = sc + rem >= theta
+                    cand = cand[keep]
+                    sc = sc[keep]
+                if len(cand) == 0:
+                    break
+                n_post = int(part.row_starts[e] - part.row_starts[s])
+                if n_post * 8 > span:
+                    # long list → dense O(1) gather beats binary search
+                    # (zeros where the term is absent contribute 0: exact)
+                    dense = self._dense_contrib_cached(part_idx, s, e, span)
+                    sc += w * dense[cand]
+                elif n_post:
+                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                    pos = np.searchsorted(idx, cand)
+                    pos_c = np.minimum(pos, len(idx) - 1)
+                    match = (pos < len(idx)) & (idx[pos_c] == cand)
+                    sc[match] += w * tfnorm[pos_c[match]]
+                rem -= ub_t
+        return base + cand, sc
 
     def _tfnorm(self, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         # set per-query via configure(); defaults match BM25Config
