@@ -109,6 +109,91 @@ def synth_conversation(seed: int, conv_i: int) -> dict:
     return cols
 
 
+# ---------------------------------------------------------------- zipf mode
+# A second, Zipf-REALISTIC corpus (VERDICT r3 #7): ~10^5 distinct content
+# words with P(rank r) ∝ 1/(r+1)^alpha, alpha ≈ 1.07 (web-text-like).  The
+# default "bench" corpus above is adversarially scan-heavy (~100 content
+# words, every query term df ≈ 10^6-7); this one has a realistic df ladder
+# (a handful of stop-like heads, a long tail of rare terms) so latency
+# numbers generalize.  Vectorized numpy generation: deterministic per
+# (seed, conv range) — the writers key files by range, so regeneration is
+# byte-identical per file.
+
+ZIPF_VOCAB_SIZE = 100_000
+ZIPF_ALPHA = 1.07
+_zipf_state: dict = {}
+
+
+def _zipf_tables(vocab_size: int, alpha: float):
+    import numpy as np
+
+    key = (vocab_size, alpha)
+    if key not in _zipf_state:
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        w = ranks ** (-alpha)
+        cum = np.cumsum(w / w.sum())
+        words = np.array([f"t{i:05x}" for i in range(vocab_size)], dtype=object)
+        _zipf_state[key] = (cum, words)
+    return _zipf_state[key]
+
+
+def synth_zipf_table(
+    seed: int,
+    conv_start: int,
+    conv_end: int,
+    vocab_size: int = ZIPF_VOCAB_SIZE,
+    alpha: float = ZIPF_ALPHA,
+) -> pa.Table:
+    """Arrow table of Zipf-vocabulary conversations [conv_start, conv_end).
+    Same schema / turn structure / empty-turn rate as the bench corpus;
+    only the text distribution differs."""
+    import numpy as np
+
+    cum, words = _zipf_tables(vocab_size, alpha)
+    rng = np.random.default_rng((seed << 32) ^ conv_start ^ (conv_end << 1))
+    n_convs = conv_end - conv_start
+    n_turns = rng.integers(2, 15, size=n_convs)
+    total_turns = int(n_turns.sum())
+    n_words = rng.integers(3, 61, size=total_turns)
+    blank = rng.random(total_turns)
+    # ~1% empty and ~1% whitespace-only turns (dl=0 docs, reference semantics)
+    n_words[blank < 0.02] = 0
+    total_words = int(n_words.sum())
+    samples = np.searchsorted(cum, rng.random(total_words))
+    word_arr = words[samples]
+    offsets = np.concatenate(([0], np.cumsum(n_words)))
+    texts = [
+        " ".join(word_arr[offsets[i] : offsets[i + 1]])
+        if n_words[i]
+        else ("" if blank[i] < 0.01 else "   ")
+        for i in range(total_turns)
+    ]
+    conv_ids = np.repeat(
+        np.array([f"c{conv_start + i:08d}" for i in range(n_convs)], dtype=object),
+        n_turns,
+    )
+    turn_idx = np.concatenate([np.arange(t) for t in n_turns]).astype(np.int32)
+    roles = np.array(_ROLES, dtype=object)[turn_idx % 3]
+    tools = np.array(_TOOLS, dtype=object)[rng.integers(0, len(_TOOLS), size=total_turns)]
+    conv_off = np.repeat(np.arange(n_convs) + conv_start, n_turns)
+    ts_us = (
+        (np.datetime64(_EPOCH, "us") - np.datetime64(0, "us")).astype(np.int64)
+        + conv_off * 37_000_000
+        + turn_idx.astype(np.int64) * 11_000_000
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_ids, type=pa.string()),
+            pa.array(turn_idx, type=pa.int32()),
+            pa.array(roles, type=pa.string()),
+            pa.array(texts, type=pa.string()),
+            pa.array(tools, type=pa.string()),
+            pa.array(ts_us, type=pa.timestamp("us")),
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
 def synth_transcripts_table(seed: int, conv_start: int, conv_end: int) -> pa.Table:
     """Arrow table of conversations [conv_start, conv_end) — deterministic."""
     merged: dict = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
@@ -119,11 +204,20 @@ def synth_transcripts_table(seed: int, conv_start: int, conv_end: int) -> pa.Tab
     return pa.Table.from_pydict(merged, schema=TRANSCRIPT_SCHEMA)
 
 
+def _table_fn(vocab: str):
+    if vocab == "zipf":
+        return synth_zipf_table
+    if vocab == "bench":
+        return synth_transcripts_table
+    raise ValueError(f"unknown synth vocab {vocab!r} (use 'bench' or 'zipf')")
+
+
 def write_synth_transcripts(
     out_dir: str,
     n_convs: int,
     seed: int = 42,
     convs_per_file: int = 2_000,
+    vocab: str = "bench",
 ) -> List[str]:
     """Write a deterministic transcript corpus as multiple parquet files
     (one per conv range — the file is the natural input shard)."""
@@ -131,13 +225,14 @@ def write_synth_transcripts(
 
     import pyarrow.parquet as pq
 
+    gen_table = _table_fn(vocab)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for start in range(0, n_convs, convs_per_file):
         end = min(start + convs_per_file, n_convs)
         path = os.path.join(out_dir, f"transcripts-{start:08d}-{end:08d}.parquet")
         if not os.path.exists(path):
-            tbl = synth_transcripts_table(seed, start, end)
+            tbl = gen_table(seed, start, end)
             tmp = path + ".tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
@@ -150,6 +245,7 @@ def write_synth_transcripts_parallel(
     n_convs: int,
     seed: int = 42,
     convs_per_file: int = 2_000,
+    vocab: str = "bench",
 ) -> List[str]:
     """Same corpus as ``write_synth_transcripts`` (identical bytes per file —
     generation is a pure function of (seed, conv range)) but generated by
@@ -159,6 +255,7 @@ def write_synth_transcripts_parallel(
     import pyarrow.parquet as pq
     import ray.data
 
+    gen_table = _table_fn(vocab)
     os.makedirs(out_dir, exist_ok=True)
     ranges = []
     paths = []
@@ -171,7 +268,7 @@ def write_synth_transcripts_parallel(
     if ranges:
         def gen(batch: pa.Table) -> Iterator[pa.Table]:
             for row in batch.to_pylist():
-                tbl = synth_transcripts_table(seed, row["start"], row["end"])
+                tbl = gen_table(seed, row["start"], row["end"])
                 tmp = row["path"] + ".tmp"
                 pq.write_table(tbl, tmp)
                 os.replace(tmp, row["path"])
