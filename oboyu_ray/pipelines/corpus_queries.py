@@ -2625,6 +2625,9 @@ def q_user_day_activity(sf_dir: str) -> "ray.data.Dataset":
     from oboyu_ray.stages.relational import hash_join
 
     def counts(etype: str, key_name: str, n_name: str) -> "ray.data.Dataset":
+        # per-batch PARTIAL (key, count) rows only — no groupby here: the
+        # hash_join's pre_sum folds a key's partials inside its bucket, so
+        # the whole query does ONE shuffle (the join's) instead of three
         ev = ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
         )
@@ -2635,42 +2638,42 @@ def q_user_day_activity(sf_dir: str) -> "ray.data.Dataset":
             uid = t.column("user_id").to_numpy(zero_copy_only=False)
             key = uid * _UD_KEY_BASE + ts // US_PER_DAY
             g = pa.table(
-                {key_name: pa.array(key), "one": pa.array(np.ones(len(key), np.int64))}
-            ).group_by(key_name).aggregate([("one", "sum")])
+                {key_name: pa.array(key), n_name: pa.array(np.ones(len(key), np.int64))}
+            ).group_by(key_name).aggregate([(n_name, "sum")])
             return pa.table(
-                {key_name: g.column(key_name), "n": g.column("one_sum").cast(pa.int64())}
+                {
+                    key_name: g.column(key_name),
+                    n_name: g.column(f"{n_name}_sum").cast(pa.int64()),
+                }
             )
 
-        def finish(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {key_name: b.column(key_name), n_name: b.column("sum(n)").cast(pa.int64())}
-            )
+        return ev.map_batches(partial, batch_format="pyarrow")
 
-        return (
-            ev.map_batches(partial, batch_format="pyarrow")
-            .groupby(key_name)
-            .sum("n")
-            .map_batches(finish, batch_format="pyarrow")
-        )
-
+    sig = counts("signup", "sk", "n_signups")
+    pur = counts("purchase", "pk", "n_purchases")
     j = hash_join(
-        counts("signup", "sk", "n_signups"),
-        counts("purchase", "pk", "n_purchases"),
-        "sk", "pk", how="outer",
+        sig, pur, "sk", "pk", how="outer",
+        left_schema=pa.schema([("sk", pa.int64()), ("n_signups", pa.int64())]),
+        right_schema=pa.schema([("pk", pa.int64()), ("n_purchases", pa.int64())]),
+        pre_sum_left=["n_signups"], pre_sum_right=["n_purchases"],
     )
 
-    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["sk"].fillna(df["pk"]).to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+    def coalesce(t: pa.Table) -> pa.Table:
+        key = (
+            pc.coalesce(t.column("sk"), t.column("pk"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
             {
-                "user_id": key // _UD_KEY_BASE,
-                "epoch_day": key % _UD_KEY_BASE,
-                "n_signups": df["n_signups"].fillna(0).astype(np.int64),
-                "n_purchases": df["n_purchases"].fillna(0).astype(np.int64),
+                "user_id": pa.array(key // _UD_KEY_BASE, type=pa.int64()),
+                "epoch_day": pa.array(key % _UD_KEY_BASE, type=pa.int64()),
+                "n_signups": pc.fill_null(t.column("n_signups"), 0).cast(pa.int64()),
+                "n_purchases": pc.fill_null(t.column("n_purchases"), 0).cast(pa.int64()),
             }
         )
 
-    return j.map_batches(coalesce, batch_format="pandas")
+    return j.map_batches(coalesce, batch_format="pyarrow")
 
 
 SQL_USER_DAY_ACTIVITY = """
@@ -2741,20 +2744,22 @@ def q_orders_unfilled(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderstatus": b.column("o_orderstatus"),
-                "n_orders": b.column("sum(n)").cast(pa.int64()),
-            }
+    # final reduce: |statuses| is a bounded constant (3), so the per-bucket
+    # partials fold on the driver — same shape as join_revenue's 15-key fold
+    # — instead of paying a second all-to-all sort-shuffle for a 3-row result
+    parts = [
+        b.to_pandas()
+        for b in unfilled.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
         )
-
-    return (
-        unfilled.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .sum("n")
-        .map_batches(finish, batch_format="pyarrow")
+    ]
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("o_orderstatus", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_orders"})
     )
+    return out.astype({"n_orders": "int64"})
 
 
 SQL_ORDERS_UNFILLED = """

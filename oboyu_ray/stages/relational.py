@@ -622,6 +622,8 @@ def hash_join(
     right_schema: "pa.Schema" = None,
     hot_keys=None,
     salt: int = 8,
+    pre_sum_left=None,
+    pre_sum_right=None,
 ) -> "ray.data.Dataset":
     """Large-large equi-join as a hash-bucketed cogroup.
 
@@ -664,11 +666,19 @@ def hash_join(
     when neither side fits a broadcast — prefer ``broadcast_join_agg``
     for dimension tables.
 
+    ``pre_sum_left`` / ``pre_sum_right`` name value columns to per-key
+    SUM inside the bucket before joining (the side must then be exactly
+    ``[key] + those columns``): a caller feeding per-batch partial counts
+    can skip its own upstream ``groupby().sum()`` shuffle entirely, because
+    co-partitioning is total — every partial row of a key reaches the same
+    bucket.  Incompatible with ``hot_keys`` (the probe side's round-robin
+    fan-out splits a hot key's partials across salt buckets, which would
+    undercount).
+
     The union requires one schema, so each side carries the other side's
     columns as typed nulls plus a ``side`` tag; both are dropped/split
     inside the bucket task.
     """
-    import pandas as pd
 
     def _arrow_schema(d: "ray.data.Dataset") -> pa.Schema:
         base = d.schema().base_schema
@@ -701,6 +711,12 @@ def hash_join(
         raise ValueError("hash_join: hot-key salting is unsupported for how='outer'")
     if hot_list and salt < 2:
         raise ValueError("hash_join: salt must be >= 2 when hot_keys are given")
+    if (pre_sum_left or pre_sum_right) and hot_list:
+        raise ValueError("hash_join: pre_sum_* is incompatible with hot_keys")
+    if pre_sum_left and set(lcols) != {left_on, *pre_sum_left}:
+        raise ValueError("hash_join: pre_sum_left requires left == [key]+sums")
+    if pre_sum_right and set(rcols) != {right_on, *pre_sum_right}:
+        raise ValueError("hash_join: pre_sum_right requires right == [key]+sums")
     def _tag(key_col: str, own_cols, other_cols, other_types, side: int):
         def tag(t: pa.Table) -> pa.Table:
             col = t.column(key_col)
@@ -762,34 +778,63 @@ def hash_join(
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
 
-    def _restore_int_dtypes(frame: pd.DataFrame, cols, types) -> pd.DataFrame:
-        # the union's typed-null padding turns int64 columns float64 inside
-        # pandas bucket blocks; rows that survive a given mode can't carry
-        # join-introduced NaN in these columns, so the cast back to the
-        # declared schema dtype is always safe (and DETERMINISTIC — never
-        # data-dependent, or downstream unions would see mixed block types)
-        for c in cols:
-            if pa.types.is_integer(types[c]) and frame[c].dtype != np.int64:
-                frame = frame.assign(**{c: frame[c].astype(np.int64)})
-        return frame
+    # Arrow-native in-bucket merge (no pandas round-trip): staying in Arrow
+    # keeps the union's typed-null padding lossless (int64 stays int64 —
+    # the old pandas path needed a dtype-restore dance) and the Acero hash
+    # join is ~3x the per-bucket pandas.merge in a microbench of this shape.
+    _JOIN_TYPE = {"inner": "inner", "left": "left outer", "outer": "full outer"}
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        is_l = g["side"].to_numpy() == 0
-        lf = g.loc[is_l, lcols]
-        rf = g.loc[~is_l, rcols]
+    def _pre_sum(tab: pa.Table, key: str, sums, types) -> pa.Table:
+        # per-key partial-sum fold inside the bucket: callers can skip a
+        # whole upstream groupby().sum() shuffle because co-partitioning is
+        # total — every partial row of a key lands in exactly this bucket
+        g2 = tab.group_by([key]).aggregate([(c, "sum") for c in sums])
+        return pa.table(
+            {key: g2.column(key)}
+            | {c: g2.column(f"{c}_sum").cast(types[c]) for c in sums}
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column("side"), 0)
+        lf = g.filter(is_l).select(lcols)
+        rf = g.filter(pc.invert(is_l)).select(rcols)
+        if pre_sum_left:
+            lf = _pre_sum(lf, left_on, pre_sum_left, ltypes).select(lcols)
+        if pre_sum_right:
+            rf = _pre_sum(rf, right_on, pre_sum_right, rtypes).select(rcols)
         if how in ("semi", "anti"):
-            hit = lf[left_on].isin(rf[right_on].to_numpy())
-            keep = hit if how == "semi" else ~hit
-            return _restore_int_dtypes(
-                lf.loc[keep].reset_index(drop=True), lcols, ltypes
+            hit = pc.is_in(lf.column(left_on), value_set=rf.column(right_on))
+            return lf.filter(hit if how == "semi" else pc.invert(hit))
+        # Acero coalesces the right key away (and, for full outer, writes the
+        # coalesced key into the left key slot) — presence sentinels let us
+        # reconstruct BOTH declared key columns with correct nulls
+        lj = lf.append_column("__lhit__", pa.repeat(pa.scalar(True), lf.num_rows))
+        rj = rf.append_column("__rhit__", pa.repeat(pa.scalar(True), rf.num_rows))
+        out = lj.join(
+            rj,
+            keys=left_on,
+            right_keys=right_on,
+            join_type=_JOIN_TYPE[how],
+            use_threads=False,  # one Ray CPU per bucket task; don't oversubscribe
+        )
+        key = out.column(left_on)
+        cols = {c: out.column(c) for c in lcols}
+        if how == "outer":
+            cols[left_on] = pc.if_else(
+                pc.is_valid(out.column("__lhit__")), key, pa.scalar(None, ltypes[left_on])
             )
-        out = lf.merge(rf, left_on=left_on, right_on=right_on, how=how)
-        out = _restore_int_dtypes(out, lcols, ltypes) if how != "outer" else out
-        if how == "inner":
-            out = _restore_int_dtypes(out, rcols, rtypes)
-        return out.reset_index(drop=True)
+        rkey = (
+            key.cast(rtypes[right_on])
+            if how == "inner"
+            else pc.if_else(
+                pc.is_valid(out.column("__rhit__")), key, pa.scalar(None, rtypes[right_on])
+            ).cast(rtypes[right_on])
+        )
+        for c in rcols:
+            cols[c] = rkey if c == right_on else out.column(c)
+        return pa.table(cols)
 
-    return unioned.groupby("jb").map_groups(merge, batch_format="pandas")
+    return unioned.groupby("jb").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- funnel

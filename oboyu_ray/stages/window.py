@@ -77,11 +77,14 @@ def keyed_window_scan(
             }
         )
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy(dtype=np.int64)
-        ts = g["ts_i"].to_numpy(dtype=np.int64)
-        rid = g["id"].to_numpy(dtype=np.int64)
-        vm = g["vm"].to_numpy(dtype=np.int64)
+    def scan(g: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out — the kernel is pure numpy over zero-copy
+        # int64 columns; skipping the per-bucket pandas round-trip saves a
+        # copy of every column in both directions
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_i").to_numpy(zero_copy_only=False)
+        rid = g.column("id").to_numpy(zero_copy_only=False)
+        vm = g.column("vm").to_numpy(zero_copy_only=False)
         order = np.lexsort((rid, ts, key))
         key_s, rid_s, vm_s = key[order], rid[order], vm[order]
         cum = np.cumsum(vm_s)
@@ -97,12 +100,12 @@ def keyed_window_scan(
         if len(running) > window:
             shifted[window:] = running[:-window]
         mv = running - np.where(pos >= window, shifted, 0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id": rid_s,
-                "key": key_s,
-                "cum_micros": running,
-                "mv_micros": mv,
+                "id": pa.array(rid_s, type=pa.int64()),
+                "key": pa.array(key_s, type=pa.int64()),
+                "cum_micros": pa.array(running, type=pa.int64()),
+                "mv_micros": pa.array(mv, type=pa.int64()),
             }
         )
 
@@ -110,7 +113,7 @@ def keyed_window_scan(
         ds.select_columns([key_col, ts_col, id_col, val_col])
         .map_batches(route, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(scan, batch_format="pandas")
+        .map_groups(scan, batch_format="pyarrow")
     )
 
 
