@@ -48,6 +48,17 @@ BM25_QUERIES: List[str] = [
 ]
 TOPK = 10
 
+# Fixed phrase-query set: 2-term, 3-term, stopword-interrupted (the stopword
+# drops out of the token stream, so the remaining terms must be adjacent),
+# single-survivor, and a no-hit phrase.
+PHRASE_QUERIES: List[str] = [
+    "hash join",
+    "merge sort table",
+    "scan the stream",
+    "the window",
+    "window zzznohit",
+]
+
 
 def _docs(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -208,6 +219,90 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase retrieval: top-10 BM25 over docs whose FILTERED token
+    stream contains the phrase terms adjacently and in order (reference
+    position semantics, bm25_indexer.py:290-308)."""
+    from oboyu_ray.pipelines.bm25_batch import phrase_topk
+
+    return phrase_topk(_docs(sf_dir), PHRASE_QUERIES, k=TOPK, cfg=CFG)
+
+
+def _sql_phrase_topk() -> str:
+    from collections import Counter
+
+    tokq = tokenize_queries(PHRASE_QUERIES, CFG)
+    phr_rows, plen_rows, qterm_rows = [], [], []
+    for p, terms in tokq.items():
+        if not terms:
+            continue  # tokenizes away -> no rows on either side
+        for off, t in enumerate(terms):
+            phr_rows.append(f"('{p}', '{t}', {off})")
+        plen_rows.append(f"('{p}', {len(terms)})")
+        for t, mult in Counter(terms).items():
+            qterm_rows.append(f"('{p}', '{t}', {mult})")
+    if not phr_rows:
+        return "SELECT NULL::VARCHAR AS query_id, NULL::BIGINT AS doc_id, NULL::BIGINT AS score_micros, NULL::BIGINT AS rank WHERE FALSE"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+seq AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}'),
+                       t -> length(t) >= {CFG.min_token_length} AND t NOT IN ({_SW})) AS s
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(s) AS term, generate_subscripts(s, 1) AS p FROM seq
+),
+phr(query_id, term, off) AS (VALUES {", ".join(phr_rows)}),
+plen(query_id, m) AS (VALUES {", ".join(plen_rows)}),
+starts AS (
+    -- relational division on the aligned start p-off: a full adjacency
+    -- match at start st satisfies every offset exactly once
+    SELECT ph.query_id, po.doc_id, po.p - ph.off AS st, count(*) AS nhit
+    FROM pos po JOIN phr ph ON ph.term = po.term
+    GROUP BY 1, 2, 3
+),
+cand AS (
+    SELECT DISTINCT s.query_id, s.doc_id
+    FROM starts s JOIN plen l ON l.query_id = s.query_id
+    WHERE s.nhit = l.m
+),
+qterms(query_id, term, mult) AS (VALUES {", ".join(qterm_rows)}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           q.mult * (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (
+    SELECT co.query_id, co.doc_id, sum(co.c) AS score
+    FROM contrib co JOIN cand ca ON ca.query_id = co.query_id AND ca.doc_id = co.doc_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -215,6 +310,7 @@ def core_queries() -> dict:
         "vocabulary": q_vocabulary,
         "collection_stats": q_collection_stats,
         "bm25_topk": q_bm25_topk,
+        "phrase_topk": q_phrase_topk,
     }
 
 
@@ -225,4 +321,5 @@ def core_oracle_sql() -> dict:
         "vocabulary": SQL_VOCABULARY,
         "collection_stats": SQL_COLLECTION_STATS,
         "bm25_topk": _sql_bm25_topk(),
+        "phrase_topk": _sql_phrase_topk(),
     }
