@@ -59,6 +59,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         bm25=BM25Config(k1=args.k1, b=args.b),
         window_docs=args.window_docs,
         vocab_buckets=args.vocab_buckets,
+        store_positions=getattr(args, "store_positions", False),
     )
     report = build_index(files, args.index_dir, cfg, files_per_part=args.files_per_part)
     print(json.dumps(report["timings_sec"] | {
@@ -74,10 +75,13 @@ def cmd_query(args: argparse.Namespace) -> int:
     from oboyu_ray.pipelines.query import QueryEngine
 
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
-    out = engine.search(
-        args.q, k=args.k, hydrate=args.hydrate,
-        require_all=getattr(args, "require_all", False),
-    )
+    if getattr(args, "phrase", False):
+        out = engine.search_phrase(args.q, k=args.k, hydrate=args.hydrate)
+    else:
+        out = engine.search(
+            args.q, k=args.k, hydrate=args.hydrate,
+            require_all=getattr(args, "require_all", False),
+        )
     print(out.to_string(index=False))
     engine.close()
     return 0
@@ -135,6 +139,8 @@ def main(argv=None) -> int:
                    help="input files per build partition; 0 (default) sizes "
                         "automatically toward ~16 partitions per CPU")
     b.add_argument("--window-docs", type=int, default=8192)
+    b.add_argument("--store-positions", action="store_true",
+                   help="positional index (enables `query --phrase`)")
     b.add_argument("--vocab-buckets", type=int, default=32)
     b.add_argument("--k1", type=float, default=1.2)
     b.add_argument("--b", type=float, default=0.75)
@@ -147,6 +153,8 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--num-shards", type=int, default=None)
     q.add_argument("--hydrate", action="store_true")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact adjacency phrase retrieval (positional index)")
     q.add_argument("--require-all", action="store_true",
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")

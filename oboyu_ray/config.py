@@ -70,6 +70,14 @@ class BuildConfig:
     # checkpointable unit).  At 10^6+ partitions add a combiner tree level
     # (partials-of-partials per partition range) to bound files per bucket.
     vocab_buckets: int = 32
+    # opt-in positional index (reference BM25Indexer(store_positions=True),
+    # bm25_indexer.py:38 — the reference allocates the slot but never fills
+    # or reads it; here it is real): postings carry per-(term, doc) token
+    # positions (indices in the FILTERED token stream) and blocks gain a
+    # delta+varint positions payload, enabling exact phrase retrieval
+    # (QueryEngine.search_phrase).  Costs ~1 varint per token occurrence;
+    # default off so the non-phrase build is byte-identical to before.
+    store_positions: bool = False
 
 
 DEFAULT_BUILD_CONFIG = BuildConfig()

@@ -683,6 +683,10 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
             "mode": cfg.bm25.tokenizer_mode,
         },
     }
+    # key present only when ON: legacy (position-free) checkpoints stay
+    # valid, and toggling either direction invalidates the partition
+    if cfg.store_positions:
+        lineage["store_positions"] = True
 
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
@@ -698,25 +702,48 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
     tfs: List[int] = []
     row_doc: List[int] = []
     row_dl: List[int] = []
+    row_pos: List[List[int]] = []
     dls = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        freqs = tok.get_term_frequencies(text or "")
-        if freqs:
-            dl = sum(freqs.values())
-            dls[i] = dl
-            terms.extend(freqs.keys())
-            tfs.extend(freqs.values())
-            row_doc.extend([int(doc_nums[i])] * len(freqs))
-            row_dl.extend([dl] * len(freqs))
+    if cfg.store_positions:
+        # positions = indices in the FILTERED token stream (reference
+        # bm25_indexer._get_term_positions semantics); every tokenizer's
+        # get_term_frequencies is Counter(tokenize), so deriving tf from the
+        # same walk is conformant by construction
+        for i, text in enumerate(texts):
+            toks = tok.tokenize(text or "")
+            if toks:
+                per_term: Dict[str, List[int]] = {}
+                for p, t in enumerate(toks):
+                    per_term.setdefault(t, []).append(p)
+                dl = len(toks)
+                dls[i] = dl
+                terms.extend(per_term.keys())
+                tfs.extend(len(v) for v in per_term.values())
+                row_pos.extend(per_term.values())
+                row_doc.extend([int(doc_nums[i])] * len(per_term))
+                row_dl.extend([dl] * len(per_term))
+    else:
+        for i, text in enumerate(texts):
+            freqs = tok.get_term_frequencies(text or "")
+            if freqs:
+                dl = sum(freqs.values())
+                dls[i] = dl
+                terms.extend(freqs.keys())
+                tfs.extend(freqs.values())
+                row_doc.extend([int(doc_nums[i])] * len(freqs))
+                row_dl.extend([dl] * len(freqs))
 
-    postings = pa.table(
-        {
-            "term": pa.array(terms, type=pa.string()),
-            "doc_num": pa.array(row_doc, type=pa.int64()),
-            "tf": pa.array(tfs, type=pa.int64()),
-            "dl": pa.array(row_dl, type=pa.int64()),
-        }
-    ).sort_by([("term", "ascending"), ("doc_num", "ascending")])
+    cols = {
+        "term": pa.array(terms, type=pa.string()),
+        "doc_num": pa.array(row_doc, type=pa.int64()),
+        "tf": pa.array(tfs, type=pa.int64()),
+        "dl": pa.array(row_dl, type=pa.int64()),
+    }
+    if cfg.store_positions:
+        cols["pos"] = pa.array(row_pos, type=pa.list_(pa.int32()))
+    postings = pa.table(cols).sort_by(
+        [("term", "ascending"), ("doc_num", "ascending")]
+    )
     atomic_write_table(postings_path, postings)
     dls_t = pa.table(
         {"doc_num": docs.column("doc_num"), "dl": pa.array(dls, type=pa.int64())}
@@ -872,6 +899,8 @@ def _encode_blocks_one_part(
         "b": cfg.bm25.b,  # stored tfnorm bounds depend on k1/b
         "block_format": 2,  # v2: dl lives in the dense per-part dls table
     }
+    if cfg.store_positions:
+        lineage["store_positions"] = True  # absent for legacy indexes
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
         return pa.table({k: [v] for k, v in m.items()})
@@ -883,17 +912,18 @@ def _encode_blocks_one_part(
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
     if n == 0:
-        empty = pa.table(
-            {
-                "term": pa.array([], type=pa.string()),
-                "win": pa.array([], type=pa.int64()),
-                "n": pa.array([], type=pa.int32()),
-                "docs": pa.array([], type=pa.binary()),
-                "tfs": pa.array([], type=pa.binary()),
-                "max_tfnorm": pa.array([], type=pa.float64()),
-                "min_tfnorm": pa.array([], type=pa.float64()),
-            }
-        )
+        empty_cols = {
+            "term": pa.array([], type=pa.string()),
+            "win": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int32()),
+            "docs": pa.array([], type=pa.binary()),
+            "tfs": pa.array([], type=pa.binary()),
+            "max_tfnorm": pa.array([], type=pa.float64()),
+            "min_tfnorm": pa.array([], type=pa.float64()),
+        }
+        if cfg.store_positions:
+            empty_cols["pos"] = pa.array([], type=pa.large_binary())
+        empty = pa.table(empty_cols)
         atomic_write_table(blocks_path, empty)
         metrics = {"part_id": part_id, "n_blocks": 0, "n_postings": 0,
                    "payload_bytes": 0, "encode_sec": round(time.time() - t0, 3)}
@@ -945,19 +975,47 @@ def _encode_blocks_one_part(
             [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(payload)],
         )
 
-    blocks = pa.table(
-        {
-            "term": term_arr.take(pa.array(starts)),
-            "win": pa.array(win[starts], type=pa.int64()),
-            "n": pa.array(counts, type=pa.int32()),
-            "docs": binary_from(doc_payload, doc_off),
-            "tfs": binary_from(tf_payload, tf_off),
-            "max_tfnorm": pa.array(max_tfnorm, type=pa.float64()),
-            "min_tfnorm": pa.array(min_tfnorm, type=pa.float64()),
-        }
-    )
+    block_cols = {
+        "term": term_arr.take(pa.array(starts)),
+        "win": pa.array(win[starts], type=pa.int64()),
+        "n": pa.array(counts, type=pa.int32()),
+        "docs": binary_from(doc_payload, doc_off),
+        "tfs": binary_from(tf_payload, tf_off),
+        "max_tfnorm": pa.array(max_tfnorm, type=pa.float64()),
+        "min_tfnorm": pa.array(min_tfnorm, type=pa.float64()),
+    }
+    pos_bytes = 0
+    if cfg.store_positions and "pos" in p.column_names:
+        # positions payload: per posting, tf delta+varint-coded position
+        # values (first absolute) — no separate length stream needed, the
+        # decoded tf IS the position count (tf == len(positions) by
+        # construction in _tokenize_one_part)
+        plc = p.column("pos").combine_chunks()
+        pos_offsets = plc.offsets.to_numpy().astype(np.int64)
+        flat_pos = plc.values.to_numpy().astype(np.int64)[
+            pos_offsets[0] : pos_offsets[-1]
+        ]
+        pos_offsets = pos_offsets - pos_offsets[0]
+        counts_pp = np.diff(pos_offsets)
+        if not np.array_equal(counts_pp, tf.astype(np.int64)):
+            raise AssertionError("positions-per-posting must equal tf")
+        pstarts = pos_offsets[:-1]
+        pos_gaps = grouped_delta_encode(
+            flat_pos, pstarts, np.zeros(len(pstarts), dtype=np.int64)
+        )
+        pos_payload = np.frombuffer(varint_encode(pos_gaps), dtype=np.uint8)
+        pos_lens = varint_byte_lengths(pos_gaps)
+        pos_byte_ends = np.cumsum(pos_lens)  # per position value
+        pos_cum = np.cumsum(counts_pp)  # per posting: end index in flat_pos
+        blk_pos_end = pos_cum[ends - 1]  # per block (every posting has tf>=1)
+        pos_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        pos_off[1:] = pos_byte_ends[blk_pos_end - 1]
+        block_cols["pos"] = binary_from(pos_payload, pos_off)
+        pos_bytes = int(pos_off[-1])
+
+    blocks = pa.table(block_cols)
     atomic_write_table(blocks_path, blocks)
-    payload_bytes = int(doc_off[-1] + tf_off[-1])
+    payload_bytes = int(doc_off[-1] + tf_off[-1]) + pos_bytes
     metrics = {
         "part_id": part_id,
         "n_blocks": len(starts),

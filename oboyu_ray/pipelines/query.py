@@ -199,6 +199,17 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
+    def query_phrase(self, phrase_terms: List[str], term_weights: Dict[str, float], k: int):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get(
+            [s.query_phrase.remote(phrase_terms, term_weights, k) for s in self.shards]
+        ):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
     def query_many(self, weight_dicts, k: int, require_all: bool = False):
         import ray as _ray
 
@@ -368,6 +379,50 @@ class QueryEngine:
         for docs, scores in results:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+
+    def search_phrase_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
+        """Exact phrase top-k over the ORDERED term list: only docs where the
+        terms occur adjacently in order rank (BM25-scored over the phrase
+        terms).  Strict like conjunctive search: a corpus-absent term makes
+        the phrase unmatchable → empty.  Requires a positional index
+        (build with ``BuildConfig(store_positions=True)``)."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        if not terms:
+            return empty
+        weights = self.term_weights(terms)
+        if len(weights) < len(set(terms)):
+            return empty  # some term has df 0 → no doc can hold the phrase
+        results = self._fanout(
+            lambda ts: [a.query_phrase.remote(terms, weights, k) for a in ts]
+        )
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in results:
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, hydrate: bool = False
+    ) -> pd.DataFrame:
+        """Tokenize ``phrase`` and run exact adjacency retrieval (the token
+        stream is the FILTERED stream, so stopwords drop out before
+        adjacency — identical semantics to the brute-force ``phrase_topk``)."""
+        out = self.search_phrase_terms(self.tokenizer.tokenize(phrase), k)
+        if len(out):
+            conv, turn = self.resolver.resolve(out["doc_num"].to_numpy())
+            out = out.assign(conv_id=conv, turn_idx=turn)
+            out["doc_id"] = [
+                f"{c}:{t:08d}" for c, t in zip(out["conv_id"], out["turn_idx"])
+            ]
+        else:
+            out = out.assign(conv_id=pd.Series(dtype=object),
+                             turn_idx=pd.Series(dtype=np.int64),
+                             doc_id=pd.Series(dtype=object))
+        if hydrate and len(out):
+            out = self._hydrate(out)
+        return out
 
     def search_many(
         self, queries: List[str], k: int = 10, require_all: bool = False

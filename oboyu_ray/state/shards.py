@@ -61,7 +61,8 @@ class _PartIndex:
                  "term_slices", "n_windows", "win_base",
                  "docs_off", "docs_buf", "tfs_off", "tfs_buf",
                  "row_starts", "window_docs", "dl_arr", "dl_base",
-                 "wdc_base", "window_doc_counts")
+                 "wdc_base", "window_doc_counts",
+                 "has_positions", "pos_off", "pos_buf")
 
     @staticmethod
     def _binary_views(col):
@@ -88,14 +89,19 @@ class _PartIndex:
 
     def __init__(self, index_dir: str, part_id: int, window_docs: int) -> None:
         blocks_path = os.path.join(index_dir, "blocks", f"blocks-{part_id:05d}.parquet")
-        t = pq.read_table(
-            blocks_path,
-            columns=["term", "win", "n", "docs", "tfs", "max_tfnorm", "min_tfnorm"],
-        )
+        cols = ["term", "win", "n", "docs", "tfs", "max_tfnorm", "min_tfnorm"]
+        self.has_positions = "pos" in pq.read_schema(blocks_path).names
+        if self.has_positions:
+            cols.append("pos")
+        t = pq.read_table(blocks_path, columns=cols)
         self.win = t.column("win").to_numpy().astype(np.int64)
         self.n = t.column("n").to_numpy().astype(np.int64)
         _, self.docs_off, self.docs_buf = self._binary_views(t.column("docs"))
         _, self.tfs_off, self.tfs_buf = self._binary_views(t.column("tfs"))
+        if self.has_positions:
+            _, self.pos_off, self.pos_buf = self._binary_views(t.column("pos"))
+        else:
+            self.pos_off = self.pos_buf = None
         # posting-row start index of each block (prefix sums of block sizes)
         self.row_starts = np.zeros(len(self.n) + 1, dtype=np.int64)
         np.cumsum(self.n, out=self.row_starts[1:])
@@ -175,6 +181,29 @@ class _PartIndex:
         )
         dl = self.dl_arr[docs_abs - self.dl_base]
         return docs_abs, tf, dl
+
+    def decode_positions(self, s: int, e: int, tf: np.ndarray) -> np.ndarray:
+        """Flat absolute token positions for block rows [s, e), concatenated
+        per posting in row order (``tf`` — the decoded tf array for the same
+        range — gives the per-posting position counts: tf == len(positions)
+        by construction).  Same grouped-delta reconstruction as docs, with
+        base 0 per posting."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without store_positions; rebuild with "
+                "BuildConfig(store_positions=True) to enable phrase queries"
+            )
+        gaps = varint_decode(
+            self.pos_buf[self.pos_off[s] : self.pos_off[e]]
+        ).astype(np.int64)
+        counts = tf.astype(np.int64)
+        pstarts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=pstarts[1:])
+        tot = np.cumsum(gaps)
+        shift = np.zeros(len(counts), dtype=np.int64)
+        if len(counts) > 1:
+            shift[1:] = tot[pstarts[1:] - 1]
+        return tot - np.repeat(shift, counts)
 
 
 def _merge_topk(
@@ -451,6 +480,82 @@ class IndexShard:
                     continue
                 top_docs, top_scores = _merge_topk(
                     top_docs, top_scores, base + idx, acc[idx], k
+                )
+        return top_docs, top_scores
+
+    def query_phrase(
+        self, phrase_terms: List[str], term_weights: Dict[str, float], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact phrase top-k: docs whose positional postings contain
+        ``phrase_terms`` adjacently in order, scored with the ordinary BM25
+        sum over the phrase's distinct terms (reference position semantics —
+        positions are indices in the filtered token stream).
+
+        The scan set is the conjunctive window intersection (a phrase match
+        implies an AND match, so every query_all pruning argument applies
+        unchanged); within a window, adjacency is ONE vectorized
+        intersection chain over packed (local doc, position − offset) keys:
+        a surviving key is a phrase start.  No per-candidate Python loop.
+
+        Requires an index built with ``store_positions=True`` (raises
+        otherwise — detected per part from the block schema).
+        """
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        m = len(phrase_terms)
+        if k <= 0 or m == 0:
+            return top_docs, top_scores
+        distinct = list(dict.fromkeys(phrase_terms))
+        nt = len(distinct)
+        PK = np.int64(1) << 48  # packs (local doc < 2^13, dl < 2^48)
+        for part_idx, part in enumerate(self.parts):
+            if not part.has_positions:
+                raise ValueError(
+                    "index was built without store_positions; rebuild with "
+                    "BuildConfig(store_positions=True) to enable phrase queries"
+                )
+            if any(t not in part.term_slices for t in distinct):
+                continue  # some term absent from this part → no match here
+            wins = None
+            for t in distinct:
+                s, e = part.term_slices[t]
+                tw = part.win[s:e]  # sorted, one block row per window
+                wins = tw if wins is None else np.intersect1d(
+                    wins, tw, assume_unique=True
+                )
+                if not len(wins):
+                    break
+            if wins is None or not len(wins):
+                continue
+            for win_abs in wins.tolist():
+                base = int(win_abs) * W
+                data = {}
+                for t in distinct:  # decode each distinct term's block ONCE
+                    s, e = part.term_slices[t]
+                    bi = s + int(np.searchsorted(part.win[s:e], win_abs))
+                    docs_abs, tf, dl = part.decode_range(bi, bi + 1)
+                    pos = part.decode_positions(bi, bi + 1, tf)
+                    data[t] = (docs_abs - base, tf, dl, pos)
+                cur = None
+                for j, t in enumerate(phrase_terms):
+                    local, tf, _, pos = data[t]
+                    keys = np.repeat(local, tf.astype(np.int64)) * PK + (pos - j)
+                    cur = keys if cur is None else np.intersect1d(
+                        cur, keys, assume_unique=True
+                    )
+                    if not len(cur):
+                        break
+                if cur is None or not len(cur):
+                    continue
+                hit_local = np.unique(cur // PK)
+                scores = np.zeros(len(hit_local), dtype=np.float64)
+                for t in distinct:
+                    local, tf, dl, _ = data[t]
+                    ii = np.searchsorted(local, hit_local)
+                    scores += term_weights[t] * self._tfnorm(tf[ii], dl[ii])
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, base + hit_local, scores, k
                 )
         return top_docs, top_scores
 

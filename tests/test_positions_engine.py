@@ -1,0 +1,154 @@
+"""Positional-index engine tests: build with store_positions=True, run
+exact phrase retrieval through the shard actors, and pin rank+score
+identity against the (DuckDB-oracled) brute-force ``phrase_topk`` over the
+same docs.  Plus legacy-index refusal and lineage-toggle invalidation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from oboyu_ray.config import BM25Config, BuildConfig
+from oboyu_ray.pipelines.bm25_batch import phrase_topk, score_micros
+from oboyu_ray.pipelines.build_index import build_index
+from oboyu_ray.pipelines.query import QueryEngine
+from oboyu_ray.sources.transcripts import write_synth_transcripts
+from oboyu_ray.stages.postings import get_tokenizer
+
+CFG = BM25Config()
+N_CONVS = 200
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    base = tmp_path_factory.mktemp("posengine")
+    data_dir = str(base / "transcripts")
+    index_dir = str(base / "index")
+    files = write_synth_transcripts(data_dir, n_convs=N_CONVS, seed=7, convs_per_file=50)
+    cfg = BuildConfig(window_docs=256, store_positions=True)
+    report = build_index(files, index_dir, cfg, files_per_part=2)
+    return {"files": files, "index_dir": index_dir, "report": report, "cfg": cfg}
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    eng = QueryEngine(built["index_dir"], num_shards=2)
+    yield eng
+    eng.close()
+
+
+def _phrases_from_corpus(index_dir):
+    """Deterministic phrase probes harvested from the built docs: real
+    adjacent bigrams/trigrams (guaranteed hits) plus synthetic no-hits."""
+    tok = get_tokenizer(CFG)
+    docs_dir = os.path.join(index_dir, "docs")
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(docs_dir, f)) for f in sorted(os.listdir(docs_dir))]
+    ).sort_by([("doc_num", "ascending")])
+    phrases = []
+    for text in t.column("text").to_pylist():
+        toks = tok.tokenize(text or "")
+        if len(toks) >= 3 and len(phrases) == 0:
+            phrases.append(" ".join(toks[0:2]))
+            phrases.append(" ".join(toks[0:3]))
+        elif len(toks) >= 2 and len(phrases) == 2:
+            phrases.append(" ".join(toks[-2:]))
+            break
+    assert len(phrases) == 3, "synthetic corpus must yield phrase probes"
+    # reversed order of a real bigram (usually rarer/absent), an absent
+    # term, and an empty phrase
+    a, b = phrases[0].split()[:2]
+    phrases += [f"{b} {a}", "zzz_nohit phrase", ""]
+    return phrases
+
+
+def test_phrase_engine_matches_brute_force(built, engine):
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    phrases = _phrases_from_corpus(built["index_dir"])
+    k = 12
+    brute = phrase_topk(
+        docs_ds, phrases, k=k, cfg=CFG, id_col="doc_num", text_col="text",
+        stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+    )
+    any_hits = 0
+    for p in phrases:
+        got = engine.search_phrase(p, k=k)
+        expect = brute[brute.query_id == p]
+        assert len(got) == len(expect), p
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), p
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=p,
+            )
+            any_hits += 1
+    assert any_hits >= 2  # the harvested phrases really exercised the path
+
+
+def test_phrase_is_subset_of_conjunctive(built, engine):
+    phrases = _phrases_from_corpus(built["index_dir"])
+    p = phrases[0]
+    phr = engine.search_phrase(p, k=1000)
+    conj = engine.search(p, k=1000, require_all=True)
+    assert set(phr["doc_num"]) <= set(conj["doc_num"])
+    # and phrase scores equal the conjunctive scores for shared docs (the
+    # adjacency filter changes the candidate set, never the scoring)
+    merged = phr.merge(conj, on="doc_num", suffixes=("_p", "_c"))
+    np.testing.assert_allclose(
+        merged["score_p"].to_numpy(), merged["score_c"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_positional_build_reports_positions_payload(built, tmp_path):
+    """Positions cost extra payload; a position-free build of the same
+    corpus must be smaller and must REFUSE phrase queries."""
+    index2 = str(tmp_path / "index_nopos")
+    cfg = BuildConfig(window_docs=256, store_positions=False)
+    report2 = build_index(built["files"], index2, cfg, files_per_part=2)
+    assert built["report"]["payload_bytes"] > report2["payload_bytes"]
+    eng = QueryEngine(index2, num_shards=2)
+    try:
+        phrases = _phrases_from_corpus(built["index_dir"])
+        with pytest.raises(Exception, match="store_positions"):
+            eng.search_phrase(phrases[0], k=5)
+        # non-phrase paths are unaffected
+        assert len(eng.search(phrases[0], k=5)) > 0
+    finally:
+        eng.close()
+
+
+def test_store_positions_toggle_invalidates_checkpoints(built, engine, tmp_path):
+    """Building position-free then re-building the SAME index dir with
+    store_positions=True must re-run tokenize/blocks (lineage key toggles)
+    and serve phrase queries from the converged index."""
+    index3 = str(tmp_path / "index_toggle")
+    files = built["files"]
+    build_index(files, index3, BuildConfig(window_docs=256), files_per_part=2)
+    blocks0 = os.path.join(index3, "blocks", "blocks-00000.parquet")
+    assert "pos" not in pq.read_schema(blocks0).names
+    build_index(
+        files, index3, BuildConfig(window_docs=256, store_positions=True),
+        files_per_part=2,
+    )
+    assert "pos" in pq.read_schema(blocks0).names
+    # expected ranking from the module engine (same corpus, positional build);
+    # NOTE the session fixture has 4 CPUs and the module engine holds 2 shard
+    # actors — spawn at most ONE extra 2-shard engine at a time
+    eng = QueryEngine(index3, num_shards=2)
+    try:
+        phrases = _phrases_from_corpus(built["index_dir"])
+        got = eng.search_phrase(phrases[0], k=5)
+        expect = engine.search_phrase(phrases[0], k=5)
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist()
+    finally:
+        eng.close()
