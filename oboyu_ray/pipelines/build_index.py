@@ -702,26 +702,66 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
     tfs: List[int] = []
     row_doc: List[int] = []
     row_dl: List[int] = []
-    row_pos: List[List[int]] = []
     dls = np.zeros(len(texts), dtype=np.int64)
     if cfg.store_positions:
         # positions = indices in the FILTERED token stream (reference
         # bm25_indexer._get_term_positions semantics); every tokenizer's
         # get_term_frequencies is Counter(tokenize), so deriving tf from the
-        # same walk is conformant by construction
+        # same walk is conformant by construction.  Vectorized: ONE flat
+        # token stream for the whole partition, pandas factorize (C) to
+        # int codes, one lexsort groups (doc, term) runs with positions
+        # ascending inside each run — no per-token Python dict work (the
+        # first cut's setdefault/append loop built at 70k turns/s vs the
+        # position-free 255k; this path removes that gap)
+        import pandas as pd
+
+        all_toks: List[str] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
             toks = tok.tokenize(text or "")
-            if toks:
-                per_term: Dict[str, List[int]] = {}
-                for p, t in enumerate(toks):
-                    per_term.setdefault(t, []).append(p)
-                dl = len(toks)
-                dls[i] = dl
-                terms.extend(per_term.keys())
-                tfs.extend(len(v) for v in per_term.values())
-                row_pos.extend(per_term.values())
-                row_doc.extend([int(doc_nums[i])] * len(per_term))
-                row_dl.extend([dl] * len(per_term))
+            lens[i] = len(toks)
+            all_toks.extend(toks)
+        dls = lens
+        total = int(lens.sum())
+        if total:
+            codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            doc_starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(lens[:-1], out=doc_starts[1:])
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+            order = np.lexsort((pos_in_doc, codes, doc_of))
+            d_s, c_s, p_s = doc_of[order], codes[order], pos_in_doc[order]
+            new = np.empty(total, dtype=bool)
+            new[0] = True
+            new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            run_starts = np.flatnonzero(new)
+            run_counts = np.diff(np.r_[run_starts, total])
+            pos_offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
+            np.cumsum(run_counts, out=pos_offsets[1:])
+            postings = pa.table(
+                {
+                    "term": pa.array(uniques.take(c_s[run_starts]), type=pa.string()),
+                    "doc_num": pa.array(
+                        doc_nums[d_s[run_starts]].astype(np.int64), type=pa.int64()
+                    ),
+                    "tf": pa.array(run_counts, type=pa.int64()),
+                    "dl": pa.array(lens[d_s[run_starts]], type=pa.int64()),
+                    "pos": pa.ListArray.from_arrays(
+                        pa.array(pos_offsets, type=pa.int32()),
+                        pa.array(p_s.astype(np.int32), type=pa.int32()),
+                    ),
+                }
+            ).sort_by([("term", "ascending"), ("doc_num", "ascending")])
+        else:
+            postings = pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_num": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.list_(pa.int32())),
+                }
+            )
     else:
         for i, text in enumerate(texts):
             freqs = tok.get_term_frequencies(text or "")
@@ -732,18 +772,14 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
                 tfs.extend(freqs.values())
                 row_doc.extend([int(doc_nums[i])] * len(freqs))
                 row_dl.extend([dl] * len(freqs))
-
-    cols = {
-        "term": pa.array(terms, type=pa.string()),
-        "doc_num": pa.array(row_doc, type=pa.int64()),
-        "tf": pa.array(tfs, type=pa.int64()),
-        "dl": pa.array(row_dl, type=pa.int64()),
-    }
-    if cfg.store_positions:
-        cols["pos"] = pa.array(row_pos, type=pa.list_(pa.int32()))
-    postings = pa.table(cols).sort_by(
-        [("term", "ascending"), ("doc_num", "ascending")]
-    )
+        postings = pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "doc_num": pa.array(row_doc, type=pa.int64()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "dl": pa.array(row_dl, type=pa.int64()),
+            }
+        ).sort_by([("term", "ascending"), ("doc_num", "ascending")])
     atomic_write_table(postings_path, postings)
     dls_t = pa.table(
         {"doc_num": docs.column("doc_num"), "dl": pa.array(dls, type=pa.int64())}

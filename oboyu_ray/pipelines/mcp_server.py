@@ -44,6 +44,13 @@ TOOLS = [
                     "description": "conjunctive (AND): only documents "
                                    "containing every query term rank",
                 },
+                "phrase": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "exact adjacency phrase retrieval "
+                                   "(requires an index built with "
+                                   "store_positions)",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -58,6 +65,11 @@ TOOLS = [
                 "index_dir": {"type": "string"},
                 "include_patterns": {"type": "array", "items": {"type": "string"}},
                 "exclude_patterns": {"type": "array", "items": {"type": "string"}},
+                "store_positions": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "positional index (enables phrase search)",
+                },
             },
             "required": ["root", "index_dir"],
         },
@@ -90,10 +102,16 @@ class McpServer:
         return self._engines[index_dir]
 
     def tool_search(
-        self, query: str, index_dir: str, top_k: int = 5, require_all: bool = False
+        self, query: str, index_dir: str, top_k: int = 5,
+        require_all: bool = False, phrase: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
-        df = eng.search(query, k=int(top_k), hydrate=True, require_all=bool(require_all))
+        if phrase:
+            df = eng.search_phrase(query, k=int(top_k), hydrate=True)
+        else:
+            df = eng.search(
+                query, k=int(top_k), hydrate=True, require_all=bool(require_all)
+            )
         results = [
             {
                 "uri": str(r["doc_id"]),
@@ -110,7 +128,9 @@ class McpServer:
         index_dir: str,
         include_patterns: Optional[list] = None,
         exclude_patterns: Optional[list] = None,
+        store_positions: bool = False,
     ) -> Dict:
+        from oboyu_ray.config import BuildConfig
         from oboyu_ray.pipelines.file_index import index_directory
 
         if index_dir in self._engines:  # rebuilt index → stale engine
@@ -118,6 +138,7 @@ class McpServer:
         report = index_directory(
             root, index_dir, include_patterns=include_patterns,
             exclude_patterns=exclude_patterns,
+            cfg=BuildConfig(store_positions=bool(store_positions)),
         )
         return {
             "status": "ok",

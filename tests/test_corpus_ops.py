@@ -568,7 +568,8 @@ def test_mcp_stdio_transport(tmp_path):
         {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
         {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
          "params": {"name": "index_directory",
-                    "arguments": {"root": str(root), "index_dir": index_dir}}},
+                    "arguments": {"root": str(root), "index_dir": index_dir,
+                                  "store_positions": True}}},
         {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
          "params": {"name": "get_index_info", "arguments": {"index_dir": index_dir}}},
         {"jsonrpc": "2.0", "id": 5, "method": "tools/call",
@@ -586,6 +587,14 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "tokens document", "index_dir": index_dir,
                                   "top_k": 3, "require_all": True}}},
+        {"jsonrpc": "2.0", "id": 10, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "search engine", "index_dir": index_dir,
+                                  "top_k": 3, "phrase": True}}},
+        {"jsonrpc": "2.0", "id": 11, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "engine search", "index_dir": index_dir,
+                                  "top_k": 3, "phrase": True}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -613,6 +622,12 @@ def test_mcp_stdio_transport(tmp_path):
     and_one = _json.loads(resps[9]["result"]["content"][0]["text"])
     assert and_one["stats"]["count"] == 1
     assert "alpha.md" in and_one["results"][0]["uri"]
+    # phrase through the protocol: "search engine" is adjacent in alpha.md,
+    # the reversed order is not
+    phr = _json.loads(resps[10]["result"]["content"][0]["text"])
+    assert phr["stats"]["count"] == 1 and "alpha.md" in phr["results"][0]["uri"]
+    phr_rev = _json.loads(resps[11]["result"]["content"][0]["text"])
+    assert phr_rev["stats"]["count"] == 0
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
