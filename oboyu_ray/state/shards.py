@@ -48,6 +48,12 @@ from oboyu_ray.state.codec import varint_decode
 
 NEG_INF = float("-inf")
 
+# phrase-search key packing: (part-local doc index) * PK + (position − offset).
+# Requires position < 2^40 (a trillion-token document — impossible) and
+# part-local doc index < 2^23 (8.4M docs per partition — far above the
+# ~100k-doc partitions the build targets), so int64 never overflows.
+_PHRASE_PK = np.int64(1) << 40
+
 
 class _PartIndex:
     """In-memory image of one partition's block table.
@@ -483,8 +489,27 @@ class IndexShard:
                 )
         return top_docs, top_scores
 
+    def _positions_cached(self, part_idx: int, s: int, e: int):
+        """FIFO-cached (docidx-repeated-per-occurrence, positions) for a
+        term's full block range — the phrase dense path's working set.
+        Budget-accounted per occurrence in the shared decode cache."""
+        key = (part_idx, s, e, -2)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit[0]
+        part = self.parts[part_idx]
+        docs_abs, tf, _ = part.decode_range(s, e)
+        pos = part.decode_positions(s, e, tf)
+        idx_rep = np.repeat(
+            docs_abs - part.win_base * self.window_docs, tf.astype(np.int64)
+        )
+        out = (idx_rep, pos)
+        self._cache_put(key, out, len(pos))
+        return out
+
     def query_phrase(
-        self, phrase_terms: List[str], term_weights: Dict[str, float], k: int
+        self, phrase_terms: List[str], term_weights: Dict[str, float], k: int,
+        force: str | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact phrase top-k: docs whose positional postings contain
         ``phrase_terms`` adjacently in order, scored with the ordinary BM25
@@ -508,7 +533,7 @@ class IndexShard:
             return top_docs, top_scores
         distinct = list(dict.fromkeys(phrase_terms))
         nt = len(distinct)
-        PK = np.int64(1) << 48  # packs (local doc < 2^13, dl < 2^48)
+        PK = _PHRASE_PK
         for part_idx, part in enumerate(self.parts):
             if not part.has_positions:
                 raise ValueError(
@@ -527,6 +552,39 @@ class IndexShard:
                 if not len(wins):
                     break
             if wins is None or not len(wins):
+                continue
+            # adaptive execution, mirroring query_all: when the intersection
+            # covers most of the rarest term's windows (common-term phrases),
+            # the per-window decode loop loses to ONE whole-range packed
+            # intersection through the positions cache
+            rarest = min(
+                part.term_slices[t][1] - part.term_slices[t][0] for t in distinct
+            )
+            dense = len(wins) * 2 > rarest if force is None else force == "dense"
+            if dense:
+                part_base = part.win_base * W
+                cur = None
+                for j, t in enumerate(phrase_terms):
+                    s, e = part.term_slices[t]
+                    idx_rep, pos = self._positions_cached(part_idx, s, e)
+                    keys = idx_rep * _PHRASE_PK + (pos - j)
+                    cur = keys if cur is None else np.intersect1d(
+                        cur, keys, assume_unique=True
+                    )
+                    if not len(cur):
+                        break
+                if cur is None or not len(cur):
+                    continue
+                hit_idx = np.unique(cur // _PHRASE_PK)
+                scores = np.zeros(len(hit_idx), dtype=np.float64)
+                for t in distinct:
+                    s, e = part.term_slices[t]
+                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                    ii = np.searchsorted(idx, hit_idx)
+                    scores += term_weights[t] * tfnorm[ii]
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, part_base + hit_idx, scores, k
+                )
                 continue
             for win_abs in wins.tolist():
                 base = int(win_abs) * W

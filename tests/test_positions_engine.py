@@ -152,3 +152,45 @@ def test_store_positions_toggle_invalidates_checkpoints(built, engine, tmp_path)
         assert got["doc_num"].tolist() == expect["doc_num"].tolist()
     finally:
         eng.close()
+
+
+def test_phrase_dense_and_window_paths_identical(built):
+    """The adaptive dense (whole-range packed intersect) and per-window
+    phrase paths must return identical (doc, score) results for every
+    probe, including hot-term phrases that trigger dense adaptively."""
+    from oboyu_ray.state.shards import IndexShard
+
+    # non-actor shard over ALL partitions (direct in-process use)
+    import os as _os
+    blocks = sorted(_os.listdir(_os.path.join(built["index_dir"], "blocks")))
+    part_ids = [int(f.split("-")[1].split(".")[0]) for f in blocks]
+    shard = IndexShard(built["index_dir"], part_ids, built["cfg"].window_docs)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    shard.configure(1.2, 0.75, float(stats["avgdl"]))
+
+    from oboyu_ray.stages.postings import get_tokenizer
+    tok = get_tokenizer(CFG)
+    phrases = [p for p in _phrases_from_corpus(built["index_dir"]) if p]
+    n_hits = 0
+    for p in phrases:
+        terms = tok.tokenize(p)
+        if not terms:
+            continue
+        # weights like the engine computes (idf × multiplicity); absent term
+        # → the engine would return empty before reaching the shard
+        from oboyu_ray.stages.stats import idf
+        eng = QueryEngine(built["index_dir"], num_shards=1)
+        try:
+            w = eng.term_weights(terms)
+        finally:
+            eng.close()
+        if len(w) < len(set(terms)):
+            continue
+        d_docs, d_scores = shard.query_phrase(terms, w, 10, force="dense")
+        w_docs, w_scores = shard.query_phrase(terms, w, 10, force="window")
+        a_docs, a_scores = shard.query_phrase(terms, w, 10)  # adaptive
+        np.testing.assert_array_equal(d_docs, w_docs, err_msg=p)
+        np.testing.assert_allclose(d_scores, w_scores, rtol=1e-12, err_msg=p)
+        np.testing.assert_array_equal(a_docs, w_docs, err_msg=p)
+        n_hits += len(d_docs) > 0
+    assert n_hits >= 2
