@@ -374,7 +374,8 @@ def _verify_pairs_exact(
     text_col: str,
     n_buckets: int = PAIR_BUCKETS,
     shingler=None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """DISTRIBUTED exact-Jaccard verification of candidate (doc_a, doc_b)
     pairs against true shingle sets — shared by the ngram and MinHash
     families (word-trigram shingler, the default) and EDC name merging
@@ -400,6 +401,10 @@ def _verify_pairs_exact(
         if b.num_rows
     ]
     if not parts:
+        if as_dataset:
+            return ray.data.from_arrow(pa.table(
+                {k: pa.array(v, type=pa.int64()) for k, v in _EMPTY_PAIRS.items()}
+            ))
         return pd.DataFrame(_EMPTY_PAIRS)
     cand_ref = ray.put(np.unique(np.concatenate(parts)))
 
@@ -532,12 +537,17 @@ def _verify_pairs_exact(
             }
         )
 
-    out = (
+    pairs_ds = (
         attached.map_batches(add_vbucket, batch_format="pyarrow")
         .groupby("vbucket")
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        # the Dataset-returning seam: at extreme dup density the verified
+        # pair stream can feed the next stage (CC edges, parquet sink)
+        # without ever materializing on the driver
+        return pairs_ds
+    out = pairs_ds.to_pandas()
     if out.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -550,7 +560,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int = 16,
     min_shared_shingles: int = 2,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Word-trigram Jaccard near-dup pairs with jaccard >= tau, exact values.
 
     Candidate generation: inverted shingle index — groupby(shingle) emits
@@ -563,7 +574,10 @@ def ngram_jaccard_pairs(
     and a tau >= 0.5 near-dup is missed only if it shares < 2 non-hot
     shingles — essentially never (asserted against the uncapped SQL oracle
     on the test corpora).
-    Returns (doc_a, doc_b, jaccard_micros) sorted by (doc_a, doc_b).
+    Returns (doc_a, doc_b, jaccard_micros) sorted by (doc_a, doc_b); with
+    ``as_dataset=True`` the verified pair STREAM is returned as an unsorted
+    Ray Dataset instead (nothing materializes on the driver — feed it to
+    connected_components or a parquet sink at extreme dup density).
     """
     rows = shingle_rows(ds, id_col, text_col)
     candidates = _bucketed_candidate_pairs(
@@ -575,7 +589,9 @@ def ngram_jaccard_pairs(
         extra_col="ssize",
         size_ratio_tau=tau,
     )
-    return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
+    return _verify_pairs_exact(
+        ds, candidates, tau, id_col, text_col, as_dataset=as_dataset
+    )
 
 
 # ---------------------------------------------------------------- MinHash + LSH
@@ -611,7 +627,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_perm: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
 
     Pipeline: map_batches[shingle → minhash sig → band keys] →
@@ -673,7 +690,9 @@ def minhash_lsh_pairs(
 
     rows = ds.map_batches(band_rows, batch_format="pyarrow")
     candidates = _bucketed_candidate_pairs(rows, "lshkey", id_col, max_group=256)
-    return _verify_pairs_exact(ds, candidates, tau, id_col, text_col)
+    return _verify_pairs_exact(
+        ds, candidates, tau, id_col, text_col, as_dataset=as_dataset
+    )
 
 
 # ---------------------------------------------------------------- SimHash
@@ -721,7 +740,8 @@ def simhash_pairs(
     hamming_max: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Near-dup pairs with SimHash hamming distance <= hamming_max.
 
     Bit-band blocking: 4 bands × 16 bits; a pair within hamming <= 3 shares
@@ -767,7 +787,10 @@ def simhash_pairs(
             }
         )
 
-    out = cand.map_batches(ham_verify, batch_format="pyarrow").to_pandas()
+    pairs_ds = cand.map_batches(ham_verify, batch_format="pyarrow")
+    if as_dataset:
+        return pairs_ds
+    out = pairs_ds.to_pandas()
     if out.empty:
         return pd.DataFrame(
             {
@@ -787,7 +810,8 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: Optional[int] = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """EXACT cosine near-dup pairs (cos >= tau), routed through IVF cells —
     no full-matrix broadcast, no driver-side embedding materialization.
 
@@ -903,12 +927,14 @@ def embedding_cosine_pairs(
             }
         )
 
-    out = (
+    pairs_ds = (
         ds.map_batches(route, batch_format="pyarrow")
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return pairs_ds
+    out = pairs_ds.to_pandas()
     if out.empty:
         return pd.DataFrame(
             {

@@ -2579,3 +2579,61 @@ def test_bm25_conjunctive_strict_and():
     both = res[res["query_id"] == "both"]["doc_id"].tolist()
     assert sorted(both) == [1, 3]          # docs containing BOTH terms
     assert (res["query_id"] == "ghost").sum() == 0  # absent term → empty
+
+
+def test_pair_operators_dataset_variant_identical():
+    """as_dataset=True returns the verified pair STREAM as a Ray Dataset;
+    collected + sorted it must equal the DataFrame-returning path for all
+    four near-dup families (incl. the empty-candidates seam)."""
+    from oboyu_ray.stages.dedup import (
+        embedding_cosine_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " eleven"},
+        {"doc_id": 3, "text": "totally different words entirely here now friend"},
+        {"doc_id": 4, "text": base},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    for fn, cols in [
+        (ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard_micros"]),
+        (minhash_lsh_pairs, ["doc_a", "doc_b", "jaccard_micros"]),
+        (simhash_pairs, ["doc_a", "doc_b", "hamming"]),
+    ]:
+        df = fn(ray.data.from_items(rows).repartition(2))
+        stream = fn(ray.data.from_items(rows).repartition(2), as_dataset=True)
+        got = (
+            stream.to_pandas()[cols]
+            .sort_values(cols[:2])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        assert len(df) > 0, fn.__name__  # fixtures plant real near-dups
+        pd.testing.assert_frame_equal(got, df[cols].astype("int64"), obj=fn.__name__)
+
+    rng = np.random.RandomState(0)
+    v = rng.rand(6, 8)
+    v[1] = v[0] + 0.01  # planted near-dup
+    vec_rows = [{"vec_id": i, "embedding": v[i].tolist()} for i in range(len(v))]
+    df = embedding_cosine_pairs(ray.data.from_items(vec_rows), tau=0.95)
+    stream = embedding_cosine_pairs(
+        ray.data.from_items(vec_rows), tau=0.95, as_dataset=True
+    )
+    got = (
+        stream.to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    assert len(df) > 0
+    pd.testing.assert_frame_equal(got, df.astype("int64"))
+
+    # empty-candidate seam: no shingles long enough for trigrams
+    tiny = ray.data.from_items([{"doc_id": 1, "text": "just two"}])
+    empty_stream = ngram_jaccard_pairs(tiny, as_dataset=True)
+    assert empty_stream.to_pandas().empty
