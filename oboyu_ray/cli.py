@@ -75,7 +75,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     from oboyu_ray.pipelines.query import QueryEngine
 
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
-    if getattr(args, "phrase", False):
+    if getattr(args, "prefix", False):
+        out = engine.search_prefix(
+            args.q, k=args.k, hydrate=args.hydrate, resolve=True
+        )
+    elif getattr(args, "phrase", False):
         out = engine.search_phrase(args.q, k=args.k, hydrate=args.hydrate)
     else:
         out = engine.search(
@@ -155,6 +159,8 @@ def main(argv=None) -> int:
     q.add_argument("--hydrate", action="store_true")
     q.add_argument("--phrase", action="store_true",
                    help="exact adjacency phrase retrieval (positional index)")
+    q.add_argument("--prefix", action="store_true",
+                   help="wildcard pre* retrieval (vocabulary prefix expansion)")
     q.add_argument("--require-all", action="store_true",
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")

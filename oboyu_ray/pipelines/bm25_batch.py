@@ -637,3 +637,115 @@ def phrase_topk(
     out = out.reset_index(drop=True)
     out["rank"] = out["rank"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------------ prefix search
+
+def _stats_and_prefix_dfs(
+    docs_ds: "ray.data.Dataset",
+    prefixes: Sequence[str],
+    cfg: BM25Config,
+    id_col: str,
+    text_col: str,
+):
+    """One tokenization pass → ({N, total_dl, avgdl}, df for every term
+    matching ANY prefix).  Same partial-combine shape as
+    ``_stats_and_term_dfs`` with a starts_with mask instead of is_in."""
+    pfx = sorted({p for p in prefixes if p})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        total_dl = 0
+        if p.num_rows:
+            total_dl = int(pc.sum(p.column("tf")).as_py() or 0)
+        mask = None
+        for x in pfx:
+            m = pc.starts_with(p.column("term"), pattern=x)
+            mask = m if mask is None else pc.or_(mask, m)
+        q = p.filter(mask) if mask is not None else p.slice(0, 0)
+        g = (
+            q.group_by("term").aggregate([("tf", "count")])
+            if q.num_rows
+            else pa.table({"term": pa.array([], type=pa.string()),
+                           "tf_count": pa.array([], type=pa.int64())})
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays([pa.array([None], type=pa.string()),
+                                          g.column("term").combine_chunks().cast(pa.string())]),
+                "df_partial": pa.concat_arrays(
+                    [pa.array([batch.num_rows], type=pa.int64()),
+                     g.column("tf_count").combine_chunks().cast(pa.int64())]
+                ),
+                "dl_partial": pa.concat_arrays(
+                    [pa.array([total_dl], type=pa.int64()),
+                     pa.nulls(g.num_rows, type=pa.int64())]
+                ),
+            }
+        )
+
+    n_docs = 0
+    total_dl = 0
+    df_map: Dict[str, int] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for t, d, dl in zip(
+            b.column("term").to_pylist(),
+            b.column("df_partial").to_pylist(),
+            b.column("dl_partial").to_pylist(),
+        ):
+            if t is None:
+                n_docs += int(d)
+                total_dl += int(dl or 0)
+            else:
+                df_map[t] = df_map.get(t, 0) + int(d)
+    stats = {
+        "N": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
+    return stats, df_map
+
+
+def prefix_topk(
+    docs_ds: "ray.data.Dataset",
+    prefixes: Sequence[str],
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Prefix (wildcard ``pre*``) retrieval: the query expands to EVERY
+    vocabulary term starting with the prefix, scored as the ordinary BM25
+    OR over the expanded term set (idf per matched term, multiplicity 1) —
+    the classic Lucene PrefixQuery → BooleanQuery rewrite.  Exact top-k:
+    (query_id, id, score_micros, rank) like ``brute_force_topk``."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    stats, df_map = _stats_and_prefix_dfs(docs_ds, prefixes, cfg, id_col, text_col)
+    if int(stats["N"]) == 0 or not df_map:
+        return empty
+    queries = {
+        p: sorted(t for t in df_map if t.startswith(p)) for p in prefixes if p
+    }
+    queries = {p: ts for p, ts in queries.items() if ts}
+    if not queries:
+        return empty
+    score_docs = _make_score_docs(
+        queries, cfg, stats, df_map, id_col, text_col, local_k=k
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out

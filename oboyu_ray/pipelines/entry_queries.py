@@ -303,6 +303,57 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# Fixed prefix-query set: common stem, rarer stem, one-term stem, no-hit.
+PREFIX_QUERIES: List[str] = ["ta", "str", "wind", "zzq"]
+
+
+def q_prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """Wildcard ``pre*`` retrieval: each prefix expands to every vocabulary
+    term starting with it, scored as the ordinary BM25 OR (idf per matched
+    term) — Lucene's PrefixQuery rewrite, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import prefix_topk
+
+    return prefix_topk(_docs(sf_dir), PREFIX_QUERIES, k=TOPK, cfg=CFG)
+
+
+def _sql_prefix_topk() -> str:
+    values = ", ".join(f"('{p}', '{p}')" for p in PREFIX_QUERIES)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qpfx(query_id, pfx) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+qterms AS (
+    SELECT q.query_id, d.term, d.df
+    FROM qpfx q JOIN dfreq d ON starts_with(d.term, q.pfx)
+),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - q.df + 0.5) / (q.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -311,6 +362,7 @@ def core_queries() -> dict:
         "collection_stats": q_collection_stats,
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
+        "prefix_topk": q_prefix_topk,
     }
 
 
@@ -322,4 +374,5 @@ def core_oracle_sql() -> dict:
         "collection_stats": SQL_COLLECTION_STATS,
         "bm25_topk": _sql_bm25_topk(),
         "phrase_topk": _sql_phrase_topk(),
+        "prefix_topk": _sql_prefix_topk(),
     }

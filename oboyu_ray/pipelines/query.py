@@ -114,6 +114,57 @@ class VocabLookup:
                     out[t] = int(dfs[ix])
         return out
 
+    def df_prefix(self, prefix: str, max_terms: int = 1000) -> Dict[str, int]:
+        """df for EVERY vocabulary term starting with ``prefix`` — the
+        PrefixQuery expansion.  The vocabulary is hash-BUCKETED by term, so
+        the range scan visits all B bucket files, but each is term-sorted
+        with small row groups: per file only the row groups overlapping
+        [prefix, prefix+U+FFFF) decode (row-group min statistics, same
+        machinery as the point lookup).  Raises when the expansion exceeds
+        ``max_terms`` — an unbounded wildcard ("a*") is a user error, not a
+        silent 100k-term OR query."""
+        if not prefix:
+            raise ValueError("df_prefix: empty prefix")
+        hi = prefix + "￿"  # exclusive upper bound of the prefix range
+        out: Dict[str, int] = {}
+        if self._map is not None:
+            for t, d in self._map.items():
+                if t.startswith(prefix):
+                    out[t] = int(d)
+        else:
+            import bisect
+
+            for f in self.files:
+                cached = self._pf_cache.get(f)
+                if cached is None:
+                    pf = pq.ParquetFile(f)
+                    mins = [
+                        pf.metadata.row_group(i).column(0).statistics.min
+                        for i in range(pf.metadata.num_row_groups)
+                    ]
+                    cached = (pf, mins)
+                    self._pf_cache[f] = cached
+                pf, mins = cached
+                if not mins:
+                    continue
+                g0 = max(bisect.bisect_right(mins, prefix) - 1, 0)
+                g1 = bisect.bisect_left(mins, hi)  # first group past the range
+                for gi in range(g0, min(g1, len(mins))):
+                    tb = pf.read_row_group(gi, columns=["term", "df"])
+                    col = tb.column("term").to_pylist()
+                    lo_ix = bisect.bisect_left(col, prefix)
+                    hi_ix = bisect.bisect_left(col, hi)
+                    for t, d in zip(col[lo_ix:hi_ix], tb.column("df").to_pylist()[lo_ix:hi_ix]):
+                        out[t] = int(d)
+                if len(out) > max_terms:
+                    break  # raise below with the (partial) count
+        if len(out) > max_terms:
+            raise ValueError(
+                f"prefix {prefix!r} expands to >{max_terms} terms; "
+                "narrow the prefix or raise max_terms"
+            )
+        return out
+
     def df(self, terms: Sequence[str]) -> Dict[str, int]:
         if self._map is not None:
             return {t: self._map.get(t, 0) for t in terms}
@@ -380,6 +431,33 @@ class QueryEngine:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_terms: int = 1000,
+        hydrate: bool = False, resolve: bool = False,
+    ) -> pd.DataFrame:
+        """Wildcard ``pre*`` retrieval: expand the prefix against the
+        vocabulary (bounded by ``max_terms``), then run the ordinary OR
+        query over the expanded term set (idf per matched term,
+        multiplicity 1) — Lucene's PrefixQuery → BooleanQuery rewrite.
+        Unknown prefix → empty frame."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        dfs = self.vocab.df_prefix(prefix, max_terms=max_terms)
+        n = int(self.stats["N"])
+        weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
+        if not weights:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        results = self._fanout(lambda ts: [a.query.remote(weights, k) for a in ts])
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in results:
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
     def search_phrase_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
         """Exact phrase top-k over the ORDERED term list: only docs where the
         terms occur adjacently in order rank (BM25-scored over the phrase
@@ -409,20 +487,9 @@ class QueryEngine:
         """Tokenize ``phrase`` and run exact adjacency retrieval (the token
         stream is the FILTERED stream, so stopwords drop out before
         adjacency — identical semantics to the brute-force ``phrase_topk``)."""
-        out = self.search_phrase_terms(self.tokenizer.tokenize(phrase), k)
-        if len(out):
-            conv, turn = self.resolver.resolve(out["doc_num"].to_numpy())
-            out = out.assign(conv_id=conv, turn_idx=turn)
-            out["doc_id"] = [
-                f"{c}:{t:08d}" for c, t in zip(out["conv_id"], out["turn_idx"])
-            ]
-        else:
-            out = out.assign(conv_id=pd.Series(dtype=object),
-                             turn_idx=pd.Series(dtype=np.int64),
-                             doc_id=pd.Series(dtype=object))
-        if hydrate and len(out):
-            out = self._hydrate(out)
-        return out
+        return self._finish(
+            self.search_phrase_terms(self.tokenizer.tokenize(phrase), k), hydrate
+        )
 
     def search_many(
         self, queries: List[str], k: int = 10, require_all: bool = False
@@ -464,12 +531,9 @@ class QueryEngine:
             out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         return out
 
-    def search(
-        self, query: str, k: int = 10, hydrate: bool = False,
-        require_all: bool = False,
-    ) -> pd.DataFrame:
-        terms = self.tokenizer.tokenize(query)
-        out = self.search_terms(terms, k, require_all=require_all)
+    def _finish(self, out: pd.DataFrame, hydrate: bool) -> pd.DataFrame:
+        """Attach (conv_id, turn_idx, doc_id) to a (doc_num, score) frame,
+        optionally hydrating text — shared tail of every search flavor."""
         if len(out):
             conv, turn = self.resolver.resolve(out["doc_num"].to_numpy())
             out = out.assign(conv_id=conv, turn_idx=turn)
@@ -483,6 +547,15 @@ class QueryEngine:
         if hydrate and len(out):
             out = self._hydrate(out)
         return out
+
+    def search(
+        self, query: str, k: int = 10, hydrate: bool = False,
+        require_all: bool = False,
+    ) -> pd.DataFrame:
+        terms = self.tokenizer.tokenize(query)
+        return self._finish(
+            self.search_terms(terms, k, require_all=require_all), hydrate
+        )
 
     def _hydrate(self, out: pd.DataFrame) -> pd.DataFrame:
         """Attach turn text via point lookups on the partitioned docs parquet

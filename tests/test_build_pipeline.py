@@ -890,3 +890,48 @@ def test_sigcache_evicts_superseded_stat_keys(tmp_path):
     cache.save()
     reloaded = SigCache(str(tmp_path / "sig_cache.json"))
     assert reloaded.data == cache.data
+
+
+def test_prefix_engine_matches_brute_force(built, engine):
+    """search_prefix (vocab range expansion → OR query through the shards)
+    must be rank- and score-identical to the Dataset brute force, and the
+    bucketed range-scan df_prefix must agree with the in-memory map."""
+    from oboyu_ray.pipelines.bm25_batch import prefix_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    prefixes = ["tok", "検索", "de", "zzq"]
+    k = 12
+    brute = prefix_topk(docs_ds, prefixes, k=k, cfg=CFG, id_col="doc_num",
+                        text_col="text")
+    hits = 0
+    for p in prefixes:
+        got = engine.search_prefix(p, k=k)
+        expect = brute[brute.query_id == p]
+        assert len(got) == len(expect), p
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), p
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=p,
+            )
+            hits += 1
+    assert hits >= 2
+
+    # bucketed (file range-scan) path == in-memory path; expansion cap raises
+    vl = engine.vocab
+    for p in prefixes:
+        inmem = vl.df_prefix(p)
+        vl2_map, vl._map = vl._map, None
+        try:
+            scan = vl.df_prefix(p)
+        finally:
+            vl._map = vl2_map
+        assert scan == inmem, p
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expands"):
+        engine.vocab.df_prefix("t", max_terms=1)
+    with _pytest.raises(ValueError, match="empty"):
+        engine.vocab.df_prefix("")
