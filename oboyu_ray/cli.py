@@ -85,6 +85,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.search(
             args.q, k=args.k, hydrate=args.hydrate,
             require_all=getattr(args, "require_all", False),
+            exclude=getattr(args, "exclude", None),
         )
     print(out.to_string(index=False))
     engine.close()
@@ -161,6 +162,8 @@ def main(argv=None) -> int:
                    help="exact adjacency phrase retrieval (positional index)")
     q.add_argument("--prefix", action="store_true",
                    help="wildcard pre* retrieval (vocabulary prefix expansion)")
+    q.add_argument("--exclude", default=None,
+                   help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--require-all", action="store_true",
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")

@@ -161,6 +161,7 @@ def _make_score_docs(
     filter_col: str | None = None,
     filter_value=None,
     require_all: bool = False,
+    exclude: "Dict[str, List[str]] | None" = None,
 ):
     """Batch fn scoring a batch of DOCS against every query.
 
@@ -183,7 +184,11 @@ def _make_score_docs(
     # term is unmatchable → the conjunctive result is empty, not relaxed)
     need_terms = {qid: len(set(ts)) for qid, ts in queries.items()}
     k1, b = cfg.k1, cfg.b
-    all_terms = sorted({t for w in weights.values() for t in w})
+    exclude = {q: sorted(set(ts)) for q, ts in (exclude or {}).items() if ts}
+    all_terms = sorted(
+        {t for w in weights.values() for t in w}
+        | {t for ts in exclude.values() for t in ts}
+    )
     term_set = pa.array(all_terms, type=pa.string())
 
     def score_docs(batch: pa.Table) -> pa.Table:
@@ -196,6 +201,16 @@ def _make_score_docs(
             sub = pdf[pdf["term"].isin(w.keys())]
             if sub.empty:
                 continue
+            ex = exclude.get(qid)
+            if ex:
+                # boolean NOT: any doc containing an excluded term drops from
+                # the CANDIDATE set (statistics stay full-corpus); per-doc
+                # completeness makes the batch-local exclusion exact
+                bad = pdf.loc[pdf["term"].isin(ex), id_col].unique()
+                if len(bad):
+                    sub = sub[~sub[id_col].isin(bad)]
+                    if sub.empty:
+                        continue
             if require_all:
                 # conjunctive (AND) semantics: a doc qualifies only with ALL
                 # the query's distinct terms present.  (doc, term) rows are
@@ -477,6 +492,7 @@ def brute_force_topk(
     filter_col: str | None = None,
     filter_value=None,
     require_all: bool = False,
+    exclude: "Dict[str, List[str]] | None" = None,
 ) -> pd.DataFrame:
     """EXACT top-k per query: (query_id, <id_col>, score_micros, rank),
     ranked by (score_micros DESC, doc ASC) — deterministic across engines.
@@ -499,7 +515,7 @@ def brute_force_topk(
     score_docs = _make_score_docs(
         queries, cfg, stats, df_map, id_col, text_col,
         local_k=k, filter_col=filter_col, filter_value=filter_value,
-        require_all=require_all,
+        require_all=require_all, exclude=exclude,
     )
     pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
     if pdf.empty:

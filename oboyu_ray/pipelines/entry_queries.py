@@ -306,6 +306,79 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 # Fixed prefix-query set: common stem, rarer stem, one-term stem, no-hit.
 PREFIX_QUERIES: List[str] = ["ta", "str", "wind", "zzq"]
 
+# Boolean-NOT query set: (positive terms, excluded terms).  Covers a hot
+# exclusion that reshapes the top-k, a rare exclusion, an absent exclusion
+# (no-op), and exclusion of one of the query's own terms.
+NOT_QUERIES: List[tuple] = [
+    ("table join", "value"),
+    ("spark merge sort", "window"),
+    ("customer vector", "zzznohit"),
+    ("window scan", "scan"),
+]
+
+
+def q_bm25_topk_not(sf_dir: str) -> pd.DataFrame:
+    """BM25 OR retrieval with boolean NOT: documents containing any
+    excluded term are removed from the CANDIDATE set (statistics stay
+    full-corpus), exact top-10."""
+    docs = _docs(sf_dir)
+    queries = {f"{q} -{ex}": tokenize_queries([q], CFG)[q] for q, ex in NOT_QUERIES}
+    exclude = {
+        f"{q} -{ex}": tokenize_queries([ex], CFG)[ex] for q, ex in NOT_QUERIES
+    }
+    return brute_force_topk(docs, queries, k=TOPK, cfg=CFG, exclude=exclude)
+
+
+def _sql_bm25_topk_not() -> str:
+    qrows, xrows = [], []
+    for q, ex in NOT_QUERIES:
+        qid = f"{q} -{ex}"
+        for t in sorted(set(tokenize_queries([q], CFG)[q])):
+            qrows.append(f"('{qid}', '{t}')")
+        for t in sorted(set(tokenize_queries([ex], CFG)[ex])):
+            xrows.append(f"('{qid}', '{t}')")
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {", ".join(qrows)}),
+xterms(query_id, term) AS (VALUES {", ".join(xrows)}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (
+    SELECT co.query_id, co.doc_id, sum(co.c) AS score
+    FROM contrib co
+    WHERE NOT EXISTS (
+        SELECT 1 FROM xterms x JOIN postings px
+          ON px.term = x.term AND px.doc_id = co.doc_id
+        WHERE x.query_id = co.query_id
+    )
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
 
 def q_prefix_topk(sf_dir: str) -> pd.DataFrame:
     """Wildcard ``pre*`` retrieval: each prefix expands to every vocabulary
@@ -363,6 +436,7 @@ def core_queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
         "prefix_topk": q_prefix_topk,
+        "bm25_topk_not": q_bm25_topk_not,
     }
 
 
@@ -375,4 +449,5 @@ def core_oracle_sql() -> dict:
         "bm25_topk": _sql_bm25_topk(),
         "phrase_topk": _sql_phrase_topk(),
         "prefix_topk": _sql_prefix_topk(),
+        "bm25_topk_not": _sql_bm25_topk_not(),
     }

@@ -230,22 +230,32 @@ class MergeAggregator:
     def __init__(self, shard_actors: List) -> None:
         self.shards = shard_actors
 
-    def query(self, term_weights: Dict[str, float], k: int):
-        import ray as _ray
-
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get([s.query.remote(term_weights, k) for s in self.shards]):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
-
-    def query_all(self, term_weights: Dict[str, float], k: int):
+    def query(self, term_weights: Dict[str, float], k: int, theta0: float = None,
+              exclude_terms: Sequence[str] = ()):
         import ray as _ray
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in _ray.get(
-            [s.query_all.remote(term_weights, k) for s in self.shards]
+            [
+                s.query.remote(term_weights, k, exclude_terms=exclude_terms)
+                for s in self.shards
+            ]
+        ):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
+    def query_all(self, term_weights: Dict[str, float], k: int,
+                  exclude_terms: Sequence[str] = ()):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get(
+            [
+                s.query_all.remote(term_weights, k, exclude_terms=exclude_terms)
+                for s in self.shards
+            ]
         ):
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
@@ -405,7 +415,8 @@ class QueryEngine:
         return self._weights_from_dfs(terms, self.vocab.df(terms), int(self.stats["N"]))
 
     def search_terms(
-        self, terms: List[str], k: int = 10, require_all: bool = False
+        self, terms: List[str], k: int = 10, require_all: bool = False,
+        exclude: Optional[List[str]] = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
@@ -413,17 +424,27 @@ class QueryEngine:
         weights = self.term_weights(terms)
         if not weights:
             return empty
+        # boolean NOT: only excluded terms that exist in the vocabulary can
+        # exclude anything (df=0 terms are no-ops, dropped here so shards
+        # skip the slice lookup)
+        excl = sorted(
+            t for t, d in self.vocab.df(sorted(set(exclude or []))).items() if d > 0
+        )
         if require_all:
             # strict AND: a corpus-absent distinct term is unmatchable —
             # term_weights drops df=0 terms, so compare against the asked set
             if len(weights) < len(set(terms)):
                 return empty
             results = self._fanout(
-                lambda ts: [a.query_all.remote(weights, k) for a in ts]
+                lambda ts: [
+                    a.query_all.remote(weights, k, exclude_terms=excl) for a in ts
+                ]
             )
         else:
             results = self._fanout(
-                lambda ts: [a.query.remote(weights, k) for a in ts]
+                lambda ts: [
+                    a.query.remote(weights, k, exclude_terms=excl) for a in ts
+                ]
             )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -550,11 +571,15 @@ class QueryEngine:
 
     def search(
         self, query: str, k: int = 10, hydrate: bool = False,
-        require_all: bool = False,
+        require_all: bool = False, exclude: Optional[str] = None,
     ) -> pd.DataFrame:
+        """``exclude`` is a boolean-NOT term string (tokenized like the
+        query): documents containing ANY excluded term never rank."""
         terms = self.tokenizer.tokenize(query)
+        excl = self.tokenizer.tokenize(exclude) if exclude else None
         return self._finish(
-            self.search_terms(terms, k, require_all=require_all), hydrate
+            self.search_terms(terms, k, require_all=require_all, exclude=excl),
+            hydrate,
         )
 
     def _hydrate(self, out: pd.DataFrame) -> pd.DataFrame:

@@ -38,7 +38,7 @@ in Python.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -302,12 +302,41 @@ class IndexShard:
         self._cache_put(key, dense, span // 2)
         return dense
 
+    def _excluded_abs(self, part_idx: int, part: _PartIndex, exclude_terms):
+        """Sorted absolute doc_nums in this part containing ANY excluded
+        term (boolean NOT support) — decoded through the shared contribution
+        cache, so repeated NOT queries pay nothing."""
+        arrs = []
+        for t in exclude_terms:
+            se = part.term_slices.get(t)
+            if se:
+                idx, _ = self._contrib_cached(part_idx, *se)
+                arrs.append(idx)
+        if not arrs:
+            return None
+        u = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+        return u + part.win_base * self.window_docs
+
+    @staticmethod
+    def _drop_excluded(docs_abs: np.ndarray, scores: np.ndarray, excl_abs):
+        """Filter (docs, scores) against the sorted exclusion array BEFORE
+        any top-k insert — θ then derives from valid docs only, keeping
+        every pruning bound sound."""
+        if excl_abs is None or not len(docs_abs):
+            return docs_abs, scores
+        pos = np.searchsorted(excl_abs, docs_abs)
+        pos_c = np.clip(pos, 0, len(excl_abs) - 1)
+        keep = excl_abs[pos_c] != docs_abs
+        return docs_abs[keep], scores[keep]
+
     def query(
-        self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF
+        self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF,
+        exclude_terms: "Sequence[str]" = (),
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k over this shard's docs.  ``term_weights`` maps term →
         idf × multiplicity.  Returns (doc_nums, scores) sorted by
-        (score DESC, doc ASC), at most k rows."""
+        (score DESC, doc ASC), at most k rows.  ``exclude_terms`` applies
+        boolean NOT: docs containing any of them never rank."""
         W = self.window_docs
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -323,6 +352,10 @@ class IndexShard:
             ]
             if not hits:
                 continue
+            excl_abs = (
+                self._excluded_abs(part_idx, part, exclude_terms)
+                if exclude_terms else None
+            )
             # sparse per-window upper bound (block-max), only over windows
             # where at least one query term has a block.  SOUNDNESS under
             # negative IDF: a window may contain docs that LACK a term
@@ -373,7 +406,7 @@ class IndexShard:
                 )
                 if res is None:
                     continue
-                docs_abs, scores = res
+                docs_abs, scores = self._drop_excluded(*res, excl_abs)
                 if len(docs_abs) == 0:
                     continue
                 top_docs, top_scores = _merge_topk(
@@ -405,15 +438,19 @@ class IndexShard:
                 idx = np.flatnonzero(present)
                 if len(idx) == 0:
                     continue
+                docs_abs, scores = self._drop_excluded(base + idx, acc[idx], excl_abs)
+                if len(docs_abs) == 0:
+                    continue
                 top_docs, top_scores = _merge_topk(
-                    top_docs, top_scores, base + idx, acc[idx], k
+                    top_docs, top_scores, docs_abs, scores, k
                 )
                 if len(top_docs) >= k:
                     theta = top_scores[-1]
         return top_docs, top_scores
 
     def query_all(
-        self, term_weights: Dict[str, float], k: int
+        self, term_weights: Dict[str, float], k: int,
+        exclude_terms: "Sequence[str]" = (),
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Conjunctive (AND) top-k: only docs containing EVERY term in
         ``term_weights`` rank, scored with the ordinary BM25 sum.
@@ -441,6 +478,10 @@ class IndexShard:
             ]
             if len(hits) < nt:
                 continue  # some term absent from this part → no AND match
+            excl_abs = (
+                self._excluded_abs(part_idx, part, exclude_terms)
+                if exclude_terms else None
+            )
             wins = None
             for _, s, e in hits:
                 tw = part.win[s:e]  # sorted, one block row per window
@@ -467,9 +508,13 @@ class IndexShard:
                     cnt[idx] += 1
                 idx = np.flatnonzero(cnt == nt)
                 if len(idx):
-                    top_docs, top_scores = _merge_topk(
-                        top_docs, top_scores, base + idx, acc[idx], k
+                    docs_abs, scores = self._drop_excluded(
+                        base + idx, acc[idx], excl_abs
                     )
+                    if len(docs_abs):
+                        top_docs, top_scores = _merge_topk(
+                            top_docs, top_scores, docs_abs, scores, k
+                        )
                 continue
             for win_abs in wins.tolist():
                 base = int(win_abs) * W
@@ -484,8 +529,11 @@ class IndexShard:
                 idx = np.flatnonzero(cnt == nt)
                 if not len(idx):
                     continue
+                docs_abs, scores = self._drop_excluded(base + idx, acc[idx], excl_abs)
+                if not len(docs_abs):
+                    continue
                 top_docs, top_scores = _merge_topk(
-                    top_docs, top_scores, base + idx, acc[idx], k
+                    top_docs, top_scores, docs_abs, scores, k
                 )
         return top_docs, top_scores
 

@@ -935,3 +935,57 @@ def test_prefix_engine_matches_brute_force(built, engine):
         engine.vocab.df_prefix("t", max_terms=1)
     with _pytest.raises(ValueError, match="empty"):
         engine.vocab.df_prefix("")
+
+
+def test_not_engine_matches_brute_force(built, engine):
+    """Boolean NOT through the shard actors (WAND + AND paths) must match
+    the brute force exactly; exclusion must be able to RESHAPE the top-k
+    (not just truncate it) and θ-pruning must stay sound."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    st = {"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]}
+    cases = [
+        ("検索 インデックス", "python"),   # exclusion overlaps the topic
+        ("token", "です"),                 # hot-term exclusion (df ≈ N)
+        ("python model", "zzz_nohit"),     # absent exclusion → no-op
+        ("compress 圧縮", "compress"),     # excludes one of the query's own terms
+    ]
+    k = 12
+    tokq = tokenize_queries([q for q, _ in cases], CFG)
+    queries = {f"{q} -{x}": tokq[q] for q, x in cases}
+    exclude = {f"{q} -{x}": tokenize_queries([x], CFG)[x] for q, x in cases}
+    brute = brute_force_topk(
+        docs_ds, queries, k=k, cfg=CFG, id_col="doc_num", text_col="text",
+        stats=st, exclude=exclude,
+    )
+    reshaped = 0
+    for q, x in cases:
+        qid = f"{q} -{x}"
+        got = engine.search(q, k=k, exclude=x)
+        expect = brute[brute.query_id == qid]
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), qid
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=qid,
+            )
+        plain = engine.search(q, k=k)
+        if set(got["doc_num"]) != set(plain["doc_num"]):
+            reshaped += 1
+        # excluded docs are really absent from a deep result
+        deep = engine.search(q, k=5000, exclude=x)
+        bad = engine.search(x, k=5000)
+        assert not (set(deep["doc_num"]) & set(bad["doc_num"])), qid
+    assert reshaped >= 2  # exclusions actually changed rankings
+
+    # conjunctive + NOT through the AND path
+    got = engine.search("python model", k=k, require_all=True, exclude="です")
+    exp = brute_force_topk(
+        docs_ds, {"pm": tokq["python model"]}, k=k, cfg=CFG, id_col="doc_num",
+        text_col="text", stats=st, require_all=True,
+        exclude={"pm": tokenize_queries(["です"], CFG)["です"]},
+    )
+    assert got["doc_num"].tolist() == exp["doc_num"].tolist()
