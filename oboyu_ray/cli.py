@@ -75,7 +75,16 @@ def cmd_query(args: argparse.Namespace) -> int:
     from oboyu_ray.pipelines.query import QueryEngine
 
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
-    if getattr(args, "prefix", False):
+    if getattr(args, "near", None) is not None:
+        sides = args.q.split()
+        if len(sides) != 2:
+            print("query --near takes exactly two terms in --q", file=sys.stderr)
+            engine.close()
+            return 2
+        out = engine.search_near(
+            sides[0], sides[1], window=args.near, k=args.k, hydrate=args.hydrate
+        )
+    elif getattr(args, "prefix", False):
         out = engine.search_prefix(
             args.q, k=args.k, hydrate=args.hydrate, resolve=True
         )
@@ -164,6 +173,8 @@ def main(argv=None) -> int:
                    help="wildcard pre* retrieval (vocabulary prefix expansion)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
+    q.add_argument("--near", type=int, default=None, metavar="W",
+                   help="proximity: the two terms in --q within W tokens (positional index)")
     q.add_argument("--require-all", action="store_true",
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")

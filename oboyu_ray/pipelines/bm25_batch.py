@@ -765,3 +765,133 @@ def prefix_topk(
     out = out.reset_index(drop=True)
     out["rank"] = out["rank"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------------- NEAR search
+
+def near_topk(
+    docs_ds: "ray.data.Dataset",
+    pairs: "Sequence[Tuple[str, str, int]]",
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: Dict[str, float] | None = None,
+) -> pd.DataFrame:
+    """Proximity (NEAR) retrieval: rank documents where the two terms occur
+    within ``w`` tokens of each other (|pos_a − pos_b| ≤ w over the FILTERED
+    token stream, ANY order), scored by BM25 over both terms.
+
+    ``pairs`` is a sequence of (term_a, term_b, w); query_id is rendered as
+    ``"a NEAR/w b"``.  Vectorized: per batch, both terms' occurrences pack
+    into sorted (doc, position) keys and the within-distance test is two
+    searchsorted sweeps — no per-occurrence Python loop.  PK = 2^40 keeps
+    cross-doc ranges disjoint for any real document length.
+    """
+    PK = np.int64(1) << 40
+    tok = get_tokenizer(cfg)
+    norm_pairs = []
+    for a, b, w in pairs:
+        ta = tok.tokenize(a)
+        tb = tok.tokenize(b)
+        if len(ta) == 1 and len(tb) == 1:
+            norm_pairs.append((ta[0], tb[0], int(w)))
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    if not norm_pairs:
+        return empty
+    queries = {f"{a} NEAR/{w} {b}": [a, b] for a, b, w in norm_pairs}
+    stats, df_map = _resolve_stats(docs_ds, queries, cfg, id_col, text_col, stats)
+    if int(stats["N"]) == 0:
+        return empty
+    live = [
+        (a, b, w) for a, b, w in norm_pairs
+        if df_map.get(a, 0) > 0 and df_map.get(b, 0) > 0
+    ]
+    if not live:
+        return empty
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    weights = _query_weights({f"{a} NEAR/{w} {b}": [a, b] for a, b, w in live},
+                             df_map, n_docs)
+    k1, bb = cfg.k1, cfg.b
+    all_terms = sorted({t for a, b, _ in live for t in (a, b)})
+    term_to_id = {t: i for i, t in enumerate(all_terms)}
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(text_col).to_pylist()
+        toks = [tok.tokenize(t or "") for t in texts]
+        lens = np.array([len(ts) for ts in toks], dtype=np.int64)
+        flat = [t for ts in toks for t in ts]
+        codes = np.fromiter(
+            (term_to_id.get(t, -1) for t in flat), dtype=np.int64, count=len(flat)
+        )
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        doc_starts = np.zeros(len(toks), dtype=np.int64)
+        if len(lens):
+            np.cumsum(lens[:-1], out=doc_starts[1:])
+        pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, lens)
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counters: Dict[int, Counter] = {}
+        frames = []
+        for a, b, w in live:
+            qid = f"{a} NEAR/{w} {b}"
+            ma = codes == term_to_id[a]
+            mb = codes == term_to_id[b]
+            if not ma.any() or not mb.any():
+                continue
+            A = doc_of[ma] * PK + pos_in_doc[ma]
+            B = doc_of[mb] * PK + pos_in_doc[mb]
+            lo = np.searchsorted(B, A - w)
+            hi = np.searchsorted(B, A + w + 1)
+            hit = hi > lo
+            if a == b:
+                # self-NEAR: every occurrence matches ITSELF at distance 0,
+                # so require a second occurrence inside the window
+                hit = (hi - lo) > 1
+            hit_docs = np.unique(doc_of[ma][hit])
+            if len(hit_docs) == 0:
+                continue
+            wmap = weights[qid]
+            rows_id, rows_score = [], []
+            for di in hit_docs:
+                c = counters.get(di)
+                if c is None:
+                    c = counters[di] = Counter(toks[di])
+                dl = float(lens[di])
+                s = 0.0
+                for t, iw in wmap.items():
+                    tf = float(c[t])
+                    s += iw * (tf * (k1 + 1)) / (tf + k1 * (1 - bb + bb * (dl / avgdl)))
+                rows_id.append(ids_np[di])
+                rows_score.append(s)
+            g = pd.DataFrame({id_col: rows_id, "score": rows_score})
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(["score_micros", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g[["query_id", id_col, "score_micros"]])
+        if not frames:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.string()),
+                 id_col: pa.array([], type=batch.schema.field(id_col).type),
+                 "score_micros": pa.array([], type=pa.int64())}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out

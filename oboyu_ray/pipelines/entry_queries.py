@@ -427,6 +427,89 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# NEAR pairs (term_a, term_b, window): ordinary pair, tight window, self-NEAR
+# (repeated term), and an absent term (strict empty).
+NEAR_QUERIES: List[tuple] = [
+    ("table", "join", 3),
+    ("spark", "sort", 2),
+    ("window", "window", 4),
+    ("scan", "zzznohit", 5),
+]
+
+
+def q_near_topk(sf_dir: str) -> pd.DataFrame:
+    """Proximity (NEAR/w) retrieval: both terms within w tokens of each
+    other in the filtered token stream, any order; BM25-scored over both
+    terms, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import near_topk
+
+    return near_topk(_docs(sf_dir), NEAR_QUERIES, k=TOPK, cfg=CFG)
+
+
+def _sql_near_topk() -> str:
+    qrows = []
+    trows = []
+    from collections import Counter
+
+    for a, b, w in NEAR_QUERIES:
+        qid = f"{a} NEAR/{w} {b}"
+        qrows.append(f"('{qid}', '{a}', '{b}', {w})")
+        for t, mult in Counter([a, b]).items():
+            trows.append(f"('{qid}', '{t}', {mult})")
+    k1, bb = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+seq AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}'),
+                       t -> length(t) >= {CFG.min_token_length} AND t NOT IN ({_SW})) AS s
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(s) AS term, generate_subscripts(s, 1) AS p FROM seq
+),
+qpair(query_id, ta, tb, w) AS (VALUES {", ".join(qrows)}),
+cand AS (
+    SELECT DISTINCT q.query_id, p1.doc_id
+    FROM qpair q
+    JOIN pos p1 ON p1.term = q.ta
+    JOIN pos p2 ON p2.term = q.tb AND p2.doc_id = p1.doc_id
+    WHERE abs(p1.p - p2.p) <= q.w AND p1.p <> p2.p
+),
+qterms(query_id, term, mult) AS (VALUES {", ".join(trows)}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           q.mult * (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {bb} + {bb} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (
+    SELECT co.query_id, co.doc_id, sum(co.c) AS score
+    FROM contrib co JOIN cand ca ON ca.query_id = co.query_id AND ca.doc_id = co.doc_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -437,6 +520,7 @@ def core_queries() -> dict:
         "phrase_topk": q_phrase_topk,
         "prefix_topk": q_prefix_topk,
         "bm25_topk_not": q_bm25_topk_not,
+        "near_topk": q_near_topk,
     }
 
 
@@ -450,4 +534,5 @@ def core_oracle_sql() -> dict:
         "phrase_topk": _sql_phrase_topk(),
         "prefix_topk": _sql_prefix_topk(),
         "bm25_topk_not": _sql_bm25_topk_not(),
+        "near_topk": _sql_near_topk(),
     }

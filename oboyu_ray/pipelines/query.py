@@ -271,6 +271,21 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
+    def query_near(self, term_a: str, term_b: str, window: int,
+                   term_weights: Dict[str, float], k: int):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get(
+            [
+                s.query_near.remote(term_a, term_b, window, term_weights, k)
+                for s in self.shards
+            ]
+        ):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
     def query_many(self, weight_dicts, k: int, require_all: bool = False):
         import ray as _ray
 
@@ -501,6 +516,37 @@ class QueryEngine:
         for docs, scores in results:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+
+    def search_near(
+        self, term_a: str, term_b: str, window: int = 5, k: int = 10,
+        hydrate: bool = False,
+    ) -> pd.DataFrame:
+        """Proximity retrieval: docs where the two (single-token) terms
+        occur within ``window`` tokens of each other, any order, BM25-scored
+        over both.  Either term absent from the corpus → empty."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        ta = self.tokenizer.tokenize(term_a)
+        tb = self.tokenizer.tokenize(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("search_near takes exactly one token per side")
+        a, b = ta[0], tb[0]
+        # duplicate-term multiplicity matches the brute force: a self-NEAR
+        # query [a, a] double-weights the term like any duplicated query term
+        weights = self.term_weights([a, b])
+        if len(weights) < len({a, b}):
+            return self._finish(empty, hydrate)
+        results = self._fanout(
+            lambda ts: [x.query_near.remote(a, b, int(window), weights, k) for x in ts]
+        )
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in results:
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return self._finish(
+            pd.DataFrame({"doc_num": top_docs, "score": top_scores}), hydrate
+        )
 
     def search_phrase(
         self, phrase: str, k: int = 10, hydrate: bool = False

@@ -665,6 +665,58 @@ class IndexShard:
                 )
         return top_docs, top_scores
 
+    def query_near(
+        self, term_a: str, term_b: str, window: int,
+        term_weights: Dict[str, float], k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Proximity (NEAR) top-k: docs where ``term_a`` and ``term_b``
+        occur within ``window`` tokens of each other (any order), scored by
+        BM25 over both terms.  Runs the dense positions path unconditionally
+        — both occurrence streams pack into sorted (doc, position) keys per
+        part and the distance test is two vectorized searchsorted sweeps
+        through the positions cache (cross-doc ranges disjoint because
+        position < 2^40).  Requires a positional index."""
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0:
+            return top_docs, top_scores
+        W = self.window_docs
+        for part_idx, part in enumerate(self.parts):
+            if not part.has_positions:
+                raise ValueError(
+                    "index was built without store_positions; rebuild with "
+                    "BuildConfig(store_positions=True) to enable NEAR queries"
+                )
+            sa = part.term_slices.get(term_a)
+            sb = part.term_slices.get(term_b)
+            if sa is None or sb is None:
+                continue
+            ia, pa_ = self._positions_cached(part_idx, *sa)
+            A = ia * _PHRASE_PK + pa_
+            if term_a == term_b:
+                lo = np.searchsorted(A, A - window)
+                hi = np.searchsorted(A, A + window + 1)
+                hit = (hi - lo) > 1  # a second occurrence besides itself
+            else:
+                ib, pb_ = self._positions_cached(part_idx, *sb)
+                B = ib * _PHRASE_PK + pb_
+                lo = np.searchsorted(B, A - window)
+                hi = np.searchsorted(B, A + window + 1)
+                hit = hi > lo
+            if not hit.any():
+                continue
+            hit_idx = np.unique(ia[hit])
+            scores = np.zeros(len(hit_idx), dtype=np.float64)
+            for t in ({term_a, term_b}):
+                s, e = part.term_slices[t]
+                idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                ii = np.searchsorted(idx, hit_idx)
+                scores += term_weights[t] * tfnorm[ii]
+            top_docs, top_scores = _merge_topk(
+                top_docs, top_scores, part.win_base * W + hit_idx, scores, k
+            )
+        return top_docs, top_scores
+
     def _maxscore_part(
         self,
         part_idx: int,

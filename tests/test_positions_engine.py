@@ -194,3 +194,52 @@ def test_phrase_dense_and_window_paths_identical(built):
         np.testing.assert_array_equal(a_docs, w_docs, err_msg=p)
         n_hits += len(d_docs) > 0
     assert n_hits >= 2
+
+
+def test_near_engine_matches_brute_force(built, engine):
+    """search_near (packed-position searchsorted sweeps through the shard
+    positions cache) must match the brute-force near_topk exactly,
+    including self-NEAR multiplicity and strict-empty on absent terms."""
+    from oboyu_ray.pipelines.bm25_batch import near_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    st = {"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]}
+
+    # harvest two co-occurring tokens from a real doc for a guaranteed hit
+    tok = get_tokenizer(CFG)
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(docs_dir, f))
+         for f in sorted(os.listdir(docs_dir))]
+    )
+    a = b = None
+    for text in t.column("text").to_pylist():
+        ts = tok.tokenize(text or "")
+        if len(ts) >= 4:
+            a, b = ts[0], ts[3]
+            break
+    assert a is not None
+    pairs = [(a, b, 5), (a, b, 1), (a, a, 6), (a, "zzznohit", 5)]
+    k = 12
+    brute = near_topk(docs_ds, pairs, k=k, cfg=CFG, id_col="doc_num",
+                      text_col="text", stats=st)
+    hits = 0
+    for pa_, pb_, w in pairs:
+        qid_terms = (tok.tokenize(pa_)[0], tok.tokenize(pb_)[0]) if tok.tokenize(pb_) else None
+        qid = f"{qid_terms[0]} NEAR/{w} {qid_terms[1]}" if qid_terms else None
+        got = engine.search_near(pa_, pb_, window=w, k=k)
+        expect = brute[brute.query_id == qid] if qid else brute.iloc[0:0]
+        assert len(got) == len(expect), (pa_, pb_, w)
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (pa_, pb_, w)
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=str((pa_, pb_, w)),
+            )
+            hits += 1
+    assert hits >= 2
+    # NEAR hits are a subset of the conjunctive AND candidates
+    near_docs = set(engine.search_near(a, b, window=5, k=1000)["doc_num"])
+    and_docs = set(engine.search(f"{a} {b}", k=1000, require_all=True)["doc_num"])
+    assert near_docs <= and_docs
