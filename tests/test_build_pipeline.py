@@ -989,3 +989,48 @@ def test_not_engine_matches_brute_force(built, engine):
         exclude={"pm": tokenize_queries(["です"], CFG)["です"]},
     )
     assert got["doc_num"].tolist() == exp["doc_num"].tolist()
+
+
+def test_wide_or_dense_path_matches_brute_force(built, engine):
+    """Queries with >= WIDE_OR_TERMS matched terms (prefix expansions) take
+    the whole-part dense accumulate — must stay rank+score identical to the
+    brute force (and to the narrow-query paths by construction)."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, score_micros
+    from oboyu_ray.state.shards import WIDE_OR_TERMS
+
+    vocab_dir = os.path.join(built["index_dir"], "vocab")
+    terms = []
+    for f in sorted(os.listdir(vocab_dir)):
+        if f.endswith(".parquet"):
+            terms += pq.read_table(
+                os.path.join(vocab_dir, f), columns=["term"]
+            ).column("term").to_pylist()
+    terms = sorted(terms)[: WIDE_OR_TERMS + 20]
+    assert len(terms) >= WIDE_OR_TERMS
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    k = 15
+    brute = brute_force_topk(
+        docs_ds, {"wide": terms}, k=k, cfg=CFG, id_col="doc_num",
+        text_col="text",
+        stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+    )
+    got = engine.search_terms(terms, k=k)
+    expect = brute[brute.query_id == "wide"]
+    assert len(got) == len(expect) > 0
+    assert got["doc_num"].tolist() == expect["doc_num"].tolist()
+    np.testing.assert_array_equal(
+        score_micros(got["score"].to_numpy()), expect["score_micros"].to_numpy()
+    )
+    # and with an exclusion through the dense path
+    ex = [t for t in terms if t][:1]
+    got2 = engine.search_terms(terms, k=k, exclude=ex)
+    brute2 = brute_force_topk(
+        docs_ds, {"wide": terms}, k=k, cfg=CFG, id_col="doc_num",
+        text_col="text",
+        stats={"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]},
+        exclude={"wide": ex},
+    )
+    assert got2["doc_num"].tolist() == brute2["doc_num"].tolist()
