@@ -123,13 +123,15 @@ def run_build_and_query(num_cpus: int, sf_dir: str, with_suite: bool, n_convs: i
         tq = time.time()
         engine.search(q, k=10)
         lat.append(time.time() - tq)
-    engine.close()
     lat_ms = np.asarray(lat) * 1e3
     query_p50_ms = float(np.percentile(lat_ms, 50))
     query_p95_ms = float(np.percentile(lat_ms, 95))
 
     # QPS via the batched path at the reference harness's top-k ladder
-    # (bench/config.py:39-56: QPS at top-k in {1,5,10,20,50})
+    # (bench/config.py:39-56: QPS at top-k in {1,5,10,20,50}).
+    # NOTE: close() must come AFTER this loop — a closed pool makes the
+    # first search_many pay a full actor-pool respawn inside the k=1 leg
+    # (it did, for two rounds of BENCH history; spotted in round 4)
     qps = {}
     for kk in (1, 5, 10, 20, 50):
         t0 = time.time()
@@ -137,6 +139,7 @@ def run_build_and_query(num_cpus: int, sf_dir: str, with_suite: bool, n_convs: i
         for _ in range(rounds):
             engine.search_many(BENCH_QUERIES, k=kk)
         qps[f"k{kk}"] = round(rounds * len(BENCH_QUERIES) / (time.time() - t0), 1)
+    engine.close()
 
     out = {
         "num_cpus": num_cpus,
@@ -152,8 +155,55 @@ def run_build_and_query(num_cpus: int, sf_dir: str, with_suite: bool, n_convs: i
     }
 
     if with_suite:
+        out.update(run_feature_latency(files, num_cpus))
         out["queries"] = run_query_suite(sf_dir)
     return out
+
+
+def run_feature_latency(files: list, num_cpus: int) -> dict:
+    """Positional-index feature probes over the same corpus: phrase / NEAR /
+    prefix / boolean-NOT p50 latency plus the positional build cost.
+    Phrase/NEAR probes are harvested from a real document (guaranteed
+    adjacency); returned as `feature_p50_ms` + `positional_build_sec`."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.config import BM25Config, BuildConfig
+    from oboyu_ray.pipelines.build_index import build_index
+    from oboyu_ray.pipelines.query import QueryEngine
+    from oboyu_ray.stages.postings import get_tokenizer
+
+    pos_dir = os.path.join(BENCH_ROOT, f"index_pos_cpus{num_cpus}")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(files, pos_dir, BuildConfig(store_positions=True), files_per_part=1)
+    pos_build_sec = time.time() - t0
+
+    tok = get_tokenizer(BM25Config())
+    a = b = None
+    for text in pq.read_table(files[0], columns=["text"]).column("text").to_pylist():
+        ts = tok.tokenize(text or "")
+        if len(ts) >= 4:
+            a, b = ts[0], ts[1]
+            break
+    engine = QueryEngine(pos_dir)
+    probes = {
+        "phrase": lambda: engine.search_phrase(f"{a} {b}", k=10),
+        "near4": lambda: engine.search_near(a, b, window=4, k=10),
+        "prefix": lambda: engine.search_prefix(a[:3], k=10, max_terms=500_000),
+        "not": lambda: engine.search(BENCH_QUERIES[0], k=10, exclude=a),
+    }
+    feat = {}
+    for name, fn in probes.items():
+        fn()  # warm (decodes into the shard caches)
+        ts = []
+        for _ in range(10):
+            tq = time.time()
+            fn()
+            ts.append((time.time() - tq) * 1e3)
+        feat[name] = round(float(np.percentile(ts, 50)), 2)
+    engine.close()
+    return {"feature_p50_ms": feat, "positional_build_sec": round(pos_build_sec, 3)}
 
 
 def run_query_suite(sf_dir: str) -> dict:

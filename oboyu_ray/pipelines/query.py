@@ -402,7 +402,15 @@ class QueryEngine:
         """ray.get(submit(targets)) with one-shot fault recovery: a dead
         shard/aggregator actor (node loss, OOM kill) raises RayActorError —
         respawn the whole pool from disk and re-issue.  Queries are pure
-        reads, so the retry is idempotent and rank-identical."""
+        reads, so the retry is idempotent and rank-identical.
+
+        An EMPTY target list (engine was close()d) must respawn EAGERLY:
+        fanning out to zero actors raises nothing and would silently return
+        an empty — wrong — result.  (This exact bug made every historical
+        bench QPS ladder measure empty calls: bench.py closed the engine
+        before its QPS loop.  Found round 4; see BASELINE.)"""
+        if not self._targets:
+            self._spawn_pool()
         try:
             return ray.get(submit(self._targets))
         except ray.exceptions.RayActorError:

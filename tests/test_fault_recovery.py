@@ -82,3 +82,19 @@ def test_non_actor_errors_still_raise(engine):
     with pytest.raises(Exception) as ei:
         engine._fanout(lambda ts: [a.query.remote(None, 10) for a in ts])
     assert not isinstance(ei.value, ray.exceptions.RayActorError)
+
+
+def test_engine_reuse_after_close_respawns(engine):
+    """A close()d engine must respawn on the next query, not silently fan
+    out to zero actors and return empty (the bug that made every pre-r4
+    bench QPS ladder measure empty calls)."""
+    eng, query = engine, QUERIES[0]
+    before_many = eng.search_many([query], k=5)
+    before_one = eng.search(query, k=5)
+    assert len(before_one) > 0
+    eng.close()
+    after_many = eng.search_many([query], k=5)  # must respawn eagerly
+    assert after_many[0]["doc_num"].tolist() == before_many[0]["doc_num"].tolist()
+    eng.close()
+    after_one = eng.search(query, k=5)
+    assert after_one["doc_num"].tolist() == before_one["doc_num"].tolist()
