@@ -653,6 +653,21 @@ class QueryEngine:
         out = out.assign(text=[texts.get(d) for d in doc_nums])
         return out
 
+    def query_stats(self, reset: bool = False) -> Dict[str, int]:
+        """Aggregate per-shard scan telemetry (windows scanned/pruned,
+        postings decoded, cache hit/miss, execution-path counts) across the
+        actor pool — the 'what did queries actually cost' surface the build
+        manifests don't cover.  ``reset=True`` zeroes the counters after
+        reading (epoch-style sampling)."""
+        counts = ray.get([a.get_counters.remote() for a in self.actors])
+        if reset:
+            ray.get([a.reset_counters.remote() for a in self.actors])
+        out: Dict[str, int] = {}
+        for c in counts:
+            for k, v in c.items():
+                out[k] = out.get(k, 0) + int(v)
+        return out
+
     def close(self) -> None:
         for a in self.aggregators:
             ray.kill(a)

@@ -263,6 +263,21 @@ class IndexShard:
         # key (part, s, e, -1) → (dense tfnorm array, span/2) gather entries
         self._cache: Dict[Tuple, Tuple] = {}
         self._cache_postings = 0
+        # per-shard scan telemetry (get_counters / reset_counters; the
+        # engine sums these across actors — the observability surface the
+        # manifests don't cover: what queries actually COST)
+        self.counters: Dict[str, int] = {
+            "queries": 0, "windows_scanned": 0, "windows_pruned": 0,
+            "postings_decoded": 0, "cache_hits": 0, "cache_misses": 0,
+            "maxscore_parts": 0, "wide_or_parts": 0,
+        }
+
+    def get_counters(self) -> Dict[str, int]:
+        return dict(self.counters)
+
+    def reset_counters(self) -> None:
+        for k in self.counters:
+            self.counters[k] = 0
 
     def _contrib_cached(self, part_idx: int, s: int, e: int):
         """FIFO-bounded cache of (part-local doc index, tfnorm) for a term's
@@ -273,9 +288,12 @@ class IndexShard:
         key = (part_idx, s, e)
         hit = self._cache.get(key)
         if hit is not None:
+            self.counters["cache_hits"] += 1
             return hit[0]
+        self.counters["cache_misses"] += 1
         part = self.parts[part_idx]
         docs_abs, tf, dl = part.decode_range(s, e)
+        self.counters["postings_decoded"] += len(docs_abs)
         idx = docs_abs - part.win_base * self.window_docs
         tfnorm = self._tfnorm(tf, dl)
         out = (idx, tfnorm)
@@ -349,6 +367,7 @@ class IndexShard:
         if k <= 0:
             return top_docs, top_scores
         theta = theta0
+        self.counters["queries"] += 1
 
         for part_idx, part in enumerate(self.parts):
             hits = [
@@ -372,6 +391,7 @@ class IndexShard:
             # BASELINE).  Same float summation order as the other dense
             # paths (per-term accumulate), so scores are identical.
             if len(hits) >= WIDE_OR_TERMS:
+                self.counters["wide_or_parts"] += 1
                 span = part.n_windows * W
                 base = part.win_base * W
                 acc = np.zeros(span, dtype=np.float64)
@@ -436,6 +456,7 @@ class IndexShard:
             else:
                 n_surviving = len(uniq_wins)
             if n_surviving * 2 > len(uniq_wins):
+                self.counters["maxscore_parts"] += 1
                 res = self._maxscore_part(
                     part_idx, part, hits, theta if len(top_docs) >= k else NEG_INF
                 )
@@ -452,10 +473,12 @@ class IndexShard:
                 continue
 
             order = np.argsort(-ub, kind="stable")
-            for oi in order:
+            for n_done, oi in enumerate(order):
                 bound = ub[oi]
                 if len(top_docs) >= k and bound < theta:
+                    self.counters["windows_pruned"] += len(order) - n_done
                     break  # strict <: equal-bound windows still processed
+                self.counters["windows_scanned"] += 1
                 win_abs = int(uniq_wins[oi])
                 acc = np.zeros(W, dtype=np.float64)
                 present = np.zeros(W, dtype=bool)

