@@ -51,6 +51,18 @@ TOOLS = [
                                    "(requires an index built with "
                                    "store_positions)",
                 },
+                "prefix": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "wildcard pre* retrieval (query is the "
+                                   "prefix; bounded vocabulary expansion)",
+                },
+                "near": {
+                    "type": "integer",
+                    "description": "proximity window: the query's two terms "
+                                   "within this many tokens (positional "
+                                   "index required)",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -104,9 +116,19 @@ class McpServer:
     def tool_search(
         self, query: str, index_dir: str, top_k: int = 5,
         require_all: bool = False, phrase: bool = False,
+        prefix: bool = False, near: Optional[int] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
-        if phrase:
+        if near is not None:
+            sides = query.split()
+            if len(sides) != 2:
+                raise ValueError("near search takes exactly two terms")
+            df = eng.search_near(
+                sides[0], sides[1], window=int(near), k=int(top_k), hydrate=True
+            )
+        elif prefix:
+            df = eng.search_prefix(query, k=int(top_k), hydrate=True, resolve=True)
+        elif phrase:
             df = eng.search_phrase(query, k=int(top_k), hydrate=True)
         else:
             df = eng.search(

@@ -73,3 +73,39 @@ def test_full_block_roundtrip():
     assert len(payload) < docs.nbytes  # actually compresses vs raw int64
     back = delta_decode(varint_decode(payload), base=0)
     assert np.array_equal(back, docs)
+
+
+def test_positions_payload_roundtrip_property():
+    """Property: arbitrary per-posting position lists survive the blocks
+    positions encoding (delta+varint with tf as the length stream) exactly —
+    the same reconstruction decode_positions performs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oboyu_ray.state.codec import grouped_delta_encode, varint_decode, varint_encode
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=2**20), min_size=1,
+                     max_size=30).map(lambda v: sorted(set(v))),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(lists):
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in lists])
+        counts = np.array([len(v) for v in lists], dtype=np.int64)
+        pstarts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=pstarts[1:])
+        gaps = grouped_delta_encode(flat, pstarts, np.zeros(len(pstarts), np.int64))
+        payload = varint_encode(gaps)
+        # decode exactly like _PartIndex.decode_positions
+        dec = varint_decode(payload).astype(np.int64)
+        tot = np.cumsum(dec)
+        shift = np.zeros(len(counts), dtype=np.int64)
+        if len(counts) > 1:
+            shift[1:] = tot[pstarts[1:] - 1]
+        back = tot - np.repeat(shift, counts)
+        assert np.array_equal(back, flat)
+
+    check()

@@ -595,6 +595,18 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "engine search", "index_dir": index_dir,
                                   "top_k": 3, "phrase": True}}},
+        {"jsonrpc": "2.0", "id": 12, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine", "index_dir": index_dir,
+                                  "top_k": 3, "near": 2}}},
+        {"jsonrpc": "2.0", "id": 13, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine", "index_dir": index_dir,
+                                  "top_k": 3, "near": 1}}},
+        {"jsonrpc": "2.0", "id": 14, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tok", "index_dir": index_dir,
+                                  "top_k": 3, "prefix": True}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -628,6 +640,14 @@ def test_mcp_stdio_transport(tmp_path):
     assert phr["stats"]["count"] == 1 and "alpha.md" in phr["results"][0]["uri"]
     phr_rev = _json.loads(resps[11]["result"]["content"][0]["text"])
     assert phr_rev["stats"]["count"] == 0
+    # NEAR through the protocol: alpha..engine are 2 apart in alpha.md
+    nr2 = _json.loads(resps[12]["result"]["content"][0]["text"])
+    assert nr2["stats"]["count"] == 1 and "alpha.md" in nr2["results"][0]["uri"]
+    nr1 = _json.loads(resps[13]["result"]["content"][0]["text"])
+    assert nr1["stats"]["count"] == 0
+    # prefix: tok* matches "tokens" present in BOTH docs
+    pfx = _json.loads(resps[14]["result"]["content"][0]["text"])
+    assert pfx["stats"]["count"] == 2
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
