@@ -254,7 +254,13 @@ class IndexShard:
     # slower at 50M docs with an 8M cap)
     DECODE_CACHE_POSTINGS = 32_000_000
 
-    def __init__(self, index_dir: str, part_ids: List[int], window_docs: int) -> None:
+    def __init__(self, index_dir: str, part_ids: List[int], window_docs: int,
+                 cache_postings: Optional[int] = None) -> None:
+        # per-shard decode-cache budget override: deployments with few huge
+        # shards (docs-per-shard ≫ the sandbox's ~3M) size this to keep a
+        # working set of hot terms resident — ~16 B per posting
+        if cache_postings is not None:
+            self.DECODE_CACHE_POSTINGS = int(cache_postings)
         self.window_docs = window_docs
         self.parts: List[_PartIndex] = []
         for pid in part_ids:
@@ -556,22 +562,37 @@ class IndexShard:
             # through the contribution cache + a presence-count filter
             rarest = min(e - s for _, s, e in hits)
             if len(wins) * 2 > rarest:
+                # rarest-driven intersection: candidates are the RAREST
+                # term's postings; every other term contributes through its
+                # cached dense tfnorm array (one gather per candidate —
+                # tfnorm > 0 for any real posting, so nonzero IS presence).
+                # Work per query is O(rarest df), not O(Σ df): with a
+                # 64%-df head term ANDed against a 5% term at 100M docs the
+                # old whole-part scatter paid the head term's 64M postings
+                # every query (measured 350 ms warm p50); this pays the 5%
+                # term's.  Scores are bit-identical (same per-doc addition
+                # order as the scatter).
                 span = part.n_windows * W
                 base = part.win_base * W
-                acc = np.zeros(span, dtype=np.float64)
-                cnt = np.zeros(span, dtype=np.int64)
-                for w, s, e in hits:
-                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
-                    acc[idx] += w * tfnorm
-                    cnt[idx] += 1
-                idx = np.flatnonzero(cnt == nt)
-                if len(idx):
-                    docs_abs, scores = self._drop_excluded(
-                        base + idx, acc[idx], excl_abs
+                order = sorted(
+                    hits, key=lambda h: part.row_starts[h[2]] - part.row_starts[h[1]]
+                )
+                w0, s0, e0 = order[0]
+                idx0, tfnorm0 = self._contrib_cached(part_idx, s0, e0)
+                scores = w0 * tfnorm0
+                ok = np.ones(len(idx0), dtype=bool)
+                for w, s, e in order[1:]:
+                    dense = self._dense_contrib_cached(part_idx, s, e, span)
+                    v = dense[idx0]
+                    ok &= v != 0.0
+                    scores = scores + w * v
+                if ok.any():
+                    docs_abs, sc = self._drop_excluded(
+                        base + idx0[ok], scores[ok], excl_abs
                     )
                     if len(docs_abs):
                         top_docs, top_scores = _merge_topk(
-                            top_docs, top_scores, docs_abs, scores, k
+                            top_docs, top_scores, docs_abs, sc, k
                         )
                 continue
             for win_abs in wins.tolist():
