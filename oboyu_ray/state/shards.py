@@ -690,8 +690,20 @@ class IndexShard:
             dense = len(wins) * 2 > rarest if force is None else force == "dense"
             if dense:
                 part_base = part.win_base * W
+                # intersect ascending-by-size: the packed keys already carry
+                # the phrase offset, so the chain is commutative — starting
+                # from the rarest term keeps `cur` (and every merge) small
+                # even when the phrase contains a head term
+                j_order = sorted(
+                    range(m),
+                    key=lambda j: (
+                        part.row_starts[part.term_slices[phrase_terms[j]][1]]
+                        - part.row_starts[part.term_slices[phrase_terms[j]][0]]
+                    ),
+                )
                 cur = None
-                for j, t in enumerate(phrase_terms):
+                for j in j_order:
+                    t = phrase_terms[j]
                     s, e = part.term_slices[t]
                     idx_rep, pos = self._positions_cached(part_idx, s, e)
                     keys = idx_rep * _PHRASE_PK + (pos - j)
@@ -770,6 +782,15 @@ class IndexShard:
             sb = part.term_slices.get(term_b)
             if sa is None or sb is None:
                 continue
+            # sweep from the RARER side: |pos_a − pos_b| ≤ w is symmetric,
+            # so candidates can come from either term — |A| searchsorteds
+            # into the bigger B beats the reverse when one side is a head
+            # term
+            if term_a != term_b:
+                na = part.row_starts[sa[1]] - part.row_starts[sa[0]]
+                nb = part.row_starts[sb[1]] - part.row_starts[sb[0]]
+                if nb < na:
+                    sa, sb = sb, sa
             ia, pa_ = self._positions_cached(part_idx, *sa)
             A = ia * _PHRASE_PK + pa_
             if term_a == term_b:
