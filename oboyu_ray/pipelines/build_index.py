@@ -684,9 +684,11 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
         },
     }
     # key present only when ON: legacy (position-free) checkpoints stay
-    # valid, and toggling either direction invalidates the partition
+    # valid, and toggling either direction invalidates the partition.  The
+    # value names the positions storage format, so format changes also
+    # invalidate (list<int32> v1 → pre-encoded varint cells)
     if cfg.store_positions:
-        lineage["store_positions"] = True
+        lineage["store_positions"] = "varint-cells"
 
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
@@ -736,8 +738,27 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
             new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
             run_starts = np.flatnonzero(new)
             run_counts = np.diff(np.r_[run_starts, total])
-            pos_offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
-            np.cumsum(run_counts, out=pos_offsets[1:])
+            # positions are stored PRE-ENCODED (delta+varint per posting, a
+            # binary cell per row): the blocks phase then only memcpy-slices
+            # contiguous cells per (term, window) group — no list-column
+            # parquet round trip, no re-encode (the list<int32> format cost
+            # ~1.3 s/part across read+flatten+delta+varint in blocks)
+            from oboyu_ray.state.codec import (
+                grouped_delta_encode as _gde,
+                varint_byte_lengths as _vbl,
+                varint_encode as _venc,
+            )
+
+            gaps = _gde(p_s, run_starts, np.zeros(len(run_starts), dtype=np.int64))
+            payload = np.frombuffer(_venc(gaps), dtype=np.uint8)
+            byte_ends = np.cumsum(_vbl(gaps))
+            pos_cum = np.cumsum(run_counts)  # per posting: end index in p_s
+            cell_off = np.zeros(len(run_starts) + 1, dtype=np.int64)
+            cell_off[1:] = byte_ends[pos_cum - 1]
+            pos_col = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), len(run_starts),
+                [None, pa.py_buffer(cell_off), pa.py_buffer(payload)],
+            )
             postings = pa.table(
                 {
                     "term": pa.array(uniques.take(c_s[run_starts]), type=pa.string()),
@@ -746,10 +767,7 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
                     ),
                     "tf": pa.array(run_counts, type=pa.int64()),
                     "dl": pa.array(lens[d_s[run_starts]], type=pa.int64()),
-                    "pos": pa.ListArray.from_arrays(
-                        pa.array(pos_offsets, type=pa.int32()),
-                        pa.array(p_s.astype(np.int32), type=pa.int32()),
-                    ),
+                    "pos": pos_col,
                 }
             ).sort_by([("term", "ascending"), ("doc_num", "ascending")])
         else:
@@ -759,7 +777,7 @@ def _tokenize_one_part(part_id: int, index_dir: str, cfg: BuildConfig) -> pa.Tab
                     "doc_num": pa.array([], type=pa.int64()),
                     "tf": pa.array([], type=pa.int64()),
                     "dl": pa.array([], type=pa.int64()),
-                    "pos": pa.array([], type=pa.list_(pa.int32())),
+                    "pos": pa.array([], type=pa.large_binary()),
                 }
             )
     else:
@@ -936,7 +954,7 @@ def _encode_blocks_one_part(
         "block_format": 2,  # v2: dl lives in the dense per-part dls table
     }
     if cfg.store_positions:
-        lineage["store_positions"] = True  # absent for legacy indexes
+        lineage["store_positions"] = "varint-cells"  # absent for legacy indexes
     if man.is_done(part_id, lineage):
         m = man.get(part_id)["metrics"]
         return pa.table({k: [v] for k, v in m.items()})
@@ -1022,31 +1040,24 @@ def _encode_blocks_one_part(
     }
     pos_bytes = 0
     if cfg.store_positions and "pos" in p.column_names:
-        # positions payload: per posting, tf delta+varint-coded position
-        # values (first absolute) — no separate length stream needed, the
-        # decoded tf IS the position count (tf == len(positions) by
-        # construction in _tokenize_one_part)
-        plc = p.column("pos").combine_chunks()
-        pos_offsets = plc.offsets.to_numpy().astype(np.int64)
-        flat_pos = plc.values.to_numpy().astype(np.int64)[
-            pos_offsets[0] : pos_offsets[-1]
-        ]
-        pos_offsets = pos_offsets - pos_offsets[0]
-        counts_pp = np.diff(pos_offsets)
-        if not np.array_equal(counts_pp, tf.astype(np.int64)):
-            raise AssertionError("positions-per-posting must equal tf")
-        pstarts = pos_offsets[:-1]
-        pos_gaps = grouped_delta_encode(
-            flat_pos, pstarts, np.zeros(len(pstarts), dtype=np.int64)
+        # positions arrive PRE-ENCODED from tokenize (one delta+varint cell
+        # per posting row, tf as the implicit length stream); block rows are
+        # contiguous posting runs, so the per-(term, window) payload is a
+        # pure slice of the cells buffer — no decode, no re-encode
+        pcol = p.column("pos").combine_chunks()
+        bufs = pcol.buffers()
+        width = np.int64 if pa.types.is_large_binary(pcol.type) else np.int32
+        cell_off = np.frombuffer(
+            bufs[1], dtype=width, count=pcol.offset + len(pcol) + 1
+        )[pcol.offset : pcol.offset + len(pcol) + 1].astype(np.int64)
+        cell_data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
         )
-        pos_payload = np.frombuffer(varint_encode(pos_gaps), dtype=np.uint8)
-        pos_lens = varint_byte_lengths(pos_gaps)
-        pos_byte_ends = np.cumsum(pos_lens)  # per position value
-        pos_cum = np.cumsum(counts_pp)  # per posting: end index in flat_pos
-        blk_pos_end = pos_cum[ends - 1]  # per block (every posting has tf>=1)
-        pos_off = np.zeros(len(starts) + 1, dtype=np.int64)
-        pos_off[1:] = pos_byte_ends[blk_pos_end - 1]
-        block_cols["pos"] = binary_from(pos_payload, pos_off)
+        pos_payload = cell_data[cell_off[0] : cell_off[-1]]
+        pos_off = np.concatenate((cell_off[starts], cell_off[-1:])) - cell_off[0]
+        block_cols["pos"] = binary_from(np.ascontiguousarray(pos_payload), pos_off)
         pos_bytes = int(pos_off[-1])
 
     blocks = pa.table(block_cols)
