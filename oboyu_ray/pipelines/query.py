@@ -286,6 +286,25 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
+    def query_phrase_many(self, phrase_lists, weights_list, k: int):
+        import ray as _ray
+
+        per_shard = _ray.get(
+            [
+                s.query_phrase_many.remote(phrase_lists, weights_list, k)
+                for s in self.shards
+            ]
+        )
+        out = []
+        for j in range(len(phrase_lists)):
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            for shard_results in per_shard:
+                docs, scores = shard_results[j]
+                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+            out.append((top_docs, top_scores))
+        return out
+
     def query_many(self, weight_dicts, k: int, require_all: bool = False):
         import ray as _ray
 
@@ -565,6 +584,46 @@ class QueryEngine:
         return self._finish(
             self.search_phrase_terms(self.tokenizer.tokenize(phrase), k), hydrate
         )
+
+    def search_phrase_many(self, phrases: List[str], k: int = 10) -> List[pd.DataFrame]:
+        """Batched phrase retrieval: ONE vocab df sweep for the union of all
+        phrases' terms and ONE fan-out round for all phrases (per-shard
+        query_phrase_many; consecutive phrases share the shard caches) —
+        the phrase counterpart of search_many."""
+        token_lists = [self.tokenizer.tokenize(p) for p in phrases]
+        dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
+        n = int(self.stats["N"])
+        weight_list = [self._weights_from_dfs(ts, dfs, n) for ts in token_lists]
+        # a phrase is live only when EVERY distinct term exists (adjacency
+        # over a missing term is unmatchable — strict empty)
+        live = [
+            (i, token_lists[i], weight_list[i])
+            for i in range(len(phrases))
+            if token_lists[i] and len(weight_list[i]) == len(set(token_lists[i]))
+        ]
+        out: List[pd.DataFrame] = [
+            pd.DataFrame({"doc_num": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+            for _ in phrases
+        ]
+        if not live:
+            return out
+        results = self._fanout(
+            lambda ts: [
+                a.query_phrase_many.remote(
+                    [t for _, t, _ in live], [w for _, _, w in live], k
+                )
+                for a in ts
+            ]
+        )
+        for j, (i, _, _) in enumerate(live):
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            for shard_results in results:
+                docs, scores = shard_results[j]
+                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+            out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        return out
 
     def search_many(
         self, queries: List[str], k: int = 10, require_all: bool = False

@@ -940,6 +940,15 @@ class IndexShard:
         run = self.query_all if require_all else self.query
         return [run(w, k) for w in weight_dicts]
 
+    def query_phrase_many(self, phrase_lists, weights_list, k: int):
+        """Batched phrase queries — one round-trip; consecutive phrases
+        share the positions/contribution caches, so a batch touching the
+        same hot terms decodes them once."""
+        return [
+            self.query_phrase(terms, w, k)
+            for terms, w in zip(phrase_lists, weights_list)
+        ]
+
     def configure(self, k1: float, b: float, avgdl: float) -> None:
         self.k1 = k1
         self.b = b

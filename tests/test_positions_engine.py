@@ -243,3 +243,18 @@ def test_near_engine_matches_brute_force(built, engine):
     near_docs = set(engine.search_near(a, b, window=5, k=1000)["doc_num"])
     and_docs = set(engine.search(f"{a} {b}", k=1000, require_all=True)["doc_num"])
     assert near_docs <= and_docs
+
+
+def test_search_phrase_many_matches_single(built, engine):
+    """Batched phrase retrieval (one df sweep + one fan-out) must equal the
+    single-phrase path per phrase, including dead phrases (absent term /
+    tokenizes away) which stay strict-empty."""
+    phrases = _phrases_from_corpus(built["index_dir"])
+    batched = engine.search_phrase_many(phrases, k=8)
+    assert len(batched) == len(phrases)
+    for p, got in zip(phrases, batched):
+        single = engine.search_phrase(p, k=8)
+        assert got["doc_num"].tolist() == single["doc_num"].tolist(), p
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), single["score"].to_numpy(), rtol=1e-12
+        )
