@@ -98,3 +98,51 @@ def test_engine_reuse_after_close_respawns(engine):
     eng.close()
     after_one = eng.search(query, k=5)
     assert after_one["doc_num"].tolist() == before_one["doc_num"].tolist()
+
+
+def test_serving_survives_concurrent_rebuild(tmp_path):
+    """Operational property: a LIVE engine keeps serving consistent results
+    while the index directory is rebuilt underneath it (atomic tmp+rename
+    writes — shard actors hold their loaded state; parquet files are
+    replaced, never mutated in place).  A fresh engine opened afterwards
+    sees the updated index."""
+    import pyarrow.parquet as pq
+
+    from oboyu_ray.sources.transcripts import write_synth_transcripts
+
+    files = write_synth_transcripts(
+        str(tmp_path / "in"), n_convs=120, seed=3, convs_per_file=40
+    )
+    idx = str(tmp_path / "idx")
+    build_index(files, idx, BuildConfig(window_docs=256))
+    eng = QueryEngine(idx, num_shards=2)
+    try:
+        q = "検索 インデックス"
+        before = eng.search(q, k=8)
+        assert len(before) > 0
+        # rewrite one input file (append a turn to the LAST conversation so
+        # conv spans stay contiguous) and rebuild the same index dir
+        t = pq.read_table(files[0])
+        extra = t.slice(t.num_rows - 1, 1).to_pydict()
+        extra["turn_idx"] = [max(t.column("turn_idx").to_pylist()) + 1]
+        extra["text"] = ["検索 インデックス 検索 インデックス fresh turn"]
+        import pyarrow as pa_
+
+        t2 = pa_.concat_tables([t, pa_.table(extra, schema=t.schema)])
+        from oboyu_ray.state.checkpoint import atomic_write_table
+
+        atomic_write_table(files[0], t2)
+        build_index(files, idx, BuildConfig(window_docs=256))
+        # the live engine still answers from its loaded state, identically
+        during = eng.search(q, k=8)
+        assert during["doc_num"].tolist() == before["doc_num"].tolist()
+    finally:
+        eng.close()
+    eng2 = QueryEngine(idx, num_shards=2)
+    try:
+        after = eng2.search(q, k=8)
+        # the appended doc scores the query terms twice -> results change
+        assert int(eng2.stats["N"]) == int(eng.stats["N"]) + 1
+        assert len(after) > 0
+    finally:
+        eng2.close()
