@@ -88,6 +88,11 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.search_prefix(
             args.q, k=args.k, hydrate=args.hydrate, resolve=True
         )
+    elif getattr(args, "fuzzy", None) is not None:
+        out = engine.search_fuzzy(
+            args.q, max_edits=args.fuzzy, k=args.k, hydrate=args.hydrate,
+            resolve=True,
+        )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(args.q, k=args.k, hydrate=args.hydrate)
     else:
@@ -171,6 +176,9 @@ def main(argv=None) -> int:
                    help="exact adjacency phrase retrieval (positional index)")
     q.add_argument("--prefix", action="store_true",
                    help="wildcard pre* retrieval (vocabulary prefix expansion)")
+    q.add_argument("--fuzzy", type=int, default=None, metavar="D",
+                   help="fuzzy term~D retrieval (vocabulary expansion within "
+                        "levenshtein distance D)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

@@ -767,6 +767,176 @@ def prefix_topk(
     return out
 
 
+# ------------------------------------------------------------ fuzzy search
+
+def lev_at_most(a: str, b: str, d: int) -> bool:
+    """True iff levenshtein(a, b) <= d.  Banded DP (band width 2d+1) with an
+    early abort when the whole band exceeds d — O(min(len)·d) per pair.
+    Plain Levenshtein (insert/delete/substitute, NO transposition), matching
+    DuckDB's ``levenshtein()`` so the SQL oracle reproduces the expansion."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    if la > lb:  # iterate the shorter string's rows
+        a, b, la, lb = b, a, lb, la
+    big = d + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        cur = [big] * (lb + 1)
+        cur[lo - 1] = prev[lo - 1] + 1 if lo == 1 else big
+        ca = a[i - 1]
+        best = cur[lo - 1]
+        for j in range(lo, hi + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
+def _fuzzy_term_mask(terms, qspecs: "Sequence[Tuple[str, int]]"):
+    """Boolean numpy mask over ``terms`` (a python list) — True where a term
+    is within max_edits of ANY query spec.  Vectorized length prefilter, then
+    the banded DP only on length-band survivors."""
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+    mask = np.zeros(len(terms), dtype=bool)
+    for q, d in qspecs:
+        lq = len(q)
+        cand = np.nonzero((~mask) & (np.abs(lens - lq) <= d))[0]
+        for ix in cand:
+            if lev_at_most(terms[ix], q, d):
+                mask[ix] = True
+    return mask
+
+
+def _stats_and_fuzzy_dfs(
+    docs_ds: "ray.data.Dataset",
+    qspecs: "Sequence[Tuple[str, int]]",
+    cfg: BM25Config,
+    id_col: str,
+    text_col: str,
+):
+    """One tokenization pass → ({N, total_dl, avgdl}, df for every term
+    within max_edits of ANY query spec).  Same partial-combine shape as
+    ``_stats_and_prefix_dfs`` with a levenshtein mask instead of
+    starts_with."""
+    specs = sorted({(q, int(d)) for q, d in qspecs if q})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        total_dl = 0
+        if p.num_rows:
+            total_dl = int(pc.sum(p.column("tf")).as_py() or 0)
+        g = (
+            p.group_by("term").aggregate([("tf", "count")])
+            if p.num_rows
+            else pa.table({"term": pa.array([], type=pa.string()),
+                           "tf_count": pa.array([], type=pa.int64())})
+        )
+        if g.num_rows:
+            terms = g.column("term").to_pylist()
+            g = g.filter(pa.array(_fuzzy_term_mask(terms, specs)))
+        return pa.table(
+            {
+                "term": pa.concat_arrays([pa.array([None], type=pa.string()),
+                                          g.column("term").combine_chunks().cast(pa.string())]),
+                "df_partial": pa.concat_arrays(
+                    [pa.array([batch.num_rows], type=pa.int64()),
+                     g.column("tf_count").combine_chunks().cast(pa.int64())]
+                ),
+                "dl_partial": pa.concat_arrays(
+                    [pa.array([total_dl], type=pa.int64()),
+                     pa.nulls(g.num_rows, type=pa.int64())]
+                ),
+            }
+        )
+
+    n_docs = 0
+    total_dl = 0
+    df_map: Dict[str, int] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for t, d, dl in zip(
+            b.column("term").to_pylist(),
+            b.column("df_partial").to_pylist(),
+            b.column("dl_partial").to_pylist(),
+        ):
+            if t is None:
+                n_docs += int(d)
+                total_dl += int(dl or 0)
+            else:
+                df_map[t] = df_map.get(t, 0) + int(d)
+    stats = {
+        "N": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
+    return stats, df_map
+
+
+def fuzzy_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: "Sequence[Tuple[str, int]]",
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Fuzzy (edit-distance) retrieval: each (term, max_edits) query expands
+    to EVERY vocabulary term within levenshtein distance ``max_edits`` of
+    the lowercased term (the exact term included at distance 0), scored as
+    the ordinary BM25 OR over the expanded set (idf per matched term,
+    multiplicity 1) — the classic Lucene FuzzyQuery → BooleanQuery rewrite
+    (reference has no fuzzy matching; semantics follow its BM25 scorer,
+    bm25_indexer.py:300-340, over the expanded term set).  query_id renders
+    as ``"term~d"`` (Lucene syntax).  Exact top-k: (query_id, id,
+    score_micros, rank) like ``brute_force_topk``."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    specs = [(q.strip().lower(), int(d)) for q, d in queries if q and q.strip()]
+    if not specs:
+        return empty
+    stats, df_map = _stats_and_fuzzy_dfs(docs_ds, specs, cfg, id_col, text_col)
+    if int(stats["N"]) == 0 or not df_map:
+        return empty
+    vocab = sorted(df_map)
+    qmap = {
+        f"{q}~{d}": [t for t in vocab if lev_at_most(t, q, d)] for q, d in specs
+    }
+    qmap = {qid: ts for qid, ts in qmap.items() if ts}
+    if not qmap:
+        return empty
+    score_docs = _make_score_docs(
+        qmap, cfg, stats, df_map, id_col, text_col, local_k=k
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 # ------------------------------------------------------------- NEAR search
 
 def near_topk(

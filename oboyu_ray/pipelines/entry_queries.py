@@ -427,6 +427,69 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# Fuzzy (term, max_edits) queries: misspelling with an insertion, with a
+# substitution, with a deletion, an exact in-vocabulary term (distance-0 +
+# neighborhood mix), a distance-2 short term (wide expansion), and a no-hit.
+FUZZY_QUERIES: List[tuple] = [
+    ("tble", 1),       # -> table (insertion)
+    ("joim", 1),       # -> join (substitution)
+    ("windoww", 1),    # -> window (deletion)
+    ("vector", 1),     # exact term + its edit-1 neighborhood
+    ("bath", 2),       # wide d=2 expansion over short terms
+    ("zzznohit", 1),   # no vocabulary term within 1 edit
+]
+
+
+def q_fuzzy_topk(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy ``term~d`` retrieval: each query expands to every vocabulary
+    term within levenshtein distance d, scored as the ordinary BM25 OR
+    (idf per matched term) — Lucene's FuzzyQuery rewrite, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import fuzzy_topk
+
+    return fuzzy_topk(_docs(sf_dir), FUZZY_QUERIES, k=TOPK, cfg=CFG)
+
+
+def _sql_fuzzy_topk() -> str:
+    # DuckDB's levenshtein() counts BYTES; ours counts codepoints.  The
+    # documents vocabulary is pure ASCII at every sf (pinned in
+    # tests/test_fuzzy.py), where the two agree exactly.
+    values = ", ".join(f"('{q}~{d}', '{q}', {d})" for q, d in FUZZY_QUERIES)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qfz(query_id, q, d) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+qterms AS (
+    SELECT q.query_id, f.term, f.df
+    FROM qfz q JOIN dfreq f ON levenshtein(f.term, q.q) <= q.d
+),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - q.df + 0.5) / (q.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # NEAR pairs (term_a, term_b, window): ordinary pair, tight window, self-NEAR
 # (repeated term), and an absent term (strict empty).
 NEAR_QUERIES: List[tuple] = [
@@ -521,6 +584,7 @@ def core_queries() -> dict:
         "prefix_topk": q_prefix_topk,
         "bm25_topk_not": q_bm25_topk_not,
         "near_topk": q_near_topk,
+        "fuzzy_topk": q_fuzzy_topk,
     }
 
 
@@ -535,4 +599,5 @@ def core_oracle_sql() -> dict:
         "prefix_topk": _sql_prefix_topk(),
         "bm25_topk_not": _sql_bm25_topk_not(),
         "near_topk": _sql_near_topk(),
+        "fuzzy_topk": _sql_fuzzy_topk(),
     }

@@ -63,6 +63,12 @@ TOOLS = [
                                    "within this many tokens (positional "
                                    "index required)",
                 },
+                "fuzzy": {
+                    "type": "integer",
+                    "description": "fuzzy retrieval: expand the query term "
+                                   "to every vocabulary term within this "
+                                   "levenshtein distance",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -117,6 +123,7 @@ class McpServer:
         self, query: str, index_dir: str, top_k: int = 5,
         require_all: bool = False, phrase: bool = False,
         prefix: bool = False, near: Optional[int] = None,
+        fuzzy: Optional[int] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
         if near is not None:
@@ -125,6 +132,11 @@ class McpServer:
                 raise ValueError("near search takes exactly two terms")
             df = eng.search_near(
                 sides[0], sides[1], window=int(near), k=int(top_k), hydrate=True
+            )
+        elif fuzzy is not None:
+            df = eng.search_fuzzy(
+                query, max_edits=int(fuzzy), k=int(top_k), hydrate=True,
+                resolve=True,
             )
         elif prefix:
             df = eng.search_prefix(query, k=int(top_k), hydrate=True, resolve=True)

@@ -34,6 +34,33 @@ from oboyu_ray.state.shards import IndexShard, _merge_topk
 VOCAB_INMEM_LIMIT = 5_000_000
 
 
+def _fuzzy_scan_table(path: str, q: str, d: int, cap: int) -> Dict[str, int]:
+    """Sweep ONE vocab parquet file for terms within levenshtein distance
+    ``d`` of ``q``: vectorized utf8_length band filter (cheap, kills ~70-90%
+    of rows before any string leaves Arrow), then the banded DP on the
+    survivors.  Stops early past ``cap`` matches (the caller raises)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from oboyu_ray.pipelines.bm25_batch import lev_at_most
+
+    t = _pq.read_table(path, columns=["term", "df"])
+    lens = pc.utf8_length(t.column("term"))
+    lq = len(q)
+    band = pc.and_(pc.greater_equal(lens, lq - d), pc.less_equal(lens, lq + d))
+    t = t.filter(band)
+    out: Dict[str, int] = {}
+    for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+        if lev_at_most(term, q, d):
+            out[term] = int(df)
+            if len(out) > cap:
+                break
+    return out
+
+
+_scan_vocab_fuzzy_file = ray.remote(num_cpus=1)(_fuzzy_scan_table)
+
+
 class VocabLookup:
     """df lookup for query terms.
 
@@ -162,6 +189,58 @@ class VocabLookup:
             raise ValueError(
                 f"prefix {prefix!r} expands to >{max_terms} terms; "
                 "narrow the prefix or raise max_terms"
+            )
+        return out
+
+    def df_fuzzy(
+        self, term: str, max_edits: int = 1, max_terms: int = 1000,
+        parallel: bool = True,
+    ) -> Dict[str, int]:
+        """df for EVERY vocabulary term within levenshtein distance
+        ``max_edits`` of ``term`` — the FuzzyQuery expansion.  The vocabulary
+        is hash-bucketed by term, so NO range pruning applies (one edit
+        changes the hash and the sort position): the expansion is a full
+        vocabulary sweep with a vectorized length prefilter.  Bucket files
+        are independent, so beyond-the-limit vocabularies sweep them as
+        parallel Ray tasks (``parallel=True``) — wall time = one bucket's
+        decode, the same fan-out shape a multi-node cluster would run.
+
+        Scale note: at 10^8-term vocabularies the documented upgrade path is
+        a FastSS deletion-neighborhood sidecar (every term keyed by its
+        ≤d-char-deletion variants turns the sweep into O(len(q)^d) point
+        lookups); not built — the sweep is a per-distinct-term one-off whose
+        cost is bounded by vocab decode bandwidth, measured in BASELINE.
+
+        Raises when the expansion exceeds ``max_terms`` like ``df_prefix``
+        (a distance-2 two-char query is an unbounded OR, not a search)."""
+        if not term:
+            raise ValueError("df_fuzzy: empty term")
+        q = term.strip().lower()
+        d = int(max_edits)
+        from oboyu_ray.pipelines.bm25_batch import lev_at_most
+
+        out: Dict[str, int] = {}
+        if self._map is not None:
+            lq = len(q)
+            for t, df in self._map.items():
+                if abs(len(t) - lq) <= d and lev_at_most(t, q, d):
+                    out[t] = int(df)
+        elif parallel and len(self.files) > 1:
+            futs = [
+                _scan_vocab_fuzzy_file.remote(f, q, d, max_terms)
+                for f in self.files
+            ]
+            for part in ray.get(futs):
+                out.update(part)
+        else:
+            for f in self.files:
+                out.update(_fuzzy_scan_table(f, q, d, max_terms))
+                if len(out) > max_terms:
+                    break
+        if len(out) > max_terms:
+            raise ValueError(
+                f"fuzzy {q!r}~{d} expands to >{max_terms} terms; "
+                "lower max_edits or raise max_terms"
             )
         return out
 
@@ -507,6 +586,34 @@ class QueryEngine:
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
         dfs = self.vocab.df_prefix(prefix, max_terms=max_terms)
+        n = int(self.stats["N"])
+        weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
+        if not weights:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        results = self._fanout(lambda ts: [a.query.remote(weights, k) for a in ts])
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in results:
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
+    def search_fuzzy(
+        self, term: str, max_edits: int = 1, k: int = 10, max_terms: int = 1000,
+        hydrate: bool = False, resolve: bool = False,
+    ) -> pd.DataFrame:
+        """Fuzzy ``term~d`` retrieval: expand the term against the vocabulary
+        (every term within levenshtein distance ``max_edits``, bounded by
+        ``max_terms``), then run the ordinary OR query over the expanded set
+        (idf per matched term, multiplicity 1) — Lucene's FuzzyQuery →
+        BooleanQuery rewrite, identical scoring to ``fuzzy_topk``.  Unknown
+        neighborhood → empty frame."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        dfs = self.vocab.df_fuzzy(term, max_edits=max_edits, max_terms=max_terms)
         n = int(self.stats["N"])
         weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
         if not weights:

@@ -937,6 +937,59 @@ def test_prefix_engine_matches_brute_force(built, engine):
         engine.vocab.df_prefix("")
 
 
+def test_fuzzy_engine_matches_brute_force(built, engine):
+    """search_fuzzy (levenshtein vocab expansion → OR query through the
+    shards) must be rank- and score-identical to the Dataset brute force,
+    and the bucket-file sweep df_fuzzy must agree with the in-memory map
+    (both the serial and the Ray-task-parallel sweep)."""
+    from oboyu_ray.pipelines.bm25_batch import fuzzy_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    cases = [
+        ("tokn", 1),      # deletion neighbor of "token"
+        ("pythom", 1),    # substitution neighbor of "python"
+        ("検素", 1),       # multibyte substitution neighbor of "検索"
+        ("model", 2),     # exact term + its d=2 neighborhood
+        ("zzznohit", 1),  # empty expansion
+    ]
+    k = 12
+    brute = fuzzy_topk(docs_ds, cases, k=k, cfg=CFG, id_col="doc_num",
+                       text_col="text")
+    hits = 0
+    for q, d in cases:
+        qid = f"{q}~{d}"
+        got = engine.search_fuzzy(q, max_edits=d, k=k)
+        expect = brute[brute.query_id == qid]
+        assert len(got) == len(expect), qid
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), qid
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=qid,
+            )
+            hits += 1
+    assert hits >= 3
+
+    # bucket-file sweep paths (serial + ray-parallel) == in-memory path
+    vl = engine.vocab
+    for q, d in cases:
+        inmem = vl.df_fuzzy(q, max_edits=d)
+        saved, vl._map = vl._map, None
+        try:
+            par = vl.df_fuzzy(q, max_edits=d, parallel=True)
+            ser = vl.df_fuzzy(q, max_edits=d, parallel=False)
+        finally:
+            vl._map = saved
+        assert par == inmem and ser == inmem, q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expands"):
+        engine.vocab.df_fuzzy("de", max_edits=2, max_terms=1)
+    with _pytest.raises(ValueError, match="empty"):
+        engine.vocab.df_fuzzy("")
+
+
 def test_not_engine_matches_brute_force(built, engine):
     """Boolean NOT through the shard actors (WAND + AND paths) must match
     the brute force exactly; exclusion must be able to RESHAPE the top-k

@@ -607,6 +607,14 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "tok", "index_dir": index_dir,
                                   "top_k": 3, "prefix": True}}},
+        {"jsonrpc": "2.0", "id": 15, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokems", "index_dir": index_dir,
+                                  "top_k": 3, "fuzzy": 1}}},
+        {"jsonrpc": "2.0", "id": 16, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "zzznope", "index_dir": index_dir,
+                                  "top_k": 3, "fuzzy": 1}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -648,6 +656,11 @@ def test_mcp_stdio_transport(tmp_path):
     # prefix: tok* matches "tokens" present in BOTH docs
     pfx = _json.loads(resps[14]["result"]["content"][0]["text"])
     assert pfx["stats"]["count"] == 2
+    # fuzzy: "tokems"~1 expands to "tokens" (both docs); no-hit stays empty
+    fz = _json.loads(resps[15]["result"]["content"][0]["text"])
+    assert fz["stats"]["count"] == 2
+    fz0 = _json.loads(resps[16]["result"]["content"][0]["text"])
+    assert fz0["stats"]["count"] == 0
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
