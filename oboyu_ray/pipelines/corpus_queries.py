@@ -1593,6 +1593,28 @@ SELECT doc_id FROM w WHERE nxt IS NOT NULL AND starts_with(nxt, text)
 """
 
 
+def q_substring_dups(sf_dir: str) -> "ray.data.Dataset":
+    """Copy-with-context dedup: docs whose text is a substring of a LONGER
+    doc's text (≥ 23 chars — the winnowing guarantee bound, part of the
+    operator's documented semantics), plus all-but-max-id of exact-dup
+    runs.  Winnowed-fingerprint candidate join (EXACT — the contained doc's
+    min-gram fp is provably selected by both sides), fp-bucketed pair
+    cogroup, broadcast-filtered text attach, pair-bucketed `in` verify."""
+    from oboyu_ray.stages.dedup import substring_dups
+
+    return substring_dups(_docs(sf_dir))
+
+
+# Same bound as oboyu_ray.stages.dedup.SUBSTR_MIN_LEN (w=16, win=8).
+SQL_SUBSTRING_DUPS = """
+SELECT DISTINCT a.doc_id
+FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+WHERE (length(a.text) >= 23 AND length(b.text) > length(a.text)
+       AND contains(b.text, a.text))
+   OR (b.text = a.text AND b.doc_id > a.doc_id)
+"""
+
+
 def q_user_running_totals(sf_dir: str) -> "ray.data.Dataset":
     """Per-user running total + 3-row moving sum of event value (integer
     micros), ordered by (ts, event_id) within user.  ONE hash-bucketed
@@ -4189,6 +4211,7 @@ def corpus_queries() -> dict:
         "value_outliers": q_value_outliers,
         "top_terms_per_lang": q_top_terms_per_lang,
         "prefix_dups": q_prefix_dups,
+        "substring_dups": q_substring_dups,
         "user_running_totals": q_user_running_totals,
         "latest_event_per_user": q_latest_event_per_user,
         "rolling_active_users": q_rolling_active_users,
@@ -4289,6 +4312,7 @@ def corpus_oracle_sql() -> dict:
         "value_outliers": SQL_VALUE_OUTLIERS,
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "prefix_dups": SQL_PREFIX_DUPS,
+        "substring_dups": SQL_SUBSTRING_DUPS,
         "user_running_totals": SQL_USER_RUNNING_TOTALS,
         "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
         "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

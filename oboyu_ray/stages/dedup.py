@@ -1132,3 +1132,341 @@ def prefix_dups(
             _rd.from_arrow(pa.table({id_col: pa.array(boundary, type=pa.int64())}))
         )
     return inner
+
+
+# ---------------------------------------------------- substring containment
+
+SUBSTR_W = 16          # fingerprint gram length (chars)
+SUBSTR_WIN = 8         # winnowing window (grams)
+SUBSTR_MIN_LEN = SUBSTR_W + SUBSTR_WIN - 1  # shortest contained doc covered
+
+
+def _batch_substr_rows(
+    texts: Sequence[Optional[str]], ids: np.ndarray, w: int, win: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(fp, side, doc_id, n_chars) candidate rows for containment dedup.
+
+    Per doc (len ≥ w+win−1 only — shorter docs can neither anchor nor, by
+    strict-length containment, contain an anchored doc):
+
+    - CONTAINER rows (side 0): the doc's winnowed fingerprint set — in each
+      window of ``win`` consecutive w-gram hashes select the RIGHTMOST
+      minimal one (Schleimer et al., SIGMOD'03 robust winnowing).
+    - One CONTAINED row (side 1): the doc's global-min gram hash.  If this
+      doc appears inside a longer doc, the region copy of that min gram is
+      the min of every region-internal window containing it, and the region
+      has ≥ win grams, so the CONTAINER's winnowing provably selects the
+      same VALUE — candidate generation by equi-join on fp is exact (no
+      recall loss), unlike similarity sketches.
+
+    Hashing is the order-sensitive splitmix64 chain over codepoints,
+    vectorized across the whole batch (w shifted passes over one flat
+    array); only the per-doc winnow slicing loops in Python.
+    """
+    from oboyu_ray.stages.sketch import _splitmix64
+
+    cps: List[np.ndarray] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        a = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+        counts[i] = len(a)
+        cps.append(a)
+    flat = (
+        np.concatenate(cps).astype(np.uint64)
+        if cps and counts.sum()
+        else np.zeros(0, dtype=np.uint64)
+    )
+    n = len(flat)
+    out_fp: List[np.ndarray] = []
+    out_side: List[np.ndarray] = []
+    out_id: List[np.ndarray] = []
+    out_len: List[np.ndarray] = []
+    if n:
+        starts = np.cumsum(counts) - counts
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        valid = pos <= np.repeat(counts, counts) - w
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            h = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(w):
+                h = _splitmix64(h ^ flat[idx + j])
+            gdoc = doc_of[idx]
+            gstarts = np.searchsorted(gdoc, np.arange(len(counts)))
+            gcounts = np.diff(np.r_[gstarts, len(gdoc)])
+            sw = np.lib.stride_tricks.sliding_window_view
+            for i in range(len(counts)):
+                c = int(gcounts[i])
+                if counts[i] < w + win - 1 or c < win:
+                    continue
+                g = h[gstarts[i] : gstarts[i] + c]
+                # rightmost-min per window: argmin over the REVERSED window
+                rev = sw(g, win)[:, ::-1]
+                am = (win - 1) - np.argmin(rev, axis=1)
+                sel = np.unique(g[np.arange(c - win + 1) + am])
+                out_fp.append(sel)
+                out_side.append(np.zeros(len(sel), dtype=np.int64))
+                out_id.append(np.full(len(sel), ids[i], dtype=np.int64))
+                out_len.append(np.full(len(sel), counts[i], dtype=np.int64))
+                out_fp.append(np.array([g.min()], dtype=np.uint64))
+                out_side.append(np.ones(1, dtype=np.int64))
+                out_id.append(np.array([ids[i]], dtype=np.int64))
+                out_len.append(np.array([counts[i]], dtype=np.int64))
+    if not out_fp:
+        return (
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+    return (
+        np.concatenate(out_fp),
+        np.concatenate(out_side),
+        np.concatenate(out_id),
+        np.concatenate(out_len),
+    )
+
+
+def substring_dups(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SUBSTR_W,
+    win: int = SUBSTR_WIN,
+    n_buckets: int = PAIR_BUCKETS,
+) -> "ray.data.Dataset":
+    """Docs whose text is a SUBSTRING of another doc's (copy-with-context
+    dedup — the Lee et al. 2022 exact-substring motivation at document
+    granularity).  Flagged: (a) text strictly contained in a LONGER doc's
+    text, for docs of ≥ w+win−1 chars (the winnowing guarantee bound,
+    documented operator semantics — the oracle applies the same bound);
+    (b) text EQUAL to another doc's with a larger id (exact-dup runs keep
+    exactly one survivor, any length).  Output: distinct (doc_id,).
+
+    Shape: one map pass emits winnowed container fps + one anchor fp per
+    doc (candidate join on fp is exact — see _batch_substr_rows); a
+    fp-bucketed cogroup emits (contained, container) id pairs; texts of
+    JUST the candidate ids broadcast-filter into a doc-bucketed attach and
+    a pair-bucketed exact `in` verify (same two-stage shape as the ngram
+    verifier).  The equal-text rule is a separate md5 pass (map-side
+    partial per batch is NOT possible — flagging all-but-max needs every
+    id — so it ships (hash, id) rows once; at 100 TB this is the id-scale
+    shuffle every exact dedup pays).
+    """
+    import ray.data as _rd
+
+    def rows_fn(t: pa.Table) -> pa.Table:
+        fp, side, did, ln = _batch_substr_rows(
+            t.column(text_col).to_pylist(),
+            t.column(id_col).cast(pa.int64()).to_numpy(),
+            w, win,
+        )
+        return pa.table(
+            {
+                "fbucket": pa.array((fp % np.uint64(n_buckets)).astype(np.int64)),
+                "fp": pa.array(fp.view(np.int64), type=pa.int64()),
+                "side": pa.array(side, type=pa.int64()),
+                "doc": pa.array(did, type=pa.int64()),
+                "nlen": pa.array(ln, type=pa.int64()),
+            }
+        )
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        side = g["side"].to_numpy(dtype=np.int64)
+        doc = g["doc"].to_numpy(dtype=np.int64)
+        nlen = g["nlen"].to_numpy(dtype=np.int64)
+        order = np.argsort(fp, kind="stable")
+        fp, side, doc, nlen = fp[order], side[order], doc[order], nlen[order]
+        bnd = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1], True])
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for s, e in zip(bnd[:-1], bnd[1:]):
+            cm = side[s:e] == 1
+            if not cm.any() or cm.all():
+                continue
+            ad, al = doc[s:e][cm], nlen[s:e][cm]
+            bd, bl = doc[s:e][~cm], nlen[s:e][~cm]
+            # cross contained × container, strictly longer container only
+            aa = np.repeat(ad, len(bd))
+            bb = np.tile(bd, len(ad))
+            keep = np.tile(bl, len(ad)) > np.repeat(al, len(bd))
+            out_a.append(aa[keep])
+            out_b.append(bb[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.zeros(0, dtype=np.int64),
+                 "doc_b": np.zeros(0, dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    candidates = (
+        ds.map_batches(rows_fn, batch_format="pyarrow")
+        .groupby("fbucket")
+        .map_groups(pairs_fn, batch_format="pandas")
+        .materialize()
+    )
+
+    parts = [
+        np.concatenate([b.column("doc_a").to_numpy(), b.column("doc_b").to_numpy()])
+        for b in candidates.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    flagged_contained = None
+    if parts:
+        cand_ref = ray.put(np.unique(np.concatenate(parts)))
+
+        def sides(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy().astype(np.int64)
+            b = t.column("doc_b").to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "doc": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                    "pair_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                    "pair_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                    "text": pa.nulls(2 * len(a), type=pa.string()),
+                }
+            )
+
+        def text_rows(t: pa.Table) -> pa.Table:
+            ids_np = t.column(id_col).cast(pa.int64()).to_numpy()
+            sel = t.filter(pa.array(np.isin(ids_np, ray.get(cand_ref))))
+            m = sel.num_rows
+            return pa.table(
+                {
+                    "doc": sel.column(id_col).cast(pa.int64()),
+                    "pair_a": pa.array(np.full(m, -1, dtype=np.int64)),
+                    "pair_b": pa.array(np.full(m, -1, dtype=np.int64)),
+                    "text": sel.column(text_col).cast(pa.string()),
+                }
+            )
+
+        unioned = candidates.map_batches(sides, batch_format="pyarrow").union(
+            ds.map_batches(text_rows, batch_format="pyarrow")
+        )
+
+        def add_dbucket(t: pa.Table) -> pa.Table:
+            d = t.column("doc").to_numpy().astype(np.uint64)
+            return t.append_column(
+                "dbucket", pa.array((d % np.uint64(n_buckets)).astype(np.int64))
+            )
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            is_text = g["pair_a"].to_numpy() < 0
+            texts = dict(
+                zip(
+                    g.loc[is_text, "doc"].to_numpy(dtype=np.int64).tolist(),
+                    g.loc[is_text, "text"].tolist(),
+                )
+            )
+            pr = g.loc[~is_text]
+            return pd.DataFrame(
+                {
+                    "pair_a": pr["pair_a"].to_numpy(dtype=np.int64),
+                    "pair_b": pr["pair_b"].to_numpy(dtype=np.int64),
+                    "doc": pr["doc"].to_numpy(dtype=np.int64),
+                    "text": [texts.get(int(d), "") for d in pr["doc"]],
+                }
+            )
+
+        attached = (
+            unioned.map_batches(add_dbucket, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(attach, batch_format="pandas")
+        )
+
+        def add_vbucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "vbucket",
+                pa.array(_pair_bucket(
+                    t.column("pair_a").to_numpy(),
+                    t.column("pair_b").to_numpy(),
+                    n_buckets,
+                )),
+            )
+
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            pa_ids = g["pair_a"].to_numpy(dtype=np.int64)
+            pb_ids = g["pair_b"].to_numpy(dtype=np.int64)
+            docs = g["doc"].to_numpy(dtype=np.int64)
+            texts = g["text"].tolist()
+            keys = np.stack([pa_ids, pb_ids], axis=1)
+            uniq, pidx = np.unique(keys, axis=0, return_inverse=True)
+            slot_a: dict = {}
+            slot_b: dict = {}
+            for r in range(len(docs)):
+                p = int(pidx[r])
+                if docs[r] == pa_ids[r]:
+                    slot_a[p] = texts[r]
+                elif docs[r] == pb_ids[r]:
+                    slot_b[p] = texts[r]
+            hit = [
+                int(uniq[p, 0])
+                for p in range(len(uniq))
+                if p in slot_a and p in slot_b and slot_a[p] in slot_b[p]
+            ]
+            return pd.DataFrame({id_col: np.array(sorted(set(hit)), dtype=np.int64)})
+
+        flagged_contained = (
+            attached.map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("vbucket")
+            .map_groups(verify, batch_format="pandas")
+        )
+
+    # equal-text rule: all but the max id of every exact-duplicate run
+    def hrows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        keys = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {"key": pa.array(keys, type=pa.string()),
+             id_col: t.column(id_col).cast(pa.int64())}
+        )
+
+    def flag_nonmax(g: pd.DataFrame) -> pd.DataFrame:
+        ids_np = np.sort(g[id_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({id_col: ids_np[:-1]})
+
+    flagged_equal = (
+        ds.map_batches(hrows, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(flag_nonmax, batch_format="pandas")
+    )
+
+    both = (
+        flagged_equal
+        if flagged_contained is None
+        else flagged_contained.union(flagged_equal)
+    )
+
+    def add_ibucket(t: pa.Table) -> pa.Table:
+        d = t.column(id_col).to_numpy().astype(np.uint64)
+        return t.append_column(
+            "ibucket", pa.array((d % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: np.unique(g[id_col].to_numpy(dtype=np.int64))}
+        )
+
+    def enforce(b: pd.DataFrame) -> pa.Table:
+        # empty groups come back as column-less pandas blocks; re-type every
+        # block so an all-empty result still carries the (doc_id,) schema
+        vals = (
+            b[id_col].to_numpy(dtype=np.int64)
+            if id_col in b.columns
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table({id_col: pa.array(vals, type=pa.int64())})
+
+    # typed empty seed: an all-empty groupby yields ZERO blocks (schema None)
+    seed = _rd.from_arrow(pa.table({id_col: pa.array([], type=pa.int64())}))
+    return (
+        both.map_batches(add_ibucket, batch_format="pyarrow")
+        .groupby("ibucket")
+        .map_groups(distinct, batch_format="pandas")
+        .map_batches(enforce, batch_format="pandas")
+        .union(seed)
+    )
