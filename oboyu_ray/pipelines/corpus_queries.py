@@ -4138,10 +4138,446 @@ WITH c AS (
 SQL_REVENUE_CONCENTRATION = _sql_revenue_concentration()
 
 
+# ------------------------------------------------- TPC-H-shaped completions
+
+_JOIN_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_TPCH_BUCKETS = 64
+
+
+def _jbucket(key: np.ndarray, n: int = _TPCH_BUCKETS) -> pa.Array:
+    with np.errstate(over="ignore"):
+        return pa.array(
+            ((key.astype(np.uint64) * _JOIN_GOLD) % np.uint64(n)).astype(np.int64)
+        )
+
+
+def q_order_priority_wait(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q4 shape: per order priority, how many orders have ANY line
+    shipped after the order date.  EXISTS-with-predicate folds to a scalar
+    compare by pre-aggregating lineitem to per-order max(l_shipdate) —
+    map-side partials, then ONE co-shuffle on hash(orderkey): each bucket
+    completes the per-order max, joins its orders, and emits per-priority
+    partial counts; the driver folds ≤5 rows per bucket."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def lmax(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+        g = pre.group_by("okey").aggregate([("ship_us", "max")])
+        k = g.column("okey").to_numpy().astype(np.int64)
+        n = g.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "ship_us": g.column("ship_us_max"),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "opri": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def otag(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(k),
+                "ship_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "odate_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "opri": t.column("o_orderpriority"),
+            }
+        )
+
+    def merge_cnt(g: "pd.DataFrame") -> "pd.DataFrame":
+        lef = g[g["side"] == 0]
+        rig = g[g["side"] == 1]
+        mx = lef.groupby("okey", as_index=False)["ship_us"].max()
+        j = mx.merge(rig[["okey", "odate_us", "opri"]], on="okey", how="inner")
+        j = j[j["ship_us"].to_numpy() > j["odate_us"].to_numpy()]
+        out = j.groupby("opri", as_index=False).size()
+        return out.rename(columns={"opri": "o_orderpriority", "size": "order_count"})
+
+    both = li.map_batches(lmax, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
+    )
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(merge_cnt, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    if not parts:
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series(dtype=object),
+             "order_count": pd.Series(dtype=np.int64)}
+        )
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out
+
+
+SQL_ORDER_PRIORITY_WAIT = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_ship_lag_priority(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q12 shape over available columns: lines bucketed by shipping
+    lag (days from order date to ship date: 0-7 / 8-30 / 31+), counting
+    high-priority (1-URGENT, 2-HIGH) vs lower-priority lines per bucket.
+    Lineitem pre-combines per (orderkey, ship-day) before the ONE
+    co-shuffle with orders on hash(orderkey); per-bucket partials are ≤3
+    rows, driver-folded."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ltag(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "ship_us": t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+        g = pre.group_by(["okey", "ship_us"]).aggregate([([], "count_all")])
+        k = g.column("okey").to_numpy().astype(np.int64)
+        n = g.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "ship_us": g.column("ship_us"),
+                "cnt": g.column("count_all").cast(pa.int64()),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "opri": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def otag(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(k),
+                "ship_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "odate_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "opri": t.column("o_orderpriority"),
+            }
+        )
+
+    US_DAY = 86_400_000_000
+
+    def merge_lag(g: "pd.DataFrame") -> "pd.DataFrame":
+        lef = g[g["side"] == 0]
+        rig = g[g["side"] == 1]
+        j = lef[["okey", "ship_us", "cnt"]].merge(
+            rig[["okey", "odate_us", "opri"]], on="okey", how="inner"
+        )
+        if j.empty:
+            return pd.DataFrame(
+                {"lag_bucket": pd.Series(dtype=object),
+                 "high_count": pd.Series(dtype=np.int64),
+                 "low_count": pd.Series(dtype=np.int64)}
+            )
+        lag = np.floor_divide(
+            j["ship_us"].to_numpy() - j["odate_us"].to_numpy(), US_DAY
+        )
+        bucket = np.where(lag <= 7, "0-7", np.where(lag <= 30, "8-30", "31+"))
+        high = j["opri"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        cnt = j["cnt"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "lag_bucket": bucket,
+                "high_count": np.where(high, cnt, 0),
+                "low_count": np.where(high, 0, cnt),
+            }
+        )
+        return out.groupby("lag_bucket", as_index=False).sum()
+
+    both = li.map_batches(ltag, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
+    )
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(merge_lag, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    if not parts:
+        return pd.DataFrame(
+            {"lag_bucket": pd.Series(dtype=object),
+             "high_count": pd.Series(dtype=np.int64),
+             "low_count": pd.Series(dtype=np.int64)}
+        )
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("lag_bucket", as_index=False)
+        .sum()
+        .sort_values("lag_bucket")
+        .reset_index(drop=True)
+    )
+    return out.astype({"high_count": "int64", "low_count": "int64"})
+
+
+SQL_SHIP_LAG_PRIORITY = """
+WITH j AS (
+    SELECT CASE
+             WHEN CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)
+                       AS BIGINT) <= 7 THEN '0-7'
+             WHEN CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)
+                       AS BIGINT) <= 30 THEN '8-30'
+             ELSE '31+'
+           END AS lag_bucket,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS hi
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT lag_bucket,
+       sum(CASE WHEN hi THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN hi THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM j GROUP BY lag_bucket ORDER BY lag_bucket
+"""
+
+
+def q_promo_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q14 shape: revenue share of PROMO-type parts.  The part table
+    is the dimension side — its (sorted partkey array, is-promo bitmap)
+    broadcasts once via ray.put; lineitem folds to per-batch (promo, total)
+    micros partials; the driver sums two integers.  ppm is the identical
+    float64 expression on both sides."""
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy(np.int64), kind="stable")
+    pkeys = part["p_partkey"].to_numpy(np.int64)[order]
+    promo = (part["p_type"].to_numpy() == "PROMO")[order]
+    pk_ref = ray.put((pkeys, promo))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, isp = ray.get(pk_ref)
+        lk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = _mic(price * (1.0 - disc)).astype(np.int64)
+        ix = np.searchsorted(keys, lk)
+        hit = (ix < len(keys)) & (keys[np.minimum(ix, len(keys) - 1)] == lk)
+        p = isp[np.minimum(ix, len(keys) - 1)] & hit
+        return pa.table(
+            {
+                "promo_rev": pa.array([int(rev[p].sum())], type=pa.int64()),
+                "total_rev": pa.array([int(rev[hit].sum())], type=pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_rev = int(agg["promo_rev"].sum())
+    total_rev = int(agg["total_rev"].sum())
+    ppm = (
+        int(np.floor(float(promo_rev) * 1e6 / float(total_rev) + 0.5))
+        if total_rev
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "promo_ppm": pd.array([ppm], dtype="int64"),
+            "promo_rev_micros": pd.array([promo_rev], dtype="int64"),
+            "total_rev_micros": pd.array([total_rev], dtype="int64"),
+        }
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH j AS (
+    SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                AS BIGINT) AS rev,
+           (p_type = 'PROMO') AS isp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+    SELECT sum(CASE WHEN isp THEN rev ELSE 0 END)::BIGINT AS promo_rev,
+           sum(rev)::BIGINT AS total_rev
+    FROM j
+)
+SELECT CAST(floor(CAST(promo_rev AS DOUBLE) * 1e6 / CAST(total_rev AS DOUBLE)
+                  + 0.5) AS BIGINT) AS promo_ppm,
+       promo_rev AS promo_rev_micros,
+       total_rev AS total_rev_micros
+FROM s
+"""
+
+
+IDLE_BIGORDER_CUTOFF = 450_000.0  # ~p90 of o_totalprice in the testdata
+
+
+def q_idle_highvalue_customers(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and NO large order (o_totalprice > 450k — every synthetic
+    customer has SOME order, so the classic no-orders predicate is vacuous
+    here), counted per market segment.  The average is an exact integer
+    threshold (c_micros > sum_micros // count — for integers this equals
+    c > sum/count, no float in the comparison); the no-large-order side is
+    the hash-bucketed ANTI join against the scan-filtered orders; the
+    ≤5-segment final aggregate is driver-folded."""
+    from oboyu_ray.fixedpoint import micros as _mic
+    from oboyu_ray.stages.relational import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = _mic(t.column("c_acctbal").to_numpy(zero_copy_only=False)).astype(np.int64)
+        pos = bal > 0
+        return pa.table(
+            {
+                "s": pa.array([int(bal[pos].sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    bp = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s, n = int(bp["s"].sum()), int(bp["n"].sum())
+    thresh = (s // n) if n else np.iinfo(np.int64).max  # exact integer floor
+
+    def above(t: pa.Table) -> pa.Table:
+        bal = _mic(t.column("c_acctbal").to_numpy(zero_copy_only=False)).astype(np.int64)
+        sel = t.filter(pa.array(bal > thresh))
+        return pa.table(
+            {
+                "c_custkey": sel.column("c_custkey").cast(pa.int64()),
+                "bal_micros": pa.array(
+                    _mic(sel.column("c_acctbal").to_numpy(zero_copy_only=False)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "c_mktsegment": sel.column("c_mktsegment"),
+            }
+        )
+
+    rich = cust.map_batches(above, batch_format="pyarrow")
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {IDLE_BIGORDER_CUTOFF}").select_columns(["o_custkey"])
+    idle = hash_join(
+        rich, okeys, "c_custkey", "o_custkey", how="anti",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("bal_micros", pa.int64()),
+             ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("bal_micros", "sum"), ("c_custkey", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "acctbal_micros": g.column("bal_micros_sum").cast(pa.int64()),
+                "n_customers": g.column("c_custkey_count").cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        b
+        for b in idle.map_batches(seg_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    if not parts:
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=object),
+             "n_customers": pd.Series(dtype=np.int64),
+             "acctbal_micros": pd.Series(dtype=np.int64)}
+        )
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    return out[["c_mktsegment", "n_customers", "acctbal_micros"]].astype(
+        {"n_customers": "int64", "acctbal_micros": "int64"}
+    )
+
+
+SQL_IDLE_HIGHVALUE_CUSTOMERS = """
+WITH cm AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal
+    FROM customer
+),
+thresh AS (
+    SELECT CAST(sum(bal) // count(*) AS BIGINT) AS t FROM cm WHERE bal > 0
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       sum(bal)::BIGINT AS acctbal_micros
+FROM cm, thresh
+WHERE bal > t
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cm.c_custkey
+                    AND o.o_totalprice > 450000.0)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
     return {
+        # round-4 session-3 additions first: never driver-checked, so the
+        # rotation in __ray_entry__ puts them inside the driver's sample
+        "substring_dups": q_substring_dups,
+        "order_priority_wait": q_order_priority_wait,
+        "ship_lag_priority": q_ship_lag_priority,
+        "promo_revenue": q_promo_revenue,
+        "idle_highvalue_customers": q_idle_highvalue_customers,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -4211,7 +4647,6 @@ def corpus_queries() -> dict:
         "value_outliers": q_value_outliers,
         "top_terms_per_lang": q_top_terms_per_lang,
         "prefix_dups": q_prefix_dups,
-        "substring_dups": q_substring_dups,
         "user_running_totals": q_user_running_totals,
         "latest_event_per_user": q_latest_event_per_user,
         "rolling_active_users": q_rolling_active_users,
@@ -4257,6 +4692,10 @@ def corpus_queries() -> dict:
 
 def corpus_oracle_sql() -> dict:
     return {
+        "order_priority_wait": SQL_ORDER_PRIORITY_WAIT,
+        "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,
