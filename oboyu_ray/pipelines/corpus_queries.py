@@ -4567,6 +4567,34 @@ ORDER BY c_mktsegment
 """
 
 
+def q_domain_mixture(sf_dir: str) -> "pd.DataFrame":
+    """Training-mixture planner over (source, lang) domains: doc/token
+    counts plus the temperature-scaled sampling weight w_d ∝ n_tokens^0.7
+    (mBERT/XLM-R multilingual up/down-sampling).  Map-side partials → one
+    small domain groupby → driver-folded normalization."""
+    from oboyu_ray.stages.trainprep import domain_mixture
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+    return domain_mixture(docs)
+
+
+SQL_DOMAIN_MIXTURE = r"""
+WITH d AS (
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(length(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source, lang
+),
+s AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM d)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(floor(pow(n_tokens, 0.7) * 1e6 / z + 0.5) AS BIGINT) AS weight_ppm
+FROM d, s
+ORDER BY source, lang
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def corpus_queries() -> dict:
@@ -4578,6 +4606,7 @@ def corpus_queries() -> dict:
         "ship_lag_priority": q_ship_lag_priority,
         "promo_revenue": q_promo_revenue,
         "idle_highvalue_customers": q_idle_highvalue_customers,
+        "domain_mixture": q_domain_mixture,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -4696,6 +4725,7 @@ def corpus_oracle_sql() -> dict:
         "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,
         "promo_revenue": SQL_PROMO_REVENUE,
         "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,
+        "domain_mixture": SQL_DOMAIN_MIXTURE,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,

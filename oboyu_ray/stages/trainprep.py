@@ -1226,3 +1226,65 @@ def weighted_sample(
         ["skey", id_col], ascending=[False, True], kind="mergesort"
     ).head(k)
     return cand.drop(columns=["skey"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ domain mixture plan
+
+def domain_mixture(
+    ds: "ray.data.Dataset",
+    domain_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> "pd.DataFrame":
+    """Training-mixture planner: per domain (the ``domain_cols`` tuple),
+    doc count, whitespace-token count, and a temperature-scaled sampling
+    weight ``w_d ∝ n_tokens_d^alpha`` (the multilingual up/down-sampling
+    rule of mBERT/XLM-R; alpha=1 is proportional, alpha→0 uniform).
+
+    Shape: per-batch partial (domain, docs, tokens) groupby → one small
+    groupby-sum over #domains rows → the weight normalization is a driver
+    fold over the bounded domain list (10^4 domains ≪ driver memory at any
+    corpus size).  ``weight_ppm`` is floor(1e6·pow(n,α)/Σpow + 0.5) in
+    float64 on both sides; like ``weighted_sample``'s pinned pow note, the
+    oracle's unordered Σpow can differ by ~1 ulp from the driver fold — a
+    ppm boundary flip needs the fractional part within ~1e-10 of 0.5
+    (verified exact at every sf in this repo's testdata).
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    dcols = list(domain_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        toks = np.fromiter(
+            (len((x or "").split()) for x in texts), dtype=np.int64, count=len(texts)
+        )
+        base = pa.table(
+            {**{c: t.column(c) for c in dcols},
+             "n_tokens": pa.array(toks, type=pa.int64())}
+        )
+        g = base.group_by(dcols).aggregate([("n_tokens", "sum"), ([], "count_all")])
+        return pa.table(
+            {**{c: g.column(c) for c in dcols},
+             "n_docs": g.column("count_all").cast(pa.int64()),
+             "n_tokens": g.column("n_tokens_sum").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(dcols)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(dcols, kind="mergesort").reset_index(drop=True)
+    n = agg["n_tokens"].to_numpy(dtype=np.float64)
+    p = np.power(n, float(alpha))
+    z = float(p.sum())
+    agg["weight_ppm"] = np.floor(p * 1e6 / z + 0.5).astype(np.int64) if z else 0
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+    return agg[dcols + ["n_docs", "n_tokens", "weight_ppm"]]
