@@ -192,6 +192,11 @@ def run_feature_latency(files: list, num_cpus: int) -> dict:
         "near4": lambda: engine.search_near(a, b, window=4, k=10),
         "prefix": lambda: engine.search_prefix(a[:3], k=10, max_terms=500_000),
         "not": lambda: engine.search(BENCH_QUERIES[0], k=10, exclude=a),
+        # fuzzy probe: drop the probe term's last char and ask for ~1 —
+        # guaranteed non-empty expansion (the term itself is 1 edit away)
+        "fuzzy1": lambda: engine.search_fuzzy(
+            a[:-1] if len(a) > 2 else a, max_edits=1, k=10, max_terms=500_000
+        ),
     }
     feat = {}
     for name, fn in probes.items():

@@ -805,18 +805,59 @@ def lev_at_most(a: str, b: str, d: int) -> bool:
     return prev[lb] <= d
 
 
+def fuzzy_mask(
+    terms, q: str, d: int, lens: "np.ndarray | None" = None
+) -> np.ndarray:
+    """Boolean mask over ``terms`` where levenshtein(term, q) <= d.
+
+    d == 1 is EXACT and fully vectorized via the prefix+suffix
+    decomposition: with |len(t) − len(q)| ≤ 1, lev(t, q) ≤ 1 ⟺
+    common_prefix + common_suffix ≥ len(t) − 1 when lengths are equal
+    (≤1 substitution at the single uncovered position), or ≥ min(len)
+    when they differ by 1 (the shorter splits into a prefix+suffix of the
+    longer around one inserted char).  Terms group by length; each group
+    packs into an (n, L) codepoint matrix (utf-32) and the prefix/suffix
+    runs are two cumprod-sums — no per-term Python.  d ≥ 2 falls back to
+    the banded DP on length-band survivors (rare query shape; wide
+    expansions hit max_terms first anyway)."""
+    n = len(terms)
+    if lens is None:
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    mask = np.zeros(n, dtype=bool)
+    lq = len(q)
+    if lq == 0 or n == 0:
+        return mask
+    if d == 1:
+        qa = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+        for L in (lq - 1, lq, lq + 1):
+            if L < 1:
+                continue
+            sel = np.flatnonzero(lens == L)
+            if not len(sel):
+                continue
+            blob = "".join([terms[i] for i in sel])
+            mat = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+            mat = mat.reshape(len(sel), L)
+            m = min(L, lq)
+            cp = (mat[:, :m] == qa[:m]).cumprod(axis=1).sum(axis=1)
+            cs = (mat[:, L - m:][:, ::-1] == qa[lq - m:][::-1]).cumprod(axis=1).sum(axis=1)
+            ok = (cp + cs) >= (L - 1 if L == lq else m)
+            mask[sel[ok]] = True
+        return mask
+    cand = np.flatnonzero(np.abs(lens - lq) <= d)
+    for ix in cand:
+        if lev_at_most(terms[ix], q, d):
+            mask[ix] = True
+    return mask
+
+
 def _fuzzy_term_mask(terms, qspecs: "Sequence[Tuple[str, int]]"):
     """Boolean numpy mask over ``terms`` (a python list) — True where a term
-    is within max_edits of ANY query spec.  Vectorized length prefilter, then
-    the banded DP only on length-band survivors."""
+    is within max_edits of ANY query spec (vectorized per spec)."""
     lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
     mask = np.zeros(len(terms), dtype=bool)
     for q, d in qspecs:
-        lq = len(q)
-        cand = np.nonzero((~mask) & (np.abs(lens - lq) <= d))[0]
-        for ix in cand:
-            if lev_at_most(terms[ix], q, d):
-                mask[ix] = True
+        mask |= fuzzy_mask(terms, q, int(d), lens=lens)
     return mask
 
 

@@ -67,6 +67,25 @@ def test_lev_at_most_edges():
     assert lev_at_most("tabel", "table", 2)
 
 
+def test_fuzzy_mask_matches_banded_dp():
+    """The vectorized d=1 prefix+suffix decomposition must agree with the
+    banded DP on random words (incl. multibyte and adversarial repeats);
+    d=2 exercises the fallback path."""
+    from oboyu_ray.pipelines.bm25_batch import fuzzy_mask
+
+    rng = random.Random(13)
+    words = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+        for _ in range(600)
+    ] + ["検索", "検素", "索検", "インデックス", "インデクス", "aaaa", "aaab", "baaa", "aba", "ab"]
+    queries = ["abcd", "aaa", "ab", "検索", "インデックス", "e", "abcde"]
+    for q in queries:
+        for d in (1, 2):
+            m = fuzzy_mask(words, q, d)
+            ref = [lev_at_most(w, q, d) for w in words]
+            assert m.tolist() == ref, (q, d)
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_fuzzy_topk_matches_duckdb_oracle(sf_dir):
     """The registered driver query equals its oracle SQL row-for-row."""
