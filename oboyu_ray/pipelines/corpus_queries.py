@@ -4567,6 +4567,50 @@ ORDER BY c_mktsegment
 """
 
 
+def q_revenue_cube(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE in one distributed pass: order counts + revenue over
+    all four grouping sets of (status, priority) — the full cross of
+    subtotals, unlike ROLLUP's prefix chain.  Per-batch partials per set,
+    one groupby fold."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import cube_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_micros": pa.array(
+                    micros(t.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return cube_sum(
+        orders.map_batches(fix, batch_format="pyarrow"),
+        keys=["o_orderstatus", "o_orderpriority"],
+        value_col="price_micros",
+        n_name="n_orders",
+        sum_name="revenue_micros",
+    )
+
+
+SQL_REVENUE_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))::BIGINT AS revenue_micros
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_domain_mixture(sf_dir: str) -> "pd.DataFrame":
     """Training-mixture planner over (source, lang) domains: doc/token
     counts plus the temperature-scaled sampling weight w_d ∝ n_tokens^0.7
@@ -4607,6 +4651,7 @@ def corpus_queries() -> dict:
         "promo_revenue": q_promo_revenue,
         "idle_highvalue_customers": q_idle_highvalue_customers,
         "domain_mixture": q_domain_mixture,
+        "revenue_cube": q_revenue_cube,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -4726,6 +4771,7 @@ def corpus_oracle_sql() -> dict:
         "promo_revenue": SQL_PROMO_REVENUE,
         "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,
         "domain_mixture": SQL_DOMAIN_MIXTURE,
+        "revenue_cube": SQL_REVENUE_CUBE,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,

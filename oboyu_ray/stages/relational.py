@@ -993,6 +993,92 @@ def rollup_sum(
     )
 
 
+def grouping_sets_sum(
+    ds: "ray.data.Dataset",
+    keys: "list[str]",
+    value_col: str,
+    sets: "list[tuple]",
+    n_name: str = "n_rows",
+    sum_name: str = "value_sum",
+) -> "ray.data.Dataset":
+    """GROUP BY GROUPING SETS in ONE distributed pass — the general form of
+    ``rollup_sum`` (ROLLUP = prefix sets, CUBE = the powerset): every batch
+    emits partial (count, sum) rows per grouping set, with keys outside the
+    set replaced by the ``ROLLUP_ALL`` sentinel, and one groupby over the
+    full key tuple folds them.  The shuffle moves per-batch GROUP partials
+    × len(sets), never raw rows.  ``value_col`` must be int64
+    (pre-fixed-pointed) so partial sums are associative; string keys only."""
+    keyset = [tuple(s) for s in sets]
+    for s in keyset:
+        for k in s:
+            if k not in keys:
+                raise ValueError(f"grouping set key {k!r} not in keys {keys}")
+    if len(set(keyset)) != len(keyset):
+        raise ValueError("duplicate grouping sets")
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for s in keyset:
+            cols = {}
+            for k in keys:
+                if k in s:
+                    cols[k] = t.column(k)
+                else:
+                    cols[k] = pa.array(
+                        np.full(t.num_rows, ROLLUP_ALL, dtype=object),
+                        type=pa.string(),
+                    )
+            cols["_n"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+            cols["_v"] = t.column(value_col)
+            g = pa.table(cols).group_by(keys).aggregate(
+                [("_n", "sum"), ("_v", "sum")]
+            )
+            outs.append(
+                pa.table(
+                    {
+                        **{k: g.column(k) for k in keys},
+                        "_n": g.column("_n_sum").cast(pa.int64()),
+                        "_v": g.column("_v_sum").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                n_name: t.column("sum(_n)").cast(pa.int64()),
+                sum_name: t.column("sum(_v)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum(["_n", "_v"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def cube_sum(
+    ds: "ray.data.Dataset",
+    keys: "list[str]",
+    value_col: str,
+    n_name: str = "n_rows",
+    sum_name: str = "value_sum",
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE: ``grouping_sets_sum`` over the powerset of ``keys``
+    (2^k grouping sets — keep k small; every set multiplies the partial
+    rows that shuffle)."""
+    from itertools import combinations
+
+    sets = [
+        c for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+    ]
+    return grouping_sets_sum(ds, keys, value_col, sets, n_name, sum_name)
+
+
 def topk_per_group_str(
     ds: "ray.data.Dataset",
     group_col: str,
