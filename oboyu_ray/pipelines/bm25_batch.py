@@ -851,6 +851,61 @@ def fuzzy_mask(
     return mask
 
 
+class FuzzyVocab:
+    """Pre-packed vocabulary for repeated fuzzy expansions: terms sorted by
+    length into ONE flat codepoint array, so each query's per-length
+    matrices are zero-copy reshaped views — the join+encode packing cost
+    (~1-2 s at 4M terms) is paid once, per-query work is just the
+    vectorized compares (~10-40 ms at 4M terms)."""
+
+    def __init__(self, terms: "List[str]") -> None:
+        n = len(terms)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+        order = np.argsort(lens, kind="stable")
+        self.terms = terms
+        self.order = order
+        self.lens_sorted = lens[order]
+        blob = "".join([terms[i] for i in order])
+        self.flat = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        self.flat_start = np.cumsum(self.lens_sorted) - self.lens_sorted
+
+    def candidates(self, q: str, d: int) -> np.ndarray:
+        """Original indices of terms with levenshtein(term, q) <= d (d=1
+        exact vectorized, d>=2 banded-DP fallback over the length band)."""
+        lq = len(q)
+        if lq == 0 or not len(self.order):
+            return np.zeros(0, dtype=np.int64)
+        if d == 1:
+            qa = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+            hits = []
+            for L in (lq - 1, lq, lq + 1):
+                if L < 1:
+                    continue
+                rs = int(np.searchsorted(self.lens_sorted, L, side="left"))
+                re_ = int(np.searchsorted(self.lens_sorted, L, side="right"))
+                if rs == re_:
+                    continue
+                fs = int(self.flat_start[rs])
+                mat = self.flat[fs : fs + (re_ - rs) * L].reshape(re_ - rs, L)
+                m = min(L, lq)
+                cp = (mat[:, :m] == qa[:m]).cumprod(axis=1).sum(axis=1)
+                cs = (mat[:, L - m:][:, ::-1] == qa[lq - m:][::-1]).cumprod(axis=1).sum(axis=1)
+                ok = (cp + cs) >= (L - 1 if L == lq else m)
+                hits.append(self.order[rs:re_][ok])
+            return (
+                np.concatenate(hits).astype(np.int64)
+                if hits
+                else np.zeros(0, dtype=np.int64)
+            )
+        rs = int(np.searchsorted(self.lens_sorted, lq - d, side="left"))
+        re_ = int(np.searchsorted(self.lens_sorted, lq + d, side="right"))
+        band = self.order[rs:re_]
+        return np.array(
+            [int(i) for i in band if lev_at_most(self.terms[int(i)], q, d)],
+            dtype=np.int64,
+        )
+
+
 def _fuzzy_term_mask(terms, qspecs: "Sequence[Tuple[str, int]]"):
     """Boolean numpy mask over ``terms`` (a python list) — True where a term
     is within max_edits of ANY query spec (vectorized per spec)."""

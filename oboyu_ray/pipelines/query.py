@@ -221,27 +221,24 @@ class VocabLookup:
             raise ValueError("df_fuzzy: empty term")
         q = term.strip().lower()
         d = int(max_edits)
-        from oboyu_ray.pipelines.bm25_batch import fuzzy_mask
-
         out: Dict[str, int] = {}
         if self._map is not None:
-            # lazily cache the vocab as (terms list, dfs, lens) arrays: the
-            # vectorized mask sweeps millions of terms in ~100 ms where the
-            # dict-items Python loop took seconds (measured at 4.2M terms)
-            cache = getattr(self, "_fz_arrays", None)
+            # lazily pre-pack the vocab once (length-sorted flat codepoints):
+            # per-query expansion is then zero-copy vectorized compares —
+            # the dict-items Python loop measured 0.2-1.6 s at 4.2M terms,
+            # the packed sweep ~10-40 ms
+            from oboyu_ray.pipelines.bm25_batch import FuzzyVocab
+
+            cache = getattr(self, "_fz_packed", None)
             if cache is None:
                 terms = list(self._map.keys())
                 dfs_np = np.fromiter(
                     self._map.values(), dtype=np.int64, count=len(terms)
                 )
-                lens_np = np.fromiter(
-                    (len(t) for t in terms), dtype=np.int64, count=len(terms)
-                )
-                cache = self._fz_arrays = (terms, dfs_np, lens_np)
-            terms, dfs_np, lens_np = cache
-            m = fuzzy_mask(terms, q, d, lens=lens_np)
-            for ix in np.flatnonzero(m):
-                out[terms[ix]] = int(dfs_np[ix])
+                cache = self._fz_packed = (FuzzyVocab(terms), terms, dfs_np)
+            fv, terms, dfs_np = cache
+            for ix in fv.candidates(q, d):
+                out[terms[int(ix)]] = int(dfs_np[int(ix)])
         elif parallel and len(self.files) > 1:
             futs = [
                 _scan_vocab_fuzzy_file.remote(f, q, d, max_terms)

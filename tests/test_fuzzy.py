@@ -7,6 +7,7 @@ import itertools
 import random
 
 import duckdb
+import numpy as np
 import pytest
 
 from oboyu_ray.pipelines.bm25_batch import lev_at_most
@@ -65,6 +66,24 @@ def test_lev_at_most_edges():
     # plain Levenshtein: a transposition costs 2, not 1 (no Damerau)
     assert not lev_at_most("tabel", "table", 1)
     assert lev_at_most("tabel", "table", 2)
+
+
+def test_fuzzy_vocab_packed_matches_mask():
+    """The pre-packed FuzzyVocab (zero-copy per-length views) must return
+    exactly the terms fuzzy_mask flags, for d=1 and the d=2 fallback."""
+    from oboyu_ray.pipelines.bm25_batch import FuzzyVocab, fuzzy_mask
+
+    rng = random.Random(23)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+        for _ in range(400)
+    ] + ["検索", "検素", "インデックス"]
+    fv = FuzzyVocab(words)
+    for q in ["abc", "aaa", "dcba", "検索", "インデクス"]:
+        for d in (1, 2):
+            got = sorted(int(i) for i in fv.candidates(q, d))
+            exp = sorted(np.flatnonzero(fuzzy_mask(words, q, d)).tolist())
+            assert got == exp, (q, d)
 
 
 def test_fuzzy_mask_matches_banded_dp():
