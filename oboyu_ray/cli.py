@@ -96,10 +96,15 @@ def cmd_query(args: argparse.Namespace) -> int:
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(args.q, k=args.k, hydrate=args.hydrate)
     else:
+        scope = None
+        if getattr(args, "scope", None):
+            lo, _, hi = args.scope.partition(":")
+            scope = (int(lo), int(hi))
         out = engine.search(
             args.q, k=args.k, hydrate=args.hydrate,
             require_all=getattr(args, "require_all", False),
             exclude=getattr(args, "exclude", None),
+            scope=scope,
         )
     print(out.to_string(index=False))
     engine.close()
@@ -186,6 +191,9 @@ def main(argv=None) -> int:
     q.add_argument("--require-all", action="store_true",
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")
+    q.add_argument("--scope", default=None, metavar="LO:HI",
+                   help="scoped retrieval: candidates restricted to the "
+                        "doc_num interval [LO, HI) (full-corpus statistics)")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

@@ -162,6 +162,7 @@ def _make_score_docs(
     filter_value=None,
     require_all: bool = False,
     exclude: "Dict[str, List[str]] | None" = None,
+    scope: "Tuple[int, int] | None" = None,
 ):
     """Batch fn scoring a batch of DOCS against every query.
 
@@ -194,6 +195,14 @@ def _make_score_docs(
     def score_docs(batch: pa.Table) -> pa.Table:
         if filter_col is not None:
             batch = batch.filter(pc.equal(batch.column(filter_col), filter_value))
+        if scope is not None:
+            # scoped retrieval: candidates restricted to the id interval
+            # [lo, hi) — statistics stay full-corpus (same semantics as
+            # filter_col; mirrors the shard tier's scope)
+            ids_ = batch.column(id_col)
+            batch = batch.filter(
+                pc.and_(pc.greater_equal(ids_, scope[0]), pc.less(ids_, scope[1]))
+            )
         p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
         pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
         frames = []
@@ -493,6 +502,7 @@ def brute_force_topk(
     filter_value=None,
     require_all: bool = False,
     exclude: "Dict[str, List[str]] | None" = None,
+    scope: "Tuple[int, int] | None" = None,
 ) -> pd.DataFrame:
     """EXACT top-k per query: (query_id, <id_col>, score_micros, rank),
     ranked by (score_micros DESC, doc ASC) — deterministic across engines.
@@ -515,7 +525,7 @@ def brute_force_topk(
     score_docs = _make_score_docs(
         queries, cfg, stats, df_map, id_col, text_col,
         local_k=k, filter_col=filter_col, filter_value=filter_value,
-        require_all=require_all, exclude=exclude,
+        require_all=require_all, exclude=exclude, scope=scope,
     )
     pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
     if pdf.empty:

@@ -219,6 +219,64 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# scoped-retrieval doc_id interval [lo, hi): mid-corpus slice so the scoped
+# top-k provably differs from the global one
+SCOPE_LO, SCOPE_HI = 100, 350
+
+
+def q_bm25_topk_scoped(sf_dir: str) -> pd.DataFrame:
+    """Scoped retrieval: the same BM25 query set restricted to candidates
+    in the doc_id interval [100, 350) — statistics stay full-corpus (M14
+    WHERE-on-results semantics), exact top-10 within the scope."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk
+
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return brute_force_topk(
+        _docs(sf_dir), queries, k=TOPK, cfg=CFG, scope=(SCOPE_LO, SCOPE_HI)
+    )
+
+
+def _sql_bm25_topk_scoped() -> str:
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qid, terms in queries.items():
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+    WHERE p.doc_id >= {SCOPE_LO} AND p.doc_id < {SCOPE_HI}
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
     """Exact phrase retrieval: top-10 BM25 over docs whose FILTERED token
     stream contains the phrase terms adjacently and in order (reference
@@ -585,6 +643,7 @@ def core_queries() -> dict:
         "bm25_topk_not": q_bm25_topk_not,
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "bm25_topk_scoped": q_bm25_topk_scoped,
     }
 
 
@@ -600,4 +659,5 @@ def core_oracle_sql() -> dict:
         "bm25_topk_not": _sql_bm25_topk_not(),
         "near_topk": _sql_near_topk(),
         "fuzzy_topk": _sql_fuzzy_topk(),
+        "bm25_topk_scoped": _sql_bm25_topk_scoped(),
     }

@@ -62,7 +62,11 @@ def _fuzzy_scan_table(path: str, q: str, d: int, cap: int) -> Dict[str, int]:
     return out
 
 
-_scan_vocab_fuzzy_file = ray.remote(num_cpus=1)(_fuzzy_scan_table)
+# num_cpus=0: the engine's shard actors typically reserve EVERY cluster CPU,
+# so a 1-CPU task here would never schedule (observed deadlock at 32 actors
+# on 32 CPUs).  The sweep is a short read+vectorized-compare burst; brief
+# oversubscription is the correct trade.
+_scan_vocab_fuzzy_file = ray.remote(num_cpus=0)(_fuzzy_scan_table)
 
 
 class VocabLookup:
@@ -324,14 +328,16 @@ class MergeAggregator:
         self.shards = shard_actors
 
     def query(self, term_weights: Dict[str, float], k: int, theta0: float = None,
-              exclude_terms: Sequence[str] = ()):
+              exclude_terms: Sequence[str] = (), scope=None):
         import ray as _ray
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in _ray.get(
             [
-                s.query.remote(term_weights, k, exclude_terms=exclude_terms)
+                s.query.remote(
+                    term_weights, k, exclude_terms=exclude_terms, scope=scope
+                )
                 for s in self.shards
             ]
         ):
@@ -339,14 +345,16 @@ class MergeAggregator:
         return top_docs, top_scores
 
     def query_all(self, term_weights: Dict[str, float], k: int,
-                  exclude_terms: Sequence[str] = ()):
+                  exclude_terms: Sequence[str] = (), scope=None):
         import ray as _ray
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in _ray.get(
             [
-                s.query_all.remote(term_weights, k, exclude_terms=exclude_terms)
+                s.query_all.remote(
+                    term_weights, k, exclude_terms=exclude_terms, scope=scope
+                )
                 for s in self.shards
             ]
         ):
@@ -552,13 +560,22 @@ class QueryEngine:
     def search_terms(
         self, terms: List[str], k: int = 10, require_all: bool = False,
         exclude: Optional[List[str]] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
+        """``scope`` restricts candidates to the doc_num interval [lo, hi)
+        — scoped retrieval (search inside a conversation range: doc numbers
+        are contiguous per conversation by construction).  Statistics stay
+        full-corpus; shards skip disjoint parts/windows outright."""
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
         weights = self.term_weights(terms)
         if not weights:
             return empty
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return empty
         # boolean NOT: only excluded terms that exist in the vocabulary can
         # exclude anything (df=0 terms are no-ops, dropped here so shards
         # skip the slice lookup)
@@ -572,13 +589,15 @@ class QueryEngine:
                 return empty
             results = self._fanout(
                 lambda ts: [
-                    a.query_all.remote(weights, k, exclude_terms=excl) for a in ts
+                    a.query_all.remote(weights, k, exclude_terms=excl, scope=scope)
+                    for a in ts
                 ]
             )
         else:
             results = self._fanout(
                 lambda ts: [
-                    a.query.remote(weights, k, exclude_terms=excl) for a in ts
+                    a.query.remote(weights, k, exclude_terms=excl, scope=scope)
+                    for a in ts
                 ]
             )
         top_docs = np.empty(0, dtype=np.int64)
@@ -806,13 +825,18 @@ class QueryEngine:
     def search(
         self, query: str, k: int = 10, hydrate: bool = False,
         require_all: bool = False, exclude: Optional[str] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """``exclude`` is a boolean-NOT term string (tokenized like the
-        query): documents containing ANY excluded term never rank."""
+        query): documents containing ANY excluded term never rank.
+        ``scope`` = (lo, hi) restricts candidates to that doc_num interval
+        (scores keep full-corpus statistics)."""
         terms = self.tokenizer.tokenize(query)
         excl = self.tokenizer.tokenize(exclude) if exclude else None
         return self._finish(
-            self.search_terms(terms, k, require_all=require_all, exclude=excl),
+            self.search_terms(
+                terms, k, require_all=require_all, exclude=excl, scope=scope
+            ),
             hydrate,
         )
 

@@ -348,34 +348,61 @@ class IndexShard:
         return u + part.win_base * self.window_docs
 
     @staticmethod
-    def _drop_excluded(docs_abs: np.ndarray, scores: np.ndarray, excl_abs):
-        """Filter (docs, scores) against the sorted exclusion array BEFORE
-        any top-k insert — θ then derives from valid docs only, keeping
-        every pruning bound sound."""
-        if excl_abs is None or not len(docs_abs):
+    def _drop_excluded(docs_abs: np.ndarray, scores: np.ndarray, excl_abs,
+                       scope=None):
+        """Filter (docs, scores) against the sorted exclusion array and the
+        optional ``scope`` doc_num interval [lo, hi) BEFORE any top-k
+        insert — θ then derives from valid docs only, keeping every pruning
+        bound sound (removing candidates can only raise the true θ, and the
+        window/part bounds remain upper bounds for the surviving docs)."""
+        if not len(docs_abs):
             return docs_abs, scores
-        pos = np.searchsorted(excl_abs, docs_abs)
-        pos_c = np.clip(pos, 0, len(excl_abs) - 1)
-        keep = excl_abs[pos_c] != docs_abs
-        return docs_abs[keep], scores[keep]
+        if excl_abs is not None:
+            pos = np.searchsorted(excl_abs, docs_abs)
+            pos_c = np.clip(pos, 0, len(excl_abs) - 1)
+            keep = excl_abs[pos_c] != docs_abs
+            docs_abs, scores = docs_abs[keep], scores[keep]
+        if scope is not None and len(docs_abs):
+            keep = (docs_abs >= scope[0]) & (docs_abs < scope[1])
+            docs_abs, scores = docs_abs[keep], scores[keep]
+        return docs_abs, scores
+
+    def _part_outside_scope(self, part, scope) -> bool:
+        """True when a part's doc_num range cannot intersect the scope —
+        scoped queries then touch only the parts (and windows) that overlap
+        the interval, the structural speedup of contiguous doc numbering."""
+        if scope is None:
+            return False
+        lo = part.win_base * self.window_docs
+        hi = lo + part.n_windows * self.window_docs
+        return hi <= scope[0] or lo >= scope[1]
 
     def query(
         self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF,
-        exclude_terms: "Sequence[str]" = (),
+        exclude_terms: "Sequence[str]" = (), scope=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k over this shard's docs.  ``term_weights`` maps term →
         idf × multiplicity.  Returns (doc_nums, scores) sorted by
         (score DESC, doc ASC), at most k rows.  ``exclude_terms`` applies
-        boolean NOT: docs containing any of them never rank."""
+        boolean NOT: docs containing any of them never rank.  ``scope``
+        restricts the CANDIDATE set to the doc_num interval [lo, hi) —
+        scores still use full-corpus statistics (M14 WHERE-on-results
+        semantics); disjoint parts and windows are skipped outright."""
         W = self.window_docs
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         if k <= 0:
             return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
         theta = theta0
         self.counters["queries"] += 1
 
         for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
             hits = [
                 (w, *part.term_slices[t])
                 for t, w in term_weights.items()
@@ -408,7 +435,7 @@ class IndexShard:
                     present[idx] = True
                 idxs = np.flatnonzero(present)
                 docs_abs, scores = self._drop_excluded(
-                    base + idxs, acc[idxs], excl_abs
+                    base + idxs, acc[idxs], excl_abs, scope
                 )
                 if len(docs_abs):
                     top_docs, top_scores = _merge_topk(
@@ -468,7 +495,7 @@ class IndexShard:
                 )
                 if res is None:
                     continue
-                docs_abs, scores = self._drop_excluded(*res, excl_abs)
+                docs_abs, scores = self._drop_excluded(*res, excl_abs, scope)
                 if len(docs_abs) == 0:
                     continue
                 top_docs, top_scores = _merge_topk(
@@ -484,8 +511,12 @@ class IndexShard:
                 if len(top_docs) >= k and bound < theta:
                     self.counters["windows_pruned"] += len(order) - n_done
                     break  # strict <: equal-bound windows still processed
-                self.counters["windows_scanned"] += 1
                 win_abs = int(uniq_wins[oi])
+                if scope is not None and (
+                    (win_abs + 1) * W <= scope[0] or win_abs * W >= scope[1]
+                ):
+                    continue  # window disjoint from the scope interval
+                self.counters["windows_scanned"] += 1
                 acc = np.zeros(W, dtype=np.float64)
                 present = np.zeros(W, dtype=bool)
                 base = win_abs * W
@@ -502,7 +533,9 @@ class IndexShard:
                 idx = np.flatnonzero(present)
                 if len(idx) == 0:
                     continue
-                docs_abs, scores = self._drop_excluded(base + idx, acc[idx], excl_abs)
+                docs_abs, scores = self._drop_excluded(
+                    base + idx, acc[idx], excl_abs, scope
+                )
                 if len(docs_abs) == 0:
                     continue
                 top_docs, top_scores = _merge_topk(
@@ -514,7 +547,7 @@ class IndexShard:
 
     def query_all(
         self, term_weights: Dict[str, float], k: int,
-        exclude_terms: "Sequence[str]" = (),
+        exclude_terms: "Sequence[str]" = (), scope=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Conjunctive (AND) top-k: only docs containing EVERY term in
         ``term_weights`` rank, scored with the ordinary BM25 sum.
@@ -534,7 +567,13 @@ class IndexShard:
         top_scores = np.empty(0, dtype=np.float64)
         if k <= 0 or nt == 0:
             return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
         for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
             hits = [
                 (w, *part.term_slices[t])
                 for t, w in term_weights.items()
@@ -588,7 +627,7 @@ class IndexShard:
                     scores = scores + w * v
                 if ok.any():
                     docs_abs, sc = self._drop_excluded(
-                        base + idx0[ok], scores[ok], excl_abs
+                        base + idx0[ok], scores[ok], excl_abs, scope
                     )
                     if len(docs_abs):
                         top_docs, top_scores = _merge_topk(
@@ -597,6 +636,10 @@ class IndexShard:
                 continue
             for win_abs in wins.tolist():
                 base = int(win_abs) * W
+                if scope is not None and (
+                    base + W <= scope[0] or base >= scope[1]
+                ):
+                    continue
                 acc = np.zeros(W, dtype=np.float64)
                 cnt = np.zeros(W, dtype=np.int64)
                 for w, s, e in hits:
@@ -608,7 +651,9 @@ class IndexShard:
                 idx = np.flatnonzero(cnt == nt)
                 if not len(idx):
                     continue
-                docs_abs, scores = self._drop_excluded(base + idx, acc[idx], excl_abs)
+                docs_abs, scores = self._drop_excluded(
+                    base + idx, acc[idx], excl_abs, scope
+                )
                 if not len(docs_abs):
                     continue
                 top_docs, top_scores = _merge_topk(

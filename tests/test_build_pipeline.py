@@ -937,6 +937,65 @@ def test_prefix_engine_matches_brute_force(built, engine):
         engine.vocab.df_prefix("")
 
 
+def test_scoped_engine_matches_brute_force(built, engine):
+    """Scoped retrieval (doc_num interval pushdown through the shard
+    actors' part/window skipping + candidate mask) must be rank- and
+    score-identical to the brute force with the same scope, on OR, AND,
+    and NOT paths — and must be able to surface docs the global top-k
+    hides."""
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    st = {"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]}
+    n = int(stats["N"])
+    k = 12
+    scopes = [
+        (0, n // 3),                 # first part only
+        (n // 3, 2 * n // 3 + 7),    # straddles a part boundary
+        (n - 5, n + 100),            # tail sliver past the end
+        (n // 2, n // 2),            # empty interval
+    ]
+    tokq = tokenize_queries(QUERIES, CFG)
+    reshaped = 0
+    for lo, hi in scopes:
+        brute = brute_force_topk(
+            docs_ds, tokq, k=k, cfg=CFG, id_col="doc_num", text_col="text",
+            stats=st, scope=(lo, hi),
+        )
+        for q in QUERIES:
+            got = engine.search(q, k=k, scope=(lo, hi))
+            expect = brute[brute.query_id == q]
+            assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (q, lo, hi)
+            if len(got):
+                np.testing.assert_array_equal(
+                    score_micros(got["score"].to_numpy()),
+                    expect["score_micros"].to_numpy(), err_msg=f"{q} {lo}:{hi}",
+                )
+                assert got["doc_num"].between(lo, hi - 1).all()
+            plain = engine.search(q, k=k)
+            if len(got) and set(got["doc_num"]) - set(plain["doc_num"]):
+                reshaped += 1  # scope surfaced docs the global top-k hid
+    assert reshaped >= 2
+    # scope composes with AND and NOT
+    lo, hi = 0, 2 * n // 3
+    and_brute = brute_force_topk(
+        docs_ds, {"python model": tokq["python model"]}, k=k, cfg=CFG,
+        id_col="doc_num", text_col="text", stats=st, scope=(lo, hi),
+        require_all=True,
+    )
+    got = engine.search("python model", k=k, require_all=True, scope=(lo, hi))
+    assert got["doc_num"].tolist() == and_brute["doc_num"].tolist()
+    not_brute = brute_force_topk(
+        docs_ds, {"token": tokq["token"]}, k=k, cfg=CFG,
+        id_col="doc_num", text_col="text", stats=st, scope=(lo, hi),
+        exclude={"token": tokenize_queries(["です"], CFG)["です"]},
+    )
+    got = engine.search("token", k=k, exclude="です", scope=(lo, hi))
+    assert got["doc_num"].tolist() == not_brute["doc_num"].tolist()
+
+
 def test_fuzzy_engine_matches_brute_force(built, engine):
     """search_fuzzy (levenshtein vocab expansion → OR query through the
     shards) must be rank- and score-identical to the Dataset brute force,
