@@ -69,6 +69,13 @@ TOOLS = [
                                    "to every vocabulary term within this "
                                    "levenshtein distance",
                 },
+                "scope": {
+                    "type": "array",
+                    "items": {"type": "integer"},
+                    "description": "scoped retrieval: [lo, hi) doc_num "
+                                   "interval restricting candidates "
+                                   "(full-corpus statistics)",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -123,7 +130,7 @@ class McpServer:
         self, query: str, index_dir: str, top_k: int = 5,
         require_all: bool = False, phrase: bool = False,
         prefix: bool = False, near: Optional[int] = None,
-        fuzzy: Optional[int] = None,
+        fuzzy: Optional[int] = None, scope: Optional[list] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
         if near is not None:
@@ -144,7 +151,8 @@ class McpServer:
             df = eng.search_phrase(query, k=int(top_k), hydrate=True)
         else:
             df = eng.search(
-                query, k=int(top_k), hydrate=True, require_all=bool(require_all)
+                query, k=int(top_k), hydrate=True, require_all=bool(require_all),
+                scope=(int(scope[0]), int(scope[1])) if scope else None,
             )
         results = [
             {

@@ -615,6 +615,10 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "zzznope", "index_dir": index_dir,
                                   "top_k": 3, "fuzzy": 1}}},
+        {"jsonrpc": "2.0", "id": 17, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 3, "scope": [0, 1]}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -661,6 +665,9 @@ def test_mcp_stdio_transport(tmp_path):
     assert fz["stats"]["count"] == 2
     fz0 = _json.loads(resps[16]["result"]["content"][0]["text"])
     assert fz0["stats"]["count"] == 0
+    # scoped search: "tokens" is in BOTH docs globally; scope [0, 1) keeps one
+    sc = _json.loads(resps[17]["result"]["content"][0]["text"])
+    assert sc["stats"]["count"] == 1
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
