@@ -433,12 +433,21 @@ class QueryEngine:
         cfg: Optional[BM25Config] = None,
         conv_inmem_limit: Optional[int] = None,
         merge_fanout: int = MERGE_FANOUT,
+        stats_override: Optional[Dict] = None,
     ) -> None:
+        """``stats_override``: replace this index's global statistics
+        (N / total_dl / avgdl) with externally merged ones — the federated
+        multi-index path.  Shards then receive BOTH the query avgdl and the
+        build avgdl so the stored block-max bounds rescale soundly (see
+        IndexShard.configure)."""
         self.index_dir = index_dir
         self._conv_inmem_limit = conv_inmem_limit
         self._merge_fanout = max(1, merge_fanout)
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        self.build_avgdl = float(self.stats["avgdl"]) or 1.0
+        if stats_override is not None:
+            self.stats = {**self.stats, **stats_override}
         with open(os.path.join(index_dir, "build_report.json")) as f:
             self.report = json.load(f)
         # query-time tokenization must match the INDEX's tokenizer settings
@@ -501,7 +510,10 @@ class QueryEngine:
             for a in self._assign
         ]
         avgdl = float(self.stats["avgdl"]) or 1.0
-        ray.get([a.configure.remote(self.k1, self.b, avgdl) for a in self.actors])
+        ray.get([
+            a.configure.remote(self.k1, self.b, avgdl, build_avgdl=self.build_avgdl)
+            for a in self.actors
+        ])
 
         # two-level merge beyond the fan-out width: ~sqrt-sized groups of
         # shards behind aggregator actors (num_cpus=0 — they only wait+merge)

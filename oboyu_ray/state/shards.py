@@ -269,6 +269,8 @@ class IndexShard:
         # key (part, s, e, -1) → (dense tfnorm array, span/2) gather entries
         self._cache: Dict[Tuple, Tuple] = {}
         self._cache_postings = 0
+        self._bscale_hi = 1.0  # block-bound rescale for avgdl overrides
+        self._bscale_lo = 1.0  # (see configure); 1.0 = bounds used as stored
         # per-shard scan telemetry (get_counters / reset_counters; the
         # engine sums these across actors — the observability surface the
         # manifests don't cover: what queries actually COST)
@@ -463,7 +465,10 @@ class IndexShard:
             for w, s, e in hits:
                 m = e - s
                 if w > 0:
-                    np.add.at(ub, inv[pos : pos + m], w * part.max_tfnorm[s:e])
+                    np.add.at(
+                        ub, inv[pos : pos + m],
+                        (w * self._bscale_hi) * part.max_tfnorm[s:e],
+                    )
                 elif w < 0 and len(part.window_doc_counts):
                     widx = part.win[s:e] - part.wdc_base
                     clipped = np.clip(widx, 0, len(part.window_doc_counts) - 1)
@@ -476,7 +481,11 @@ class IndexShard:
                     if sat.any():
                         np.add.at(
                             ub, inv[pos : pos + m],
-                            np.where(sat, w * part.min_tfnorm[s:e], 0.0),
+                            np.where(
+                                sat,
+                                (w * self._bscale_lo) * part.min_tfnorm[s:e],
+                                0.0,
+                            ),
                         )
                 pos += m
             # adaptive execution: when pruning cannot drop most windows
@@ -896,7 +905,8 @@ class IndexShard:
         Returns None when the whole part is pruned (Σub < θ)."""
         ubs = np.array(
             [
-                w * float(part.max_tfnorm[s:e].max()) if w > 0 else 0.0
+                (w * self._bscale_hi) * float(part.max_tfnorm[s:e].max())
+                if w > 0 else 0.0
                 for w, s, e in hits
             ]
         )
@@ -994,10 +1004,24 @@ class IndexShard:
             for terms, w in zip(phrase_lists, weights_list)
         ]
 
-    def configure(self, k1: float, b: float, avgdl: float) -> None:
+    def configure(self, k1: float, b: float, avgdl: float,
+                  build_avgdl: Optional[float] = None) -> None:
+        """``build_avgdl``: the avgdl the on-disk block-max bounds were
+        computed with.  When the QUERY avgdl differs (federated search over
+        merged statistics), the stored per-block tfnorm bounds rescale by a
+        provably sound factor: for r = avgdl/build_avgdl,
+        tfnorm(avgdl)/tfnorm(build_avgdl) ∈ [min(1, r), max(1, r)] for every
+        (tf, dl) — the denominator D = tf + k1(1−b) + k1·b·dl/avg changes by
+        at most the factor r in either direction — so stored max bounds ×
+        max(1, r) stay upper bounds and stored min bounds × min(1, r) stay
+        lower bounds.  Exact contributions are unaffected (tfnorm is always
+        recomputed from decoded (tf, dl) with the configured avgdl)."""
         self.k1 = k1
         self.b = b
         self.avgdl = avgdl
+        r = (avgdl / build_avgdl) if build_avgdl else 1.0
+        self._bscale_hi = max(1.0, r)
+        self._bscale_lo = min(1.0, r)
         self._cache.clear()
         self._cache_postings = 0
 

@@ -100,22 +100,28 @@ def test_engine_reuse_after_close_respawns(engine):
     assert after_one["doc_num"].tolist() == before_one["doc_num"].tolist()
 
 
-def test_serving_survives_concurrent_rebuild(tmp_path):
+def test_serving_survives_concurrent_rebuild(tmp_path, engine):
     """Operational property: a LIVE engine keeps serving consistent results
     while the index directory is rebuilt underneath it (atomic tmp+rename
     writes — shard actors hold their loaded state; parquet files are
     replaced, never mutated in place).  A fresh engine opened afterwards
-    sees the updated index."""
+    sees the updated index.
+
+    CPU budget: the session has 4 CPUs; the module fixture's pool (2 actor
+    CPUs) must release BEFORE the concurrent build or the build's map tasks
+    starve forever (found as a full-suite hang — the test passed solo).
+    close() is safe: the fixture engine respawns on its next use."""
     import pyarrow.parquet as pq
 
     from oboyu_ray.sources.transcripts import write_synth_transcripts
 
+    engine.close()  # free the module pool's CPUs for the concurrent build
     files = write_synth_transcripts(
         str(tmp_path / "in"), n_convs=120, seed=3, convs_per_file=40
     )
     idx = str(tmp_path / "idx")
     build_index(files, idx, BuildConfig(window_docs=256))
-    eng = QueryEngine(idx, num_shards=2)
+    eng = QueryEngine(idx, num_shards=1)
     try:
         q = "検索 インデックス"
         before = eng.search(q, k=8)
@@ -138,7 +144,7 @@ def test_serving_survives_concurrent_rebuild(tmp_path):
         assert during["doc_num"].tolist() == before["doc_num"].tolist()
     finally:
         eng.close()
-    eng2 = QueryEngine(idx, num_shards=2)
+    eng2 = QueryEngine(idx, num_shards=1)
     try:
         after = eng2.search(q, k=8)
         # the appended doc scores the query terms twice -> results change
