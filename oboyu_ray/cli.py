@@ -111,6 +111,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Per-term score breakdown for one document (Lucene explain shape)."""
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
+    out = engine.explain(args.q, args.doc)
+    print(out.to_string(index=False))
+    print(f"total_score {float(out['contribution'].sum()):.6f}")
+    engine.close()
+    return 0
+
+
 def cmd_index_dir(args: argparse.Namespace) -> int:
     """`oboyu index DIR` equivalent over a file corpus."""
     _ensure_ray(args.num_cpus)
@@ -196,6 +209,14 @@ def main(argv=None) -> int:
                         "doc_num interval [LO, HI) (full-corpus statistics)")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    x = sub.add_parser("explain", help="per-term score breakdown for one document")
+    x.add_argument("--index-dir", required=True)
+    x.add_argument("--q", required=True)
+    x.add_argument("--doc", type=int, required=True, help="doc_num to explain")
+    x.add_argument("--num-shards", type=int, default=None)
+    x.add_argument("--num-cpus", type=int, default=None)
+    x.set_defaults(fn=cmd_explain)
 
     d = sub.add_parser("index-dir", help="index a document directory (oboyu index DIR equivalent)")
     d.add_argument("--root", required=True)

@@ -361,6 +361,16 @@ class MergeAggregator:
             top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
         return top_docs, top_scores
 
+    def explain(self, term_weights: Dict[str, float], doc_abs: int):
+        import ray as _ray
+
+        out = []
+        for rows in _ray.get(
+            [s.explain.remote(term_weights, doc_abs) for s in self.shards]
+        ):
+            out.extend(rows)
+        return out
+
     def query_phrase(self, phrase_terms: List[str], term_weights: Dict[str, float], k: int):
         import ray as _ray
 
@@ -672,6 +682,41 @@ class QueryEngine:
         if resolve or hydrate:
             out = self._finish(out, hydrate)
         return out
+
+    def explain(self, query: str, doc_num: int) -> pd.DataFrame:
+        """Per-term score breakdown for one document — the Lucene `explain`
+        shape: (term, tf, dl, df, weight, contribution) rows plus the same
+        resolved metadata the search path returns.  The contribution sum
+        equals the document's search score (pytest-pinned); each row's
+        weight is idf × query-term multiplicity.  One point-read per term
+        on the owning shard — no scan."""
+        terms = self.tokenizer.tokenize(query)
+        weights = self.term_weights(terms)
+        cols = {
+            "term": pd.Series(dtype=object),
+            "tf": pd.Series(dtype=np.int64),
+            "dl": pd.Series(dtype=np.int64),
+            "df": pd.Series(dtype=np.int64),
+            "weight": pd.Series(dtype=np.float64),
+            "contribution": pd.Series(dtype=np.float64),
+        }
+        if not weights:
+            return pd.DataFrame(cols)
+        dfs = self.vocab.df(sorted(weights))
+        results = self._fanout(
+            lambda ts: [a.explain.remote(weights, int(doc_num)) for a in ts]
+        )
+        rows = [r for shard_rows in results for r in shard_rows]
+        if not rows:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame(
+            rows, columns=["term", "tf", "dl", "weight", "contribution"]
+        )
+        out.insert(3, "df", out["term"].map(dfs).astype(np.int64))
+        return out.astype(
+            {"tf": "int64", "dl": "int64", "weight": "float64",
+             "contribution": "float64"}
+        )
 
     def search_phrase_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
         """Exact phrase top-k over the ORDERED term list: only docs where the

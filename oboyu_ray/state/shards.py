@@ -988,6 +988,41 @@ class IndexShard:
         avgdl = getattr(self, "avgdl", 1.0)
         return (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
 
+    def explain(
+        self, term_weights: Dict[str, float], doc_abs: int
+    ) -> List[Tuple[str, int, int, float, float]]:
+        """Per-term score breakdown for ONE document (the Lucene `explain`
+        shape): (term, tf, dl, weight, contribution) for every query term
+        present in the doc.  Empty when this shard doesn't own the doc.
+        Decodes exactly one window block per matching term — point reads,
+        no scan."""
+        W = self.window_docs
+        doc_abs = int(doc_abs)
+        win = doc_abs // W
+        out: List[Tuple[str, int, int, float, float]] = []
+        for part in self.parts:
+            lo = part.win_base * W
+            hi = lo + part.n_windows * W
+            if not (lo <= doc_abs < hi):
+                continue
+            for t, w in term_weights.items():
+                se = part.term_slices.get(t)
+                if not se:
+                    continue
+                s, e = se
+                bi = s + int(np.searchsorted(part.win[s:e], win))
+                if bi >= e or part.win[bi] != win:
+                    continue
+                docs, tf, dl = part.decode_range(bi, bi + 1)
+                j = int(np.searchsorted(docs, doc_abs))
+                if j < len(docs) and docs[j] == doc_abs:
+                    tfn = float(self._tfnorm(tf[j : j + 1], dl[j : j + 1])[0])
+                    out.append(
+                        (t, int(tf[j]), int(dl[j]), float(w), float(w) * tfn)
+                    )
+            return out
+        return out
+
     def query_many(self, weight_dicts, k: int, require_all: bool = False):
         """Batched queries — one actor round-trip for N queries (amortizes
         the per-call RPC + serialization overhead for throughput serving).

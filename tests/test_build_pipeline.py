@@ -937,6 +937,39 @@ def test_prefix_engine_matches_brute_force(built, engine):
         engine.vocab.df_prefix("")
 
 
+def test_explain_matches_search_scores(built, engine):
+    """explain(query, doc) (one point-read per term on the owning shard)
+    must decompose exactly into the search score: Σ contribution == score,
+    dl constant across rows, df == vocabulary df, duplicate query terms
+    double the weight, absent query → empty frame."""
+    from oboyu_ray.pipelines.bm25_batch import score_micros
+
+    for q in ["検索 インデックス", "python model", "compress 圧縮 decode"]:
+        res = engine.search(q, k=5)
+        assert len(res) > 0, q
+        for doc, score in zip(res["doc_num"].tolist(), res["score"].tolist()):
+            ex = engine.explain(q, doc)
+            assert len(ex) >= 1, (q, doc)
+            total = float(ex["contribution"].sum())
+            assert np.isclose(total, score, rtol=1e-9, atol=1e-12), (q, doc)
+            assert abs(int(score_micros(np.array([total]))[0])
+                       - int(score_micros(np.array([score]))[0])) <= 1
+            assert ex["dl"].nunique() == 1 and (ex["tf"] >= 1).all()
+            dfs = engine.vocab.df(ex["term"].tolist())
+            assert all(int(r.df) == dfs[r.term] for r in ex.itertuples())
+    # duplicate query terms: weight (idf × multiplicity) doubles
+    res = engine.search("token", k=1)
+    d0 = int(res["doc_num"].iloc[0])
+    one = engine.explain("token", d0)
+    two = engine.explain("token token", d0)
+    assert np.isclose(
+        float(two["weight"].iloc[0]), 2.0 * float(one["weight"].iloc[0])
+    )
+    # no-hit query and non-matching doc
+    assert len(engine.explain("zzz_nohit", d0)) == 0
+    assert len(engine.explain("token", 10**9)) == 0
+
+
 def test_scoped_engine_matches_brute_force(built, engine):
     """Scoped retrieval (doc_num interval pushdown through the shard
     actors' part/window skipping + candidate mask) must be rank- and
