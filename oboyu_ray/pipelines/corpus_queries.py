@@ -4611,6 +4611,202 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_top_return_customers(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED lineitems.
+    Returned-line revenue pre-combines per orderkey, co-shuffles ONCE with
+    orders on hash(orderkey) (bucket cogroup joins and re-emits partials
+    keyed by custkey), then a second custkey-bucketed fold emits bucket-
+    local top-20s (a custkey lives wholly in one bucket, so the global
+    top-20 is a prefix of the ≤20·buckets merged rows).  Customer name and
+    nation attach on the driver for the 20 survivors only — dimensions
+    never shuffle."""
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def lrev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        pre = pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "rev": pa.array(_mic(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+        g = pre.group_by("okey").aggregate([("rev", "sum")])
+        k = g.column("okey").to_numpy().astype(np.int64)
+        n = g.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "rev": g.column("rev_sum").cast(pa.int64()),
+                "ckey": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def otag(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(k),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    def to_cust(g: "pd.DataFrame") -> "pd.DataFrame":
+        lef = g[g["side"] == 0]
+        rig = g[g["side"] == 1]
+        sums = lef.groupby("okey", as_index=False)["rev"].sum()
+        j = sums.merge(rig[["okey", "ckey"]], on="okey", how="inner")
+        out = j.groupby("ckey", as_index=False)["rev"].sum()
+        ck = out["ckey"].to_numpy(np.uint64)
+        out["cb"] = (ck % np.uint64(_TPCH_BUCKETS)).astype(np.int64)
+        return out
+
+    def cust_top(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("ckey", as_index=False)["rev"].sum()
+        return out.sort_values(
+            ["rev", "ckey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    both = li.map_batches(lrev, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
+    )
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(to_cust, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(cust_top, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    if not parts:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64),
+             "c_name": pd.Series(dtype=object),
+             "n_name": pd.Series(dtype=object),
+             "revenue_micros": pd.Series(dtype=np.int64)}
+        )
+    top = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["rev", "ckey"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cmap = cust.set_index("c_custkey")
+    nmap = nat.set_index("n_nationkey")["n_name"]
+    return pd.DataFrame(
+        {
+            "c_custkey": top["ckey"].astype(np.int64),
+            "c_name": top["ckey"].map(cmap["c_name"]),
+            "n_name": top["ckey"].map(cmap["c_nationkey"]).map(nmap),
+            "revenue_micros": top["rev"].astype(np.int64),
+        }
+    )
+
+
+SQL_TOP_RETURN_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_micros
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_micros DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_lang_drift_by_source(sf_dir: str) -> "pd.DataFrame":
+    """Corpus drift monitor: per-source Population Stability Index of the
+    language distribution vs the global mix — the standard "did this
+    source's composition shift" gate in training-data pipelines.
+    PSI = Σ_lang (p−q)·ln(p/q) over languages PRESENT in the source
+    (p = in-source share, q = global share; absent languages contribute
+    nothing — the documented zero-cell rule, mirrored in the oracle).
+    Map-side (source, lang) count partials → one small groupby → bounded
+    driver fold; only integer counts ever move."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    c = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    nt = float(c["n"].sum())
+    gl = c.groupby("lang")["n"].sum()
+    rows = []
+    for src, grp in c.groupby("source"):
+        ns = float(grp["n"].sum())
+        p = grp["n"].to_numpy(np.float64) / ns
+        q = gl[grp["lang"]].to_numpy(np.float64) / nt
+        psi = float(((p - q) * np.log(p / q)).sum())
+        rows.append((src, int(ns), int(np.floor(psi * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "psi_micros"])
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"n_docs": "int64", "psi_micros": "int64"}
+    )
+
+
+SQL_LANG_DRIFT_BY_SOURCE = """
+WITH c AS (
+    SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2
+),
+s AS (SELECT source, sum(n)::BIGINT AS ns FROM c GROUP BY 1),
+g AS (SELECT lang, sum(n)::BIGINT AS nl FROM c GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS nt FROM c),
+v AS (
+    SELECT c.source,
+           (c.n::DOUBLE / s.ns - g.nl::DOUBLE / t.nt)
+             * ln((c.n::DOUBLE / s.ns) / (g.nl::DOUBLE / t.nt)) AS term
+    FROM c JOIN s USING (source) JOIN g USING (lang) CROSS JOIN t
+)
+SELECT v.source, s.ns AS n_docs,
+       CAST(floor(sum(v.term) * 1e6 + 0.5) AS BIGINT) AS psi_micros
+FROM v JOIN s USING (source)
+GROUP BY v.source, s.ns
+ORDER BY v.source
+"""
+
+
 def q_domain_mixture(sf_dir: str) -> "pd.DataFrame":
     """Training-mixture planner over (source, lang) domains: doc/token
     counts plus the temperature-scaled sampling weight w_d ∝ n_tokens^0.7
@@ -4652,6 +4848,8 @@ def corpus_queries() -> dict:
         "idle_highvalue_customers": q_idle_highvalue_customers,
         "domain_mixture": q_domain_mixture,
         "revenue_cube": q_revenue_cube,
+        "top_return_customers": q_top_return_customers,
+        "lang_drift_by_source": q_lang_drift_by_source,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -4772,6 +4970,8 @@ def corpus_oracle_sql() -> dict:
         "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,
         "domain_mixture": SQL_DOMAIN_MIXTURE,
         "revenue_cube": SQL_REVENUE_CUBE,
+        "top_return_customers": SQL_TOP_RETURN_CUSTOMERS,
+        "lang_drift_by_source": SQL_LANG_DRIFT_BY_SOURCE,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,
