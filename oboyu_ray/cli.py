@@ -111,6 +111,18 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_build_fuzzy(args: argparse.Namespace) -> int:
+    """Build the FastSS deletion-neighborhood sidecar for fuzzy retrieval."""
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.state.fuzzy_index import build_fuzzy_sidecar
+
+    manifest = build_fuzzy_sidecar(
+        args.index_dir, max_edits=args.max_edits, n_buckets=args.buckets
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Per-term score breakdown for one document (Lucene explain shape)."""
     _ensure_ray(args.num_cpus)
@@ -209,6 +221,14 @@ def main(argv=None) -> int:
                         "doc_num interval [LO, HI) (full-corpus statistics)")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    bf = sub.add_parser("build-fuzzy",
+                        help="build the FastSS sidecar (point-read fuzzy expansion)")
+    bf.add_argument("--index-dir", required=True)
+    bf.add_argument("--max-edits", type=int, default=1)
+    bf.add_argument("--buckets", type=int, default=32)
+    bf.add_argument("--num-cpus", type=int, default=None)
+    bf.set_defaults(fn=cmd_build_fuzzy)
 
     x = sub.add_parser("explain", help="per-term score breakdown for one document")
     x.add_argument("--index-dir", required=True)

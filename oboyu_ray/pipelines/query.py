@@ -225,6 +225,11 @@ class VocabLookup:
             raise ValueError("df_fuzzy: empty term")
         q = term.strip().lower()
         d = int(max_edits)
+        # FastSS sidecar (state/fuzzy_index.py), when built for this index
+        # and covering d: O(len(q)) point reads instead of any sweep
+        sc = self._sidecar()
+        if sc is not None and d <= sc.max_edits:
+            return sc.lookup(q, d, max_terms=max_terms)
         out: Dict[str, int] = {}
         if self._map is not None:
             # lazily pre-pack the vocab once (length-sorted flat codepoints):
@@ -261,6 +266,13 @@ class VocabLookup:
                 "lower max_edits or raise max_terms"
             )
         return out
+
+    def _sidecar(self):
+        if not hasattr(self, "_sc"):
+            from oboyu_ray.state.fuzzy_index import open_sidecar
+
+            self._sc = open_sidecar(os.path.dirname(self.vocab_dir))
+        return self._sc
 
     def df(self, terms: Sequence[str]) -> Dict[str, int]:
         if self._map is not None:

@@ -937,6 +937,60 @@ def test_prefix_engine_matches_brute_force(built, engine):
         engine.vocab.df_prefix("")
 
 
+def test_fuzzy_sidecar_matches_sweep(built, engine, monkeypatch):
+    """The FastSS deletion-neighborhood sidecar must return EXACTLY the
+    sweep's expansion (superset candidates + exact verify), for d=1 and
+    d=2, including with tiny row groups that force hub-variant runs to
+    span row-group boundaries; df_fuzzy auto-prefers a built sidecar and
+    falls back to the sweep beyond its max_edits."""
+    import oboyu_ray.state.fuzzy_index as fz
+
+    monkeypatch.setattr(fz, "ROW_GROUP", 64)  # force cross-group runs
+    manifest = fz.build_fuzzy_sidecar(built["index_dir"], max_edits=2,
+                                      n_buckets=8)
+    assert manifest["n_terms"] > 1000
+    assert manifest["n_rows"] > manifest["n_terms"] * 3  # variants exploded
+    sc = fz.open_sidecar(built["index_dir"])
+    assert sc is not None and sc.max_edits == 2
+
+    vl = engine.vocab
+    vl._sc = None  # force the sweep for the reference expansion
+    probes = [("tokn", 1), ("pythom", 1), ("検素", 1), ("model", 2),
+              ("de", 2), ("zzznohit", 1)]
+    for q, d in probes:
+        sweep = vl.df_fuzzy(q, max_edits=d, max_terms=100000)
+        got = sc.lookup(q, d, max_terms=100000)
+        assert got == sweep, (q, d)
+    # auto-preference: with the sidecar open, df_fuzzy routes through it
+    del vl._sc
+    assert vl._sidecar() is not None
+    for q, d in probes[:3]:
+        assert vl.df_fuzzy(q, max_edits=d, max_terms=100000) == sc.lookup(
+            q, d, max_terms=100000
+        )
+    # beyond the sidecar's max_edits: falls back to the sweep, not an error
+    vl3 = vl.df_fuzzy("model", max_edits=3, max_terms=100000)
+    vl._sc = None
+    assert vl3 == vl.df_fuzzy("model", max_edits=3, max_terms=100000)
+    # cap still raises through the sidecar path
+    del vl._sc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expands"):
+        vl.df_fuzzy("de", max_edits=2, max_terms=1)
+    vl._sc = None  # leave the module fixture on the sweep path
+
+
+def test_deletion_variants():
+    from oboyu_ray.state.fuzzy_index import deletion_variants
+
+    assert deletion_variants("abc", 1) == ["abc", "ab", "ac", "bc"]
+    assert set(deletion_variants("ab", 2)) == {"ab", "a", "b", ""}
+    assert deletion_variants("a", 1) == ["a", ""]
+    v2 = deletion_variants("abcd", 2)
+    assert "ab" in v2 and "cd" in v2 and "abcd" in v2 and len(v2) == 1 + 4 + 6
+
+
 def test_explain_matches_search_scores(built, engine):
     """explain(query, doc) (one point-read per term on the owning shard)
     must decompose exactly into the search score: Σ contribution == score,
