@@ -213,11 +213,12 @@ class VocabLookup:
         parallel Ray tasks (``parallel=True``) — wall time = one bucket's
         decode, the same fan-out shape a multi-node cluster would run.
 
-        Scale note: at 10^8-term vocabularies the documented upgrade path is
-        a FastSS deletion-neighborhood sidecar (every term keyed by its
-        ≤d-char-deletion variants turns the sweep into O(len(q)^d) point
-        lookups); not built — the sweep is a per-distinct-term one-off whose
-        cost is bounded by vocab decode bandwidth, measured in BASELINE.
+        Scale path: when the FastSS deletion-neighborhood sidecar is built
+        (``state/fuzzy_index.py``, CLI ``build-fuzzy``), the expansion is
+        O(len(q)) POINT READS — flat in vocabulary size — and this method
+        routes through it automatically (measured 14-36 ms at 4.2M terms
+        vs 19-245 ms for the packed in-mem scan; 2.0 GB sidecar for the
+        82M deletion variants — the explicit storage-for-latency trade).
 
         Raises when the expansion exceeds ``max_terms`` like ``df_prefix``
         (a distance-2 two-char query is an unbounded OR, not a search)."""
