@@ -120,9 +120,16 @@ class FederatedEngine:
         excl = sorted(
             t for t, d in self.df(sorted(set(exclude or []))).items() if d > 0
         )
-        # fan out to every member's pool with the SAME merged weights; the
-        # per-member exact top-ks merge on the driver with index_id order
-        # as the tie-break after doc_num
+        return self._fan_weights(weights, k, require_all=require_all, excl=excl)
+
+    def _fan_weights(
+        self, weights: Dict[str, float], k: int,
+        require_all: bool = False, excl: Sequence[str] = (),
+    ) -> pd.DataFrame:
+        """Fan the SAME merged weights to every member's pool; the
+        per-member exact top-ks merge on the driver with member order as
+        the tie-break after score (the one documented deviation from a
+        monolith's global doc order)."""
         per_member = []
         for ei, e in enumerate(self.engines):
             if require_all:
@@ -157,6 +164,37 @@ class FederatedEngine:
                 "score": np.array([r[0] for r in rows], dtype=np.float64),
             }
         )
+
+    def search_fuzzy(
+        self, term: str, max_edits: int = 1, k: int = 10,
+        max_terms: int = 1000,
+    ) -> pd.DataFrame:
+        """Federated fuzzy retrieval: each member expands the term against
+        its own vocabulary (sidecar / packed scan / sweep — whatever that
+        member has), expansions merge by SUMMING df per matched term, and
+        the ordinary federated OR runs with merged-idf weights — identical
+        scoring to a monolithic index's search_fuzzy (same expansion set:
+        the union of member vocabularies IS the monolith vocabulary)."""
+        dfs: Dict[str, int] = {}
+        for e in self.engines:
+            for t, dv in e.vocab.df_fuzzy(
+                term, max_edits=max_edits, max_terms=max_terms
+            ).items():
+                dfs[t] = dfs.get(t, 0) + int(dv)
+        if len(dfs) > max_terms:
+            raise ValueError(
+                f"fuzzy {term!r}~{max_edits} expands to >{max_terms} terms "
+                "across the federation"
+            )
+        n = int(self.stats["N"])
+        weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
+        if not weights:
+            return pd.DataFrame(
+                {"index_id": pd.Series(dtype=np.int64),
+                 "doc_num": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        return self._fan_weights(weights, k)
 
     def search(
         self, query: str, k: int = 10, hydrate: bool = False,

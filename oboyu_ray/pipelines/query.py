@@ -644,12 +644,13 @@ class QueryEngine:
     def search_prefix(
         self, prefix: str, k: int = 10, max_terms: int = 1000,
         hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Wildcard ``pre*`` retrieval: expand the prefix against the
         vocabulary (bounded by ``max_terms``), then run the ordinary OR
         query over the expanded term set (idf per matched term,
         multiplicity 1) — Lucene's PrefixQuery → BooleanQuery rewrite.
-        Unknown prefix → empty frame."""
+        Unknown prefix → empty frame.  ``scope`` composes like search()."""
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
@@ -658,7 +659,9 @@ class QueryEngine:
         weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
         if not weights:
             return self._finish(empty, hydrate) if (resolve or hydrate) else empty
-        results = self._fanout(lambda ts: [a.query.remote(weights, k) for a in ts])
+        results = self._fanout(
+            lambda ts: [a.query.remote(weights, k, scope=scope) for a in ts]
+        )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in results:
@@ -671,13 +674,14 @@ class QueryEngine:
     def search_fuzzy(
         self, term: str, max_edits: int = 1, k: int = 10, max_terms: int = 1000,
         hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Fuzzy ``term~d`` retrieval: expand the term against the vocabulary
         (every term within levenshtein distance ``max_edits``, bounded by
         ``max_terms``), then run the ordinary OR query over the expanded set
         (idf per matched term, multiplicity 1) — Lucene's FuzzyQuery →
         BooleanQuery rewrite, identical scoring to ``fuzzy_topk``.  Unknown
-        neighborhood → empty frame."""
+        neighborhood → empty frame.  ``scope`` composes like search()."""
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
@@ -686,7 +690,9 @@ class QueryEngine:
         weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
         if not weights:
             return self._finish(empty, hydrate) if (resolve or hydrate) else empty
-        results = self._fanout(lambda ts: [a.query.remote(weights, k) for a in ts])
+        results = self._fanout(
+            lambda ts: [a.query.remote(weights, k, scope=scope) for a in ts]
+        )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in results:

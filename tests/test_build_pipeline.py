@@ -1081,6 +1081,16 @@ def test_scoped_engine_matches_brute_force(built, engine):
     )
     got = engine.search("token", k=k, exclude="です", scope=(lo, hi))
     assert got["doc_num"].tolist() == not_brute["doc_num"].tolist()
+    # scope composes with prefix/fuzzy expansions: identical to the plain
+    # OR query over the same expanded term set with the same scope
+    fterms = sorted(engine.vocab.df_fuzzy("tokn", max_edits=1))
+    a = engine.search_fuzzy("tokn", max_edits=1, k=k, scope=(lo, hi))
+    b = engine.search_terms(fterms, k=k, scope=(lo, hi))
+    assert a["doc_num"].tolist() == b["doc_num"].tolist() and len(a)
+    pterms = sorted(engine.vocab.df_prefix("tok"))
+    a = engine.search_prefix("tok", k=k, scope=(lo, hi))
+    b = engine.search_terms(pterms, k=k, scope=(lo, hi))
+    assert a["doc_num"].tolist() == b["doc_num"].tolist() and len(a)
 
 
 def test_fuzzy_engine_matches_brute_force(built, engine):

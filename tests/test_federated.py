@@ -114,6 +114,25 @@ def test_federated_and_not_paths(setup):
             )
 
 
+def test_federated_fuzzy_matches_monolith(setup):
+    """Federated fuzzy: member expansions merge by summing df — the union
+    of member vocabularies IS the monolith vocabulary, so scores equal the
+    monolithic search_fuzzy exactly."""
+    mono, fed = setup["mono"], setup["fed"]
+    k = 10
+    hits = 0
+    for q, d in [("tokn", 1), ("pythom", 1), ("検素", 1), ("zzznohit", 1)]:
+        mono_r = mono.search_fuzzy(q, max_edits=d, k=500, max_terms=100000)
+        got = fed.search_fuzzy(q, max_edits=d, k=k, max_terms=100000)
+        exp = micros(mono_r["score"].to_numpy())[: len(got)]
+        np.testing.assert_array_equal(
+            micros(got["score"].to_numpy()), exp, err_msg=f"{q}~{d}"
+        )
+        if len(got):
+            hits += 1
+    assert hits >= 2
+
+
 def test_federated_hydrate_and_close(setup):
     fed = setup["fed"]
     got = fed.search("token", k=5, hydrate=True)
