@@ -74,6 +74,25 @@ def cmd_query(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     from oboyu_ray.pipelines.query import QueryEngine
 
+    if getattr(args, "federate", None):
+        from oboyu_ray.pipelines.federated import FederatedEngine
+
+        members = [args.index_dir] + [
+            d for d in args.federate.split(",") if d
+        ]
+        engine = FederatedEngine(members, num_shards_each=args.num_shards)
+        if getattr(args, "fuzzy", None) is not None:
+            out = engine.search_fuzzy(args.q, max_edits=args.fuzzy, k=args.k)
+        else:
+            out = engine.search(
+                args.q, k=args.k, hydrate=args.hydrate,
+                require_all=getattr(args, "require_all", False),
+                exclude=getattr(args, "exclude", None),
+            )
+        print(out.to_string(index=False))
+        engine.close()
+        return 0
+
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
     if getattr(args, "near", None) is not None:
         sides = args.q.split()
@@ -219,6 +238,9 @@ def main(argv=None) -> int:
     q.add_argument("--scope", default=None, metavar="LO:HI",
                    help="scoped retrieval: candidates restricted to the "
                         "doc_num interval [LO, HI) (full-corpus statistics)")
+    q.add_argument("--federate", default=None, metavar="DIR[,DIR...]",
+                   help="federated search: additional member index dirs "
+                        "queried together with merged global statistics")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
+
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from oboyu_ray.pipelines.query import QueryEngine
@@ -72,6 +74,12 @@ class FederatedEngine:
             "total_dl": total_dl,
             "avgdl": (total_dl / n) if n else 0.0,
         }
+        if num_shards_each is None:
+            # divide the CPU budget across members up front: letting each
+            # member auto-size would hand EVERY CPU to the first pool and
+            # deadlock-pend the rest (observed via the CLI path)
+            avail = int(ray.available_resources().get("CPU", 4))
+            num_shards_each = max(1, avail // max(1, len(index_dirs)))
         self.engines: List[QueryEngine] = [
             QueryEngine(
                 d, num_shards=num_shards_each, stats_override=self.stats
