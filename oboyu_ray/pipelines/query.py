@@ -384,26 +384,31 @@ class MergeAggregator:
             out.extend(rows)
         return out
 
-    def query_phrase(self, phrase_terms: List[str], term_weights: Dict[str, float], k: int):
-        import ray as _ray
-
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
-            [s.query_phrase.remote(phrase_terms, term_weights, k) for s in self.shards]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
-
-    def query_near(self, term_a: str, term_b: str, window: int,
-                   term_weights: Dict[str, float], k: int):
+    def query_phrase(self, phrase_terms: List[str], term_weights: Dict[str, float],
+                     k: int, scope=None):
         import ray as _ray
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         for docs, scores in _ray.get(
             [
-                s.query_near.remote(term_a, term_b, window, term_weights, k)
+                s.query_phrase.remote(phrase_terms, term_weights, k, scope=scope)
+                for s in self.shards
+            ]
+        ):
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        return top_docs, top_scores
+
+    def query_near(self, term_a: str, term_b: str, window: int,
+                   term_weights: Dict[str, float], k: int, scope=None):
+        import ray as _ray
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        for docs, scores in _ray.get(
+            [
+                s.query_near.remote(term_a, term_b, window, term_weights, k,
+                                    scope=scope)
                 for s in self.shards
             ]
         ):
@@ -737,12 +742,16 @@ class QueryEngine:
              "contribution": "float64"}
         )
 
-    def search_phrase_terms(self, terms: List[str], k: int = 10) -> pd.DataFrame:
+    def search_phrase_terms(
+        self, terms: List[str], k: int = 10,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
         """Exact phrase top-k over the ORDERED term list: only docs where the
         terms occur adjacently in order rank (BM25-scored over the phrase
         terms).  Strict like conjunctive search: a corpus-absent term makes
         the phrase unmatchable → empty.  Requires a positional index
-        (build with ``BuildConfig(store_positions=True)``)."""
+        (build with ``BuildConfig(store_positions=True)``).  ``scope``
+        composes like search()."""
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
@@ -752,7 +761,9 @@ class QueryEngine:
         if len(weights) < len(set(terms)):
             return empty  # some term has df 0 → no doc can hold the phrase
         results = self._fanout(
-            lambda ts: [a.query_phrase.remote(terms, weights, k) for a in ts]
+            lambda ts: [
+                a.query_phrase.remote(terms, weights, k, scope=scope) for a in ts
+            ]
         )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -762,7 +773,7 @@ class QueryEngine:
 
     def search_near(
         self, term_a: str, term_b: str, window: int = 5, k: int = 10,
-        hydrate: bool = False,
+        hydrate: bool = False, scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Proximity retrieval: docs where the two (single-token) terms
         occur within ``window`` tokens of each other, any order, BM25-scored
@@ -781,7 +792,10 @@ class QueryEngine:
         if len(weights) < len({a, b}):
             return self._finish(empty, hydrate)
         results = self._fanout(
-            lambda ts: [x.query_near.remote(a, b, int(window), weights, k) for x in ts]
+            lambda ts: [
+                x.query_near.remote(a, b, int(window), weights, k, scope=scope)
+                for x in ts
+            ]
         )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -792,13 +806,17 @@ class QueryEngine:
         )
 
     def search_phrase(
-        self, phrase: str, k: int = 10, hydrate: bool = False
+        self, phrase: str, k: int = 10, hydrate: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Tokenize ``phrase`` and run exact adjacency retrieval (the token
         stream is the FILTERED stream, so stopwords drop out before
         adjacency — identical semantics to the brute-force ``phrase_topk``)."""
         return self._finish(
-            self.search_phrase_terms(self.tokenizer.tokenize(phrase), k), hydrate
+            self.search_phrase_terms(
+                self.tokenizer.tokenize(phrase), k, scope=scope
+            ),
+            hydrate,
         )
 
     def search_phrase_many(self, phrases: List[str], k: int = 10) -> List[pd.DataFrame]:

@@ -690,7 +690,7 @@ class IndexShard:
 
     def query_phrase(
         self, phrase_terms: List[str], term_weights: Dict[str, float], k: int,
-        force: str | None = None,
+        force: str | None = None, scope=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact phrase top-k: docs whose positional postings contain
         ``phrase_terms`` adjacently in order, scored with the ordinary BM25
@@ -712,10 +712,16 @@ class IndexShard:
         m = len(phrase_terms)
         if k <= 0 or m == 0:
             return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
         distinct = list(dict.fromkeys(phrase_terms))
         nt = len(distinct)
         PK = _PHRASE_PK
         for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
             if not part.has_positions:
                 raise ValueError(
                     "index was built without store_positions; rebuild with "
@@ -775,12 +781,20 @@ class IndexShard:
                     idx, tfnorm = self._contrib_cached(part_idx, s, e)
                     ii = np.searchsorted(idx, hit_idx)
                     scores += term_weights[t] * tfnorm[ii]
-                top_docs, top_scores = _merge_topk(
-                    top_docs, top_scores, part_base + hit_idx, scores, k
+                docs_abs, scores = self._drop_excluded(
+                    part_base + hit_idx, scores, None, scope
                 )
+                if len(docs_abs):
+                    top_docs, top_scores = _merge_topk(
+                        top_docs, top_scores, docs_abs, scores, k
+                    )
                 continue
             for win_abs in wins.tolist():
                 base = int(win_abs) * W
+                if scope is not None and (
+                    base + W <= scope[0] or base >= scope[1]
+                ):
+                    continue
                 data = {}
                 for t in distinct:  # decode each distinct term's block ONCE
                     s, e = part.term_slices[t]
@@ -805,14 +819,18 @@ class IndexShard:
                     local, tf, dl, _ = data[t]
                     ii = np.searchsorted(local, hit_local)
                     scores += term_weights[t] * self._tfnorm(tf[ii], dl[ii])
-                top_docs, top_scores = _merge_topk(
-                    top_docs, top_scores, base + hit_local, scores, k
+                docs_abs, scores = self._drop_excluded(
+                    base + hit_local, scores, None, scope
                 )
+                if len(docs_abs):
+                    top_docs, top_scores = _merge_topk(
+                        top_docs, top_scores, docs_abs, scores, k
+                    )
         return top_docs, top_scores
 
     def query_near(
         self, term_a: str, term_b: str, window: int,
-        term_weights: Dict[str, float], k: int,
+        term_weights: Dict[str, float], k: int, scope=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Proximity (NEAR) top-k: docs where ``term_a`` and ``term_b``
         occur within ``window`` tokens of each other (any order), scored by
@@ -825,8 +843,14 @@ class IndexShard:
         top_scores = np.empty(0, dtype=np.float64)
         if k <= 0:
             return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
         W = self.window_docs
         for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
             if not part.has_positions:
                 raise ValueError(
                     "index was built without store_positions; rebuild with "
@@ -866,9 +890,13 @@ class IndexShard:
                 idx, tfnorm = self._contrib_cached(part_idx, s, e)
                 ii = np.searchsorted(idx, hit_idx)
                 scores += term_weights[t] * tfnorm[ii]
-            top_docs, top_scores = _merge_topk(
-                top_docs, top_scores, part.win_base * W + hit_idx, scores, k
+            docs_abs, scores = self._drop_excluded(
+                part.win_base * W + hit_idx, scores, None, scope
             )
+            if len(docs_abs):
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, scores, k
+                )
         return top_docs, top_scores
 
     def _maxscore_part(

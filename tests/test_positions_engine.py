@@ -258,3 +258,38 @@ def test_search_phrase_many_matches_single(built, engine):
         np.testing.assert_allclose(
             got["score"].to_numpy(), single["score"].to_numpy(), rtol=1e-12
         )
+
+
+def test_phrase_and_near_scope(built, engine):
+    """Scoped phrase/NEAR: identical to the deep unscoped result filtered
+    to the doc_num interval (deep k captures every match), across a
+    part-boundary-straddling scope and an empty scope."""
+    import json
+    import os
+
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    n = int(stats["N"])
+    deep = 10_000
+    probes = _phrases_from_corpus(built["index_dir"])[:2]
+    nonempty = 0
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3 + 5), (n // 2, n // 2)]:
+        for phrase in probes:
+            full = engine.search_phrase(phrase, k=deep)
+            keep = full[(full["doc_num"] >= lo) & (full["doc_num"] < hi)]
+            got = engine.search_phrase(phrase, k=12, scope=(lo, hi))
+            assert got["doc_num"].tolist() == keep["doc_num"].head(12).tolist(), (
+                phrase, lo, hi,
+            )
+            if len(got):
+                nonempty += 1
+                np.testing.assert_allclose(
+                    got["score"].to_numpy(),
+                    keep["score"].head(12).to_numpy(), rtol=1e-12,
+                )
+        a, b = probes[0].split()[:2]
+        full = engine.search_near(a, b, window=4, k=deep)
+        keep = full[(full["doc_num"] >= lo) & (full["doc_num"] < hi)]
+        got = engine.search_near(a, b, window=4, k=12, scope=(lo, hi))
+        assert got["doc_num"].tolist() == keep["doc_num"].head(12).tolist(), (lo, hi)
+        nonempty += bool(len(got))
+    assert nonempty >= 3
