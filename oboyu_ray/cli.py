@@ -94,6 +94,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         return 0
 
     engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
+    scope = None
+    if getattr(args, "scope", None):
+        lo, _, hi = args.scope.partition(":")
+        scope = (int(lo), int(hi))
     if getattr(args, "near", None) is not None:
         sides = args.q.split()
         if len(sides) != 2:
@@ -101,24 +105,23 @@ def cmd_query(args: argparse.Namespace) -> int:
             engine.close()
             return 2
         out = engine.search_near(
-            sides[0], sides[1], window=args.near, k=args.k, hydrate=args.hydrate
+            sides[0], sides[1], window=args.near, k=args.k,
+            hydrate=args.hydrate, scope=scope,
         )
     elif getattr(args, "prefix", False):
         out = engine.search_prefix(
-            args.q, k=args.k, hydrate=args.hydrate, resolve=True
+            args.q, k=args.k, hydrate=args.hydrate, resolve=True, scope=scope
         )
     elif getattr(args, "fuzzy", None) is not None:
         out = engine.search_fuzzy(
             args.q, max_edits=args.fuzzy, k=args.k, hydrate=args.hydrate,
-            resolve=True,
+            resolve=True, scope=scope,
         )
     elif getattr(args, "phrase", False):
-        out = engine.search_phrase(args.q, k=args.k, hydrate=args.hydrate)
+        out = engine.search_phrase(
+            args.q, k=args.k, hydrate=args.hydrate, scope=scope
+        )
     else:
-        scope = None
-        if getattr(args, "scope", None):
-            lo, _, hi = args.scope.partition(":")
-            scope = (int(lo), int(hi))
         out = engine.search(
             args.q, k=args.k, hydrate=args.hydrate,
             require_all=getattr(args, "require_all", False),
