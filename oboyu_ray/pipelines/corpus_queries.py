@@ -4740,6 +4740,137 @@ LIMIT 20
 """
 
 
+def q_forecast_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q6 shape: potential revenue from lifting small discounts on
+    low-quantity lines in one year — a pure scan-filter-sum: predicate at
+    the batch, per-row fixed-point, two int64 partials per batch, driver
+    adds integers.  Zero shuffles."""
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        rev = _mic(price * disc[m]).astype(np.int64)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([int(m.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_micros": pd.array([int(agg["rev"].sum())], dtype="int64"),
+            "n_lines": pd.array([int(agg["n"].sum())], dtype="int64"),
+        }
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_micros,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_small_order_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20% of
+    their part's average quantity — the self-join-on-aggregate shape.
+    Pass 1: per-part (sum_qty, count) map partials → one small part-keyed
+    groupby → the per-part threshold broadcasts as a sorted-array lookup
+    (parts are a bounded dimension); pass 2 filters at the scan and folds
+    two int64 partials.  The threshold compare is the identical float64
+    expression on both sides (0.2 * (sum/count))."""
+    from ray.data.aggregate import Sum
+
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "pk": t.column("l_partkey").cast(pa.int64()),
+                "q": t.column("l_quantity").cast(pa.float64()),
+            }
+        )
+        g = pre.group_by("pk").aggregate([("q", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "pk": g.column("pk"),
+                "qs": g.column("q_sum").cast(pa.float64()),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+    agg = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("qs", alias_name="qs"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pk = agg["pk"].to_numpy(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order]
+    thresh = (
+        0.2 * (agg["qs"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64))
+    )[order]
+    ref = ray.put((pk, thresh))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, th = ray.get(ref)
+        lk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(keys, lk)
+        m = qty < th[np.minimum(ix, len(keys) - 1)]
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        rev = _mic(price).astype(np.int64)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([int(m.sum())], type=pa.int64()),
+            }
+        )
+
+    out = li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_micros": pd.array([int(out["rev"].sum())], dtype="int64"),
+            "n_lines": pd.array([int(out["n"].sum())], dtype="int64"),
+        }
+    )
+
+
+SQL_SMALL_ORDER_REVENUE = """
+WITH t AS (
+    SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS th
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT sum(CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_micros,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.th
+"""
+
+
 def q_lang_drift_by_source(sf_dir: str) -> "pd.DataFrame":
     """Corpus drift monitor: per-source Population Stability Index of the
     language distribution vs the global mix — the standard "did this
@@ -4850,6 +4981,8 @@ def corpus_queries() -> dict:
         "revenue_cube": q_revenue_cube,
         "top_return_customers": q_top_return_customers,
         "lang_drift_by_source": q_lang_drift_by_source,
+        "forecast_revenue": q_forecast_revenue,
+        "small_order_revenue": q_small_order_revenue,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -4972,6 +5105,8 @@ def corpus_oracle_sql() -> dict:
         "revenue_cube": SQL_REVENUE_CUBE,
         "top_return_customers": SQL_TOP_RETURN_CUSTOMERS,
         "lang_drift_by_source": SQL_LANG_DRIFT_BY_SOURCE,
+        "forecast_revenue": SQL_FORECAST_REVENUE,
+        "small_order_revenue": SQL_SMALL_ORDER_REVENUE,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,
