@@ -197,6 +197,10 @@ def run_feature_latency(files: list, num_cpus: int) -> dict:
         "fuzzy1": lambda: engine.search_fuzzy(
             a[:-1] if len(a) > 2 else a, max_edits=1, k=10, max_terms=500_000
         ),
+        # scoped probe: first ~5% of the corpus (part/window skipping)
+        "scoped": lambda: engine.search(
+            BENCH_QUERIES[0], k=10, scope=(0, max(1, engine.stats["N"] // 20))
+        ),
     }
     feat = {}
     for name, fn in probes.items():
