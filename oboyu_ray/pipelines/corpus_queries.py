@@ -4871,6 +4871,80 @@ WHERE l.l_quantity < t.th
 """
 
 
+def q_top_supplier(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q15 shape: the supplier(s) with maximum lineitem revenue in
+    one quarter — ties INCLUDED (the detail Q15 exists to test).  Per-batch
+    (suppkey, rev) partials from the scan filter → one small supplier-keyed
+    groupby → the max + tie filter is a bounded driver fold; names attach
+    from the broadcast-small supplier table for the winners only."""
+    from ray.data.aggregate import Sum
+
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.filter(pa.array((ship >= lo) & (ship < hi)))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        pre = pa.table(
+            {
+                "sk": t.column("l_suppkey").cast(pa.int64()),
+                "rev": pa.array(_mic(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+        g = pre.group_by("sk").aggregate([("rev", "sum")])
+        return pa.table({"sk": g.column("sk"), "rev": g.column("rev_sum").cast(pa.int64())})
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series(dtype=np.int64),
+             "s_name": pd.Series(dtype=object),
+             "total_revenue_micros": pd.Series(dtype=np.int64)}
+        )
+    best = int(agg["rev"].max())
+    win = agg[agg["rev"] == best].sort_values("sk")
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas().set_index("s_suppkey")["s_name"]
+    return pd.DataFrame(
+        {
+            "s_suppkey": win["sk"].astype(np.int64).to_numpy(),
+            "s_name": win["sk"].map(sup).to_numpy(),
+            "total_revenue_micros": win["rev"].astype(np.int64).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+                    AS BIGINT))::BIGINT AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev AS total_revenue_micros
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
 def q_lang_drift_by_source(sf_dir: str) -> "pd.DataFrame":
     """Corpus drift monitor: per-source Population Stability Index of the
     language distribution vs the global mix — the standard "did this
@@ -4983,6 +5057,7 @@ def corpus_queries() -> dict:
         "lang_drift_by_source": q_lang_drift_by_source,
         "forecast_revenue": q_forecast_revenue,
         "small_order_revenue": q_small_order_revenue,
+        "top_supplier": q_top_supplier,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "sample_documents": q_sample_documents,
@@ -5107,6 +5182,7 @@ def corpus_oracle_sql() -> dict:
         "lang_drift_by_source": SQL_LANG_DRIFT_BY_SOURCE,
         "forecast_revenue": SQL_FORECAST_REVENUE,
         "small_order_revenue": SQL_SMALL_ORDER_REVENUE,
+        "top_supplier": SQL_TOP_SUPPLIER,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "sample_documents": SQL_SAMPLE_DOCUMENTS,
