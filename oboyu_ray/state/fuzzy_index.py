@@ -190,7 +190,12 @@ class FuzzySidecar:
                 continue
             by_group: Dict[int, List[int]] = {}
             for h in sorted(set(hs)):
-                gi = max(bisect.bisect_right(mins, h) - 1, 0)
+                # the run of h can START in the group BEFORE the first
+                # group whose min >= h (tail rows of the preceding group)
+                # — bisect_left, not bisect_right: with bisect_right a
+                # hub run spanning groups [9..12] (mins 10..12 all == h)
+                # would start the walk at 12 and silently skip 9-11.
+                gi = max(bisect.bisect_left(mins, h) - 1, 0)
                 by_group.setdefault(gi, []).append(h)
             groups: Dict[int, tuple] = {}
 
@@ -209,26 +214,25 @@ class FuzzySidecar:
             for gi0, ghs in by_group.items():
                 for h in ghs:
                     gi = gi0
-                    first = True
                     # a hub variant's run can span row-group boundaries —
-                    # walk groups while the run reaches each group's end
+                    # walk forward from the group where the run can start,
+                    # scanning each group's [left, right) range, until a
+                    # group contains a value > h (groups are globally
+                    # vh-sorted, so no later group can hold h then)
                     while gi < pf.metadata.num_row_groups:
+                        if gi > gi0 and mins[gi] > h:
+                            break
                         col, terms, dfs = _group(gi)
-                        lo = (
-                            int(np.searchsorted(col, h, side="left"))
-                            if first else 0
-                        )
+                        lo = int(np.searchsorted(col, h, side="left"))
                         hi = int(np.searchsorted(col, h, side="right"))
                         for j in range(lo, hi):
                             t = terms[j]
                             if t not in out and lev_at_most(t, q, d):
                                 out[t] = int(dfs[j])
-                        if hi < len(col) or hi == lo:
-                            # run ended inside this group, or h is absent
-                            # (bisect picked the last group with min <= h,
-                            # so h cannot start in a later group)
+                        if hi < len(col):
+                            # a value > h exists in this group; every
+                            # later group's min exceeds it — run is done
                             break
-                        first = False
                         gi += 1
             if len(out) > max_terms:
                 raise ValueError(

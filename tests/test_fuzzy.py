@@ -131,3 +131,49 @@ def test_fuzzy_topk_matches_duckdb_oracle(sf_dir):
     assert (got[cols].values == exp[cols].values).all()
     # the no-hit spec must expand to nothing
     assert not (got["query_id"] == "zzznohit~1").any()
+
+
+def test_sidecar_single_shared_variant_run_spans_row_groups(
+    tmp_path, monkeypatch
+):
+    """Regression (r5 ADVICE): a hub variant whose hash run spans several
+    row groups must return EVERY indexed term under it, even when the
+    query shares exactly ONE deletion variant with each match (a d=1
+    substitution pair shares only the doubly-deleted string, so one miss
+    is unrecoverable).  The old bisect_right start picked the LAST group
+    whose min <= h and silently skipped earlier rows of the run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import oboyu_ray.state.fuzzy_index as fz
+
+    # terms "a{X}bc": U1 intersection with U1("abc") is exactly {"abc"} —
+    # 300 of them hash-collide on the same variant row, a 300-row run
+    hubs = [f"a{chr(c)}bc" for c in range(0x100, 0x100 + 300)]
+    # filler with hashes scattered above/below so the run neither starts
+    # at group 0 nor ends the file
+    filler = [f"filler{i:04d}" for i in range(500)]
+    vocab = hubs + filler
+    idx = tmp_path / "idx"
+    (idx / "vocab").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(vocab, type=pa.string()),
+                "df": pa.array([1] * len(vocab), type=pa.int64()),
+            }
+        ),
+        str(idx / "vocab" / "vocab-00000.parquet"),
+    )
+    monkeypatch.setattr(fz, "ROW_GROUP", 16)  # run spans ~19 groups
+    fz.build_fuzzy_sidecar(str(idx), max_edits=1, n_buckets=1)
+    sc = fz.open_sidecar(str(idx))
+    got = sc.lookup("abc", 1, max_terms=100000)
+    expected = {t: 1 for t in vocab if lev_at_most(t, "abc", 1)}
+    assert set(expected) == set(hubs)  # the fixture is what it claims
+    assert got == expected
+    # every probe term must also find itself + its substitution siblings
+    for probe in (hubs[0], hubs[150], hubs[-1]):
+        got_p = sc.lookup(probe, 1, max_terms=100000)
+        exp_p = {t: 1 for t in vocab if lev_at_most(t, probe, 1)}
+        assert got_p == exp_p, probe
