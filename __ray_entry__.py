@@ -22,12 +22,13 @@ def entry() -> Any:
     return q_bm25_topk("/root/testdata/sf0.001")
 
 
-# Queries the round-3 driver already verified green (rows+schema+hash or
-# rows-only, CORRECTNESS_r03.json).  The driver samples the FIRST ~50
-# registered queries each round, so we rotate: queries it has never
-# reached register first, already-driver-green ones last.
-_R03_DRIVER_CHECKED = frozenset(
+# Queries earlier driver rounds already verified green (rows+schema+hash
+# or rows-only — the union of CORRECTNESS_r01–r04.json).  The driver
+# samples the FIRST ~50 registered queries each round, so we rotate:
+# queries it has never reached register first, already-driver-green last.
+_DRIVER_CHECKED = frozenset(
     {
+        # r1–r3 (CORRECTNESS_r01–r03.json)
         "postings", "doc_stats", "vocabulary", "collection_stats",
         "bm25_topk", "text_stats", "text_quality", "sample_documents",
         "text_fingerprint", "text_fingerprint_fast", "dedup_exact",
@@ -43,6 +44,23 @@ _R03_DRIVER_CHECKED = frozenset(
         "price_quantiles", "grouped_quantiles", "edc_entities",
         "pii_redact", "text_repetition", "boilerplate_ngrams",
         "decontaminate", "stratified_sample", "join_revenue",
+        # r4 (CORRECTNESS_r04.json, 50/50 green)
+        "phrase_topk", "prefix_topk", "bm25_topk_not", "near_topk",
+        "fuzzy_topk", "bm25_topk_scoped", "substring_dups",
+        "order_priority_wait", "ship_lag_priority", "promo_revenue",
+        "idle_highvalue_customers", "domain_mixture", "revenue_cube",
+        "top_return_customers", "lang_drift_by_source", "forecast_revenue",
+        "small_order_revenue", "top_supplier", "corpus_profile",
+        "clean_corpus", "doc_surprisal", "approx_distinct_by_type",
+        "embedding_clusters", "price_quantiles_sketch", "pack_sequences",
+        "funnel_conversion", "doc_keywords", "token_counts_bpe",
+        "price_histogram", "dedup_incremental", "fuzzy_terms",
+        "orders_unfilled", "stratified_topk_sample", "collocations",
+        "langid_confusion", "user_day_activity", "kg_pagerank",
+        "decontaminate_bloom", "revenue_rollup", "value_outliers",
+        "top_terms_per_lang", "prefix_dups", "user_running_totals",
+        "latest_event_per_user", "rolling_active_users", "cohort_retention",
+        "simsearch_pq", "simsearch_mmr", "doc_length_rank", "bm25_rm3",
     }
 )
 
@@ -52,8 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from oboyu_ray.pipelines.entry_queries import core_queries
 
     merged = {**core_queries(), **corpus_queries()}
-    fresh = {k: v for k, v in merged.items() if k not in _R03_DRIVER_CHECKED}
-    seen = {k: v for k, v in merged.items() if k in _R03_DRIVER_CHECKED}
+    fresh = {k: v for k, v in merged.items() if k not in _DRIVER_CHECKED}
+    seen = {k: v for k, v in merged.items() if k in _DRIVER_CHECKED}
     return {**fresh, **seen}
 
 
