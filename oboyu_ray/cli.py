@@ -77,6 +77,26 @@ def cmd_query(args: argparse.Namespace) -> int:
     if getattr(args, "federate", None):
         from oboyu_ray.pipelines.federated import FederatedEngine
 
+        # the federated path supports plain + fuzzy only — refuse the
+        # other modes loudly instead of silently answering a different
+        # query (scope/phrase/near/prefix fall through to plain otherwise)
+        unsupported = [
+            flag for flag, on in (
+                ("--scope", bool(getattr(args, "scope", None))),
+                ("--phrase", bool(getattr(args, "phrase", False))),
+                ("--near", getattr(args, "near", None) is not None),
+                ("--prefix", bool(getattr(args, "prefix", False))),
+                ("--hydrate-for-fuzzy",
+                 bool(getattr(args, "hydrate", False))
+                 and getattr(args, "fuzzy", None) is not None),
+            ) if on
+        ]
+        if unsupported:
+            print(
+                "query --federate does not support: "
+                + ", ".join(unsupported), file=sys.stderr,
+            )
+            return 2
         members = [args.index_dir] + [
             d for d in args.federate.split(",") if d
         ]

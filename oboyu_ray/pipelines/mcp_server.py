@@ -133,26 +133,32 @@ class McpServer:
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
+        # scope composes with every mode (the engine methods all take it) —
+        # never silently drop it on the fuzzy/prefix/phrase/near branches
+        sc = (int(scope[0]), int(scope[1])) if scope else None
         if near is not None:
             sides = query.split()
             if len(sides) != 2:
                 raise ValueError("near search takes exactly two terms")
             df = eng.search_near(
-                sides[0], sides[1], window=int(near), k=int(top_k), hydrate=True
+                sides[0], sides[1], window=int(near), k=int(top_k),
+                hydrate=True, scope=sc,
             )
         elif fuzzy is not None:
             df = eng.search_fuzzy(
                 query, max_edits=int(fuzzy), k=int(top_k), hydrate=True,
-                resolve=True,
+                resolve=True, scope=sc,
             )
         elif prefix:
-            df = eng.search_prefix(query, k=int(top_k), hydrate=True, resolve=True)
+            df = eng.search_prefix(
+                query, k=int(top_k), hydrate=True, resolve=True, scope=sc
+            )
         elif phrase:
-            df = eng.search_phrase(query, k=int(top_k), hydrate=True)
+            df = eng.search_phrase(query, k=int(top_k), hydrate=True, scope=sc)
         else:
             df = eng.search(
                 query, k=int(top_k), hydrate=True, require_all=bool(require_all),
-                scope=(int(scope[0]), int(scope[1])) if scope else None,
+                scope=sc,
             )
         results = [
             {

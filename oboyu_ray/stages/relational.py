@@ -931,6 +931,30 @@ def funnel_conversion(
 ROLLUP_ALL = "ALL"  # sentinel for rolled-up key levels (SQL: COALESCE(k,'ALL'))
 
 
+def _check_rollup_keys(t: pa.Table, keys: "list[str]") -> None:
+    """Rollup/grouping-set key columns must not contain the ``ROLLUP_ALL``
+    sentinel (a real 'ALL' value would collide with subtotal rows) or
+    nulls (arrow group_by keeps nulls as their own group while the SQL
+    twin's COALESCE folds them into the ALL row — silently divergent).
+    Vectorized per-batch guard; raises instead of producing wrong rows."""
+    import pyarrow.compute as pc
+
+    for k in keys:
+        col = t.column(k)
+        if col.null_count:
+            raise ValueError(
+                f"rollup key column {k!r} contains nulls; COALESCE them to "
+                "an explicit label upstream (they would otherwise diverge "
+                "from the SQL twin's NULL-folding)"
+            )
+        if pc.any(pc.equal(col, ROLLUP_ALL)).as_py():
+            raise ValueError(
+                f"rollup key column {k!r} contains the reserved sentinel "
+                f"{ROLLUP_ALL!r}; rename the value or the sentinel — "
+                "subtotal rows would collide with it"
+            )
+
+
 def rollup_sum(
     ds: "ray.data.Dataset",
     keys: "list[str]",
@@ -946,9 +970,12 @@ def rollup_sum(
     aggregation instead of len(keys)+1 separate scans.  ``value_col`` must
     be int64 (pre-fixed-pointed) so partial sums are associative and
     order-independent.  String keys only; rolled-up levels carry the
-    ``ROLLUP_ALL`` sentinel (the SQL twin COALESCEs NULL to the same)."""
+    ``ROLLUP_ALL`` sentinel (the SQL twin COALESCEs NULL to the same).
+    Key columns must be sentinel-free and non-null (checked per batch —
+    see ``_check_rollup_keys``)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        _check_rollup_keys(t, keys)
         outs = []
         for level in range(len(keys), -1, -1):
             cols = {}
@@ -1007,7 +1034,8 @@ def grouping_sets_sum(
     set replaced by the ``ROLLUP_ALL`` sentinel, and one groupby over the
     full key tuple folds them.  The shuffle moves per-batch GROUP partials
     × len(sets), never raw rows.  ``value_col`` must be int64
-    (pre-fixed-pointed) so partial sums are associative; string keys only."""
+    (pre-fixed-pointed) so partial sums are associative; string keys only,
+    sentinel-free and non-null (checked per batch, ``_check_rollup_keys``)."""
     keyset = [tuple(s) for s in sets]
     for s in keyset:
         for k in s:
@@ -1017,6 +1045,7 @@ def grouping_sets_sum(
         raise ValueError("duplicate grouping sets")
 
     def partial(t: pa.Table) -> pa.Table:
+        _check_rollup_keys(t, keys)
         outs = []
         for s in keyset:
             cols = {}

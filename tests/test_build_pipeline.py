@@ -324,6 +324,27 @@ def test_cli_build_and_query(built, tmp_path, capsys):
     assert "doc_num" in capsys.readouterr().out
 
 
+def test_cli_federate_rejects_unsupported_flags(capsys):
+    """r5 ADVICE: --federate with --scope/--phrase/--near/--prefix (or
+    --hydrate combined with --fuzzy) must exit 2 with a clear message,
+    never silently answer a different query mode.  The rejection happens
+    before any engine is built, so no index is needed."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_query
+
+    base = dict(index_dir="/nonexistent", federate="/other", q="x", k=5,
+                num_shards=2, hydrate=False, num_cpus=None)
+    for extra in (
+        {"scope": "0:5"}, {"phrase": True}, {"near": 3}, {"prefix": True},
+        {"fuzzy": 1, "hydrate": True},
+    ):
+        rc = cmd_query(argparse.Namespace(**{**base, **extra}))
+        err = capsys.readouterr().err
+        assert rc == 2, extra
+        assert "does not support" in err, extra
+
+
 def test_hot_term_skew_balance(tmp_path):
     """North-rule skew handling, evidenced: a term present in EVERY document
     (df = N, strongly negative idf) cannot concentrate work — the index is

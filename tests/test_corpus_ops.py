@@ -669,6 +669,48 @@ def test_mcp_stdio_transport(tmp_path):
     sc = _json.loads(resps[17]["result"]["content"][0]["text"])
     assert sc["stats"]["count"] == 1
 
+    # r5 ADVICE regression: scope must compose with fuzzy/prefix/phrase/
+    # near too (it was silently dropped on those branches).  Work out which
+    # doc number alpha.md got from the scoped plain result, then scope each
+    # mode to EXCLUDE its known match and require emptiness (a dropped
+    # scope returns hits).
+    alpha_in_0 = "alpha.md" in sc["results"][0]["uri"]
+    alpha_scope = [0, 1] if alpha_in_0 else [1, 2]
+    not_alpha_scope = [1, 2] if alpha_in_0 else [0, 1]
+    reqs2 = [
+        {"jsonrpc": "2.0", "id": 20, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokems", "index_dir": index_dir,
+                                  "top_k": 3, "fuzzy": 1,
+                                  "scope": alpha_scope}}},
+        {"jsonrpc": "2.0", "id": 21, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tok", "index_dir": index_dir,
+                                  "top_k": 3, "prefix": True,
+                                  "scope": alpha_scope}}},
+        {"jsonrpc": "2.0", "id": 22, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "search engine",
+                                  "index_dir": index_dir, "top_k": 3,
+                                  "phrase": True,
+                                  "scope": not_alpha_scope}}},
+        {"jsonrpc": "2.0", "id": 23, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine",
+                                  "index_dir": index_dir, "top_k": 3,
+                                  "near": 2, "scope": not_alpha_scope}}},
+    ]
+    inp2 = io.StringIO("\n".join(_json.dumps(r) for r in reqs2) + "\n")
+    out2 = io.StringIO()
+    serve(inp2, out2)
+    resps2 = {m["id"]: m for m in map(_json.loads, out2.getvalue().splitlines())}
+    # fuzzy/prefix match both docs unscoped — scoped to one doc → exactly 1
+    assert _json.loads(resps2[20]["result"]["content"][0]["text"])["stats"]["count"] == 1
+    assert _json.loads(resps2[21]["result"]["content"][0]["text"])["stats"]["count"] == 1
+    # phrase/near match only alpha.md — scoped AWAY from it → empty
+    assert _json.loads(resps2[22]["result"]["content"][0]["text"])["stats"]["count"] == 0
+    assert _json.loads(resps2[23]["result"]["content"][0]["text"])["stats"]["count"] == 0
+
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
     """M12: front-matter title -> first-line (<100 chars, no '.') -> stem

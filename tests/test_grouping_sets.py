@@ -81,3 +81,26 @@ def test_grouping_sets_validation(toy):
         grouping_sets_sum(ds, ["a", "b"], "v", [("c",)])
     with pytest.raises(ValueError, match="duplicate"):
         grouping_sets_sum(ds, ["a", "b"], "v", [("a",), ("a",)])
+
+
+def test_sentinel_and_null_keys_rejected():
+    """r5 ADVICE: a key column containing the ROLLUP_ALL sentinel would
+    collide with subtotal rows, and nulls would form their own arrow group
+    while the SQL twin COALESCEs them into ALL — both must raise, in both
+    rollup_sum and grouping_sets_sum (cube_sum delegates)."""
+    bad_sentinel = ray.data.from_pandas(
+        pd.DataFrame({"a": ["x", ROLLUP_ALL], "b": ["p", "q"],
+                      "v": np.int64([1, 2])})
+    )
+    bad_null = ray.data.from_pandas(
+        pd.DataFrame({"a": ["x", None], "b": ["p", "q"],
+                      "v": np.int64([1, 2])})
+    )
+    for build in (
+        lambda ds: rollup_sum(ds, ["a", "b"], "v"),
+        lambda ds: grouping_sets_sum(ds, ["a", "b"], "v", [("a", "b"), ()]),
+    ):
+        with pytest.raises(Exception, match="reserved sentinel"):
+            build(bad_sentinel).to_pandas()
+        with pytest.raises(Exception, match="contains nulls"):
+            build(bad_null).to_pandas()
