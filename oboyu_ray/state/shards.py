@@ -74,7 +74,8 @@ class _PartIndex:
                  "docs_off", "docs_buf", "tfs_off", "tfs_buf",
                  "row_starts", "window_docs", "dl_arr", "dl_base",
                  "wdc_base", "window_doc_counts",
-                 "has_positions", "pos_off", "pos_buf")
+                 "has_positions", "pos_off", "pos_buf",
+                 "uniq_terms", "uniq_starts")
 
     @staticmethod
     def _binary_views(col):
@@ -163,6 +164,18 @@ class _PartIndex:
             ).to_pylist()
             for term, s_, e_ in zip(terms_at_starts, starts, ends):
                 self.term_slices[term] = (int(s_), int(e_))
+            # the blocks table is (term, win)-sorted, so the unique terms
+            # are ALREADY in sorted order and any term RANGE [lo, hi) is a
+            # CONTIGUOUS block-row range — the prefix/range query path
+            # (query_term_range) turns a 10^4-term expansion into two
+            # bisects + one vectorized decode instead of per-term work
+            self.uniq_terms: List[str] = terms_at_starts
+            self.uniq_starts = np.concatenate(
+                (starts, [nrows])
+            ).astype(np.int64)
+        else:
+            self.uniq_terms = []
+            self.uniq_starts = np.zeros(1, dtype=np.int64)
         if nrows:
             self.win_base = int(self.win.min())
             self.n_windows = int(self.win.max()) - self.win_base + 1
@@ -269,6 +282,9 @@ class IndexShard:
         # key (part, s, e, -1) → (dense tfnorm array, span/2) gather entries
         self._cache: Dict[Tuple, Tuple] = {}
         self._cache_postings = 0
+        # (part, ti0, ti1, weights_key) → per-unique-term weight array for
+        # the range path; tiny (≤ a few k floats per entry), FIFO-bounded
+        self._wuniq_cache: Dict[Tuple, np.ndarray] = {}
         self._bscale_hi = 1.0  # block-bound rescale for avgdl overrides
         self._bscale_lo = 1.0  # (see configure); 1.0 = bounds used as stored
         # per-shard scan telemetry (get_counters / reset_counters; the
@@ -277,7 +293,7 @@ class IndexShard:
         self.counters: Dict[str, int] = {
             "queries": 0, "windows_scanned": 0, "windows_pruned": 0,
             "postings_decoded": 0, "cache_hits": 0, "cache_misses": 0,
-            "maxscore_parts": 0, "wide_or_parts": 0,
+            "maxscore_parts": 0, "wide_or_parts": 0, "range_parts": 0,
         }
 
     def get_counters(self) -> Dict[str, int]:
@@ -665,6 +681,109 @@ class IndexShard:
                 )
                 if not len(docs_abs):
                     continue
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, scores, k
+                )
+        return top_docs, top_scores
+
+    def _range_cached(self, part_idx: int, part: _PartIndex,
+                      ti0: int, ti1: int):
+        """FIFO-cached whole-range decode for unique-term interval
+        [ti0, ti1) of a part: (part-local doc index, tfnorm, per-posting
+        unique-term index RELATIVE to ti0).  Weight application stays
+        per-query (one gather + multiply), so the same cached range serves
+        any weighting of its terms.  Accounted ~1.5× a sparse term entry
+        (the extra int32 per posting)."""
+        key = (part_idx, int(ti0), int(ti1), -3)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self.counters["cache_hits"] += 1
+            return hit[0]
+        self.counters["cache_misses"] += 1
+        S = int(part.uniq_starts[ti0])
+        E = int(part.uniq_starts[ti1])
+        docs_abs, tf, dl = part.decode_range(S, E)
+        self.counters["postings_decoded"] += len(docs_abs)
+        idx = docs_abs - part.win_base * self.window_docs
+        tfnorm = self._tfnorm(tf, dl)
+        rows_per_uniq = np.diff(part.uniq_starts[ti0:ti1 + 1])
+        row_uniq = np.repeat(
+            np.arange(ti1 - ti0, dtype=np.int32), rows_per_uniq
+        )
+        uniq_ix = np.repeat(row_uniq, part.n[S:E])
+        out = (idx, tfnorm, uniq_ix)
+        self._cache_put(key, out, len(idx) + len(idx) // 2)
+        return out
+
+    def query_term_range(
+        self, lo: str, hi: str, term_weights: Dict[str, float], k: int,
+        exclude_terms: "Sequence[str]" = (), scope=None, weights_key=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k OR query over EVERY indexed term in the string range
+        [lo, hi) — the PrefixQuery fast path.  The blocks table is
+        (term, win)-sorted, so the range is a CONTIGUOUS block-row interval
+        per part: two bisects over the part's unique-term list, ONE
+        vectorized decode of the interval, one bincount accumulate —
+        per-query work is O(postings in range), with no per-term Python.
+
+        ``term_weights`` must cover every vocabulary term in the range (the
+        driver's df_prefix expansion does); scoring is identical to
+        query()'s wide-OR dense path — per-doc BM25 sums over matched
+        terms, a zero-weight matched term still marks presence.  Lucene's
+        PrefixQuery→BooleanQuery rewrite collapsed to the term-sorted
+        layout (SURVEY §8)."""
+        import bisect
+
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0 or lo >= hi:
+            return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
+        self.counters["queries"] += 1
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            ti0 = bisect.bisect_left(part.uniq_terms, lo)
+            ti1 = bisect.bisect_left(part.uniq_terms, hi)
+            if ti0 >= ti1:
+                continue
+            self.counters["range_parts"] += 1
+            excl_abs = (
+                self._excluded_abs(part_idx, part, exclude_terms)
+                if exclude_terms else None
+            )
+            idx, tfnorm, uniq_ix = self._range_cached(part_idx, part, ti0, ti1)
+            # the weight vector for a range is a pure function of the index's
+            # global stats, so the engine passes the prefix as weights_key
+            # and repeated queries skip the per-term dict walk; callers
+            # supplying CUSTOM weights must pass weights_key=None (no cache)
+            wk = (part_idx, ti0, ti1, weights_key)
+            w_uniq = (
+                self._wuniq_cache.get(wk) if weights_key is not None else None
+            )
+            if w_uniq is None:
+                w_uniq = np.fromiter(
+                    (term_weights[t] for t in part.uniq_terms[ti0:ti1]),
+                    dtype=np.float64, count=ti1 - ti0,
+                )
+                if weights_key is not None:
+                    while len(self._wuniq_cache) >= 4096:
+                        self._wuniq_cache.pop(next(iter(self._wuniq_cache)))
+                    self._wuniq_cache[wk] = w_uniq
+            contrib = w_uniq[uniq_ix] * tfnorm
+            span = part.n_windows * W
+            base = part.win_base * W
+            acc = np.bincount(idx, weights=contrib, minlength=span)
+            cnt = np.bincount(idx, minlength=span)
+            idxs = np.flatnonzero(cnt)
+            docs_abs, scores = self._drop_excluded(
+                base + idxs, acc[idxs], excl_abs, scope
+            )
+            if len(docs_abs):
                 top_docs, top_scores = _merge_topk(
                     top_docs, top_scores, docs_abs, scores, k
                 )
@@ -1087,6 +1206,10 @@ class IndexShard:
         self._bscale_lo = min(1.0, r)
         self._cache.clear()
         self._cache_postings = 0
+        # weights can change with the engine's global stats (federated
+        # merged N) — a reconfigured actor must not serve stale range
+        # weight vectors
+        self._wuniq_cache.clear()
 
     def ping(self) -> bool:
         return True

@@ -886,6 +886,11 @@ def test_two_level_merge_identical(built, engine):
         many_b = eng2.search_many(QUERIES, k=7)
         for x, y in zip(many_a, many_b):
             assert x["doc_num"].tolist() == y["doc_num"].tolist()
+        # the prefix term-range path proxies through aggregators too
+        a = engine.search_prefix("tok", k=10)
+        b = eng2.search_prefix("tok", k=10)
+        assert a["doc_num"].tolist() == b["doc_num"].tolist()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
     finally:
         eng2.close()
 
