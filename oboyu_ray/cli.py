@@ -165,6 +165,24 @@ def cmd_build_fuzzy(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Physically merge K built indexes into one monolith (segment merge)."""
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.pipelines.merge_index import merge_indexes
+
+    report = merge_indexes(
+        args.members,
+        args.out_dir,
+        vocab_buckets=args.vocab_buckets,
+        build_sidecar=(None if args.sidecar == "auto" else args.sidecar == "yes"),
+    )
+    print(json.dumps({
+        "n_docs": report["n_docs"], "n_parts": report["n_parts"],
+        "n_terms": report["n_terms"], **report["timings_sec"],
+    }))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Per-term score breakdown for one document (Lucene explain shape)."""
     _ensure_ray(args.num_cpus)
@@ -274,6 +292,20 @@ def main(argv=None) -> int:
     bf.add_argument("--buckets", type=int, default=32)
     bf.add_argument("--num-cpus", type=int, default=None)
     bf.set_defaults(fn=cmd_build_fuzzy)
+
+    mg = sub.add_parser(
+        "merge",
+        help="physically merge built indexes into one monolith "
+             "(no re-tokenize; posting payloads carry over byte-identical)",
+    )
+    mg.add_argument("members", nargs="+", help="member index dirs (disjoint conv ranges)")
+    mg.add_argument("--out-dir", required=True)
+    mg.add_argument("--vocab-buckets", type=int, default=None)
+    mg.add_argument("--sidecar", choices=["auto", "yes", "no"], default="auto",
+                    help="rebuild the fuzzy sidecar over the merged vocabulary "
+                         "(auto: when every member has one)")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     x = sub.add_parser("explain", help="per-term score breakdown for one document")
     x.add_argument("--index-dir", required=True)
