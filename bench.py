@@ -238,10 +238,10 @@ def run_query_suite(sf_dir: str) -> dict:
     return timings
 
 
-def _host_mp_ceiling() -> dict:
-    """Pure-Python busy-loop multiprocessing throughput at 8 vs 32 workers:
+def _host_mp_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """Pure-Python busy-loop multiprocessing throughput at lo vs hi workers:
     the host's OWN scaling ceiling (shared/throttled sandbox CPUs), reported
-    alongside the engine's efficiency so the 8->32 number can be read
+    alongside the engine's efficiency so the lo->hi number can be read
     against what perfectly-parallel work achieves on this machine."""
     import multiprocessing as mp
 
@@ -251,9 +251,9 @@ def _host_mp_ceiling() -> dict:
             p.map(_busy, range(workers))
         return workers / (time.time() - t0)
 
-    t8, t32 = thr(8), thr(32)
-    return {"thr8": round(t8, 2), "thr32": round(t32, 2),
-            "efficiency_8_to_32": round((t32 / t8) / 4.0, 3)}
+    t_lo, t_hi = thr(lo), thr(hi)
+    return {f"thr{lo}": round(t_lo, 2), f"thr{hi}": round(t_hi, 2),
+            f"efficiency_{lo}_to_{hi}": round((t_hi / t_lo) / (hi / lo), 3)}
 
 
 def _busy(_i: int) -> int:
@@ -266,6 +266,10 @@ def _busy(_i: int) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--legs", default="2,8,32",
+                    help="comma-separated CPU counts for --scaling legs; e.g. "
+                         "4,16 runs the uncontended 4x ladder (both legs "
+                         "leave >=half the host idle)")
     ap.add_argument("--child", action="store_true", help="internal: one scaling leg")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
@@ -289,8 +293,9 @@ def main() -> None:
         ensure_transcripts(SCALING_CONVS, parallel=True)
         ray.shutdown()
 
+        leg_cpus = [int(c) for c in args.legs.split(",")]
         legs = {}
-        for cpus in (2, 8, 32):
+        for cpus in leg_cpus:
             env = dict(os.environ)
             env.pop("RAY_ADDRESS", None)
             p = subprocess.run(
@@ -303,20 +308,24 @@ def main() -> None:
                 raise SystemExit(f"scaling leg num_cpus={cpus} failed")
             legs[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         thr = {c: legs[c]["turns_per_sec"] for c in legs}
-        eff_2_8 = (thr[8] / thr[2]) / 4.0 if thr[2] else 0.0
-        eff_8_32 = (thr[32] / thr[8]) / 4.0 if thr[8] else 0.0
-        host_ceiling = _host_mp_ceiling()
+        effs = {}
+        for lo, hi in zip(leg_cpus, leg_cpus[1:]):
+            effs[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+                (thr[hi] / thr[lo]) / (hi / lo) if thr[lo] else 0.0, 3
+            )
+        primary = next(iter(effs.values()), 0.0)
+        host_ceiling = _host_mp_ceiling(leg_cpus[-2], leg_cpus[-1])
         result = {
-            "metric": "index-build scaling efficiency, N vs 4N CPUs (2->8 primary; "
-                      "8->32 also reported, capped by shared-host memory/CPU "
-                      "contention measured as host_mp_ceiling)",
-            "value": round(eff_2_8, 3),
+            "metric": "index-build scaling efficiency across CPU legs "
+                      f"{leg_cpus} (first ratio is the headline; the last "
+                      "ratio is read against host_mp_ceiling — the host's "
+                      "own shared/throttled-CPU scaling limit)",
+            "value": primary,
             "unit": "efficiency",
             "sf": _sf_label(args.sf_dir),
-            "num_cpus": 32,
-            "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-            "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-            "host_mp_ceiling_8_to_32": host_ceiling,
+            "num_cpus": leg_cpus[-1],
+            **effs,
+            f"host_mp_ceiling_{leg_cpus[-2]}_to_{leg_cpus[-1]}": host_ceiling,
             "throughput_turns_per_sec": thr,
             "legs": legs,
         }
