@@ -151,15 +151,50 @@ class CachedEmbedder(FakeEmbedder):
 
 
 class RealEmbedderStub:
-    """Seam for a real SentenceTransformer/ONNX model (absent here)."""
+    """Seam for a real SentenceTransformer/ONNX model.
 
-    def __init__(self, model_name: str = "cl-nagoya/ruri-v3-30m") -> None:
+    When ``sentence_transformers`` is importable (NOT in this container),
+    ``__init__`` loads the model once per actor and ``__call__`` encodes
+    with the reference semantics: document prefix prepended, batch encode,
+    L2-normalized float32 vectors (embedding.py:91-298).  Otherwise the
+    call raises at this exact seam and ``FakeEmbedder`` is the tested
+    stand-in.  The contract both implementations must satisfy —
+    constructor kwargs, (doc_id, embedding list<float32>) output schema,
+    unit norm, prefix application — is pinned in
+    tests/test_real_model_contract.py; set ``OBOYU_RAY_REAL_MODELS=1``
+    there to run the same assertions against the real weights.
+    """
+
+    def __init__(self, model_name: str = "cl-nagoya/ruri-v3-30m",
+                 prefix: str = EMBED_PREFIX) -> None:
         self.model_name = model_name
+        self.prefix = prefix
+        self._model = None
+        try:  # pragma: no cover - torch absent in this container
+            from sentence_transformers import SentenceTransformer
+
+            self._model = SentenceTransformer(model_name)
+        except ImportError:
+            pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "sentence-transformer inference requires torch/onnxruntime, absent "
-            "in this container; use FakeEmbedder for the tested flow"
+        if self._model is None:
+            raise NotImplementedError(
+                "sentence-transformer inference requires torch/onnxruntime, absent "
+                "in this container; use FakeEmbedder for the tested flow"
+            )
+        texts = [self.prefix + (t or "") for t in batch.column("text").to_pylist()]
+        vecs = self._model.encode(  # pragma: no cover
+            texts, batch_size=DEFAULT_EMBED_BATCH, normalize_embeddings=True
+        )
+        return pa.table(  # pragma: no cover
+            {
+                "doc_id": batch.column("doc_id"),
+                "embedding": pa.array(
+                    [np.asarray(v, dtype=np.float32) for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
         )
 
 

@@ -45,15 +45,34 @@ class FakeCrossEncoder:
 
 
 class RealCrossEncoderStub:
-    """Seam for a real torch/ONNX cross-encoder (absent in this container)."""
+    """Seam for a real torch/ONNX cross-encoder.
+
+    Loads ``sentence_transformers.CrossEncoder`` when importable (NOT in
+    this container) and scores (query, text) pairs with the reference
+    semantics (reranker.py:60-257); otherwise ``predict`` raises at this
+    exact seam and ``FakeCrossEncoder`` is the tested stand-in.  The shared
+    contract (predict(pairs) → float64 ndarray, len == len(pairs)) is
+    pinned in tests/test_real_model_contract.py, which re-runs against the
+    real weights under ``OBOYU_RAY_REAL_MODELS=1``."""
 
     def __init__(self, model_name: str = "cl-nagoya/ruri-reranker-small") -> None:
         self.model_name = model_name
+        self._model = None
+        try:  # pragma: no cover - torch absent in this container
+            from sentence_transformers import CrossEncoder
+
+            self._model = CrossEncoder(model_name)
+        except ImportError:
+            pass
 
     def predict(self, pairs: Sequence[tuple]) -> np.ndarray:
-        raise NotImplementedError(
-            "cross-encoder inference requires torch/onnxruntime, absent in "
-            "this container; use FakeCrossEncoder for the tested flow"
+        if self._model is None:
+            raise NotImplementedError(
+                "cross-encoder inference requires torch/onnxruntime, absent in "
+                "this container; use FakeCrossEncoder for the tested flow"
+            )
+        return np.asarray(  # pragma: no cover
+            self._model.predict(list(pairs)), dtype=np.float64
         )
 
 
