@@ -255,16 +255,28 @@ def _bucketed_candidate_pairs(
         b = (k.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         return batch.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        cols = [key_col, id_col] + ([extra_col] if extra_col else [])
-        g = group[cols].drop_duplicates(subset=[key_col, id_col])
-        keys = g[key_col].to_numpy()
-        docs = g[id_col].to_numpy()
-        extras = g[extra_col].to_numpy() if extra_col else None
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # Arrow in/out (r5, VERDICT #8 measured-first): keys/docs/extras are
+        # all numeric here (keys are hashes by construction — add_bucket's
+        # uint64 cast already requires it), so (key, doc) dedup is one
+        # lexsort + consecutive-equal mask instead of a pandas round trip
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        docs = group.column(id_col).to_numpy(zero_copy_only=False)
+        extras = (
+            group.column(extra_col).to_numpy(zero_copy_only=False)
+            if extra_col else None
+        )
         order = np.lexsort((docs, keys))
         keys, docs = keys[order], docs[order]
         if extras is not None:
             extras = extras[order]
+        if len(keys):
+            keep = np.concatenate(
+                ([True], (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1]))
+            )
+            keys, docs = keys[keep], docs[keep]
+            if extras is not None:
+                extras = extras[keep]
         n = len(keys)
         out_a: List[np.ndarray] = []
         out_b: List[np.ndarray] = []
@@ -295,7 +307,7 @@ def _bucketed_candidate_pairs(
             data[f"{extra_col}_b"] = (
                 np.concatenate(out_eb) if out_eb else np.zeros(0, dtype=np.int64)
             )
-        return pd.DataFrame(data)
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in data.items()})
 
     cols = ["doc_a", "doc_b"] + (
         [f"{extra_col}_a", f"{extra_col}_b"] if extra_col else []
@@ -309,28 +321,38 @@ def _bucketed_candidate_pairs(
             )),
         )
 
-    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if min_count > 1:
-            counts = g.groupby(["doc_a", "doc_b"], sort=False).size()
-            keep = counts[counts >= min_count].reset_index()[["doc_a", "doc_b"]]
-            g = keep.merge(
-                g.drop_duplicates(subset=["doc_a", "doc_b"]), on=["doc_a", "doc_b"]
-            )
-        else:
-            g = g.drop_duplicates(subset=["doc_a", "doc_b"])
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        # Arrow in/out: copy-count + dedup is one lexsort over the pair
+        # keys — run length = shared-key count, run head = representative
+        # row (extras are per-doc constants, identical across a pair's
+        # copies, so any copy serves)
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        n = len(a_s)
+        heads = (
+            np.concatenate(([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])))
+            if n else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(heads)
+        if min_count > 1 and n:
+            run_len = np.diff(np.concatenate((starts, [n])))
+            starts = starts[run_len >= min_count]
+        sel = order[starts]
         if size_ratio_tau is not None and extra_col:
-            ea = g[f"{extra_col}_a"].to_numpy(dtype=np.float64)
-            eb = g[f"{extra_col}_b"].to_numpy(dtype=np.float64)
-            g = g.loc[np.minimum(ea, eb) >= size_ratio_tau * np.maximum(ea, eb)]
-        return g[cols].reset_index(drop=True)
+            ea = g.column(f"{extra_col}_a").to_numpy(zero_copy_only=False)[sel].astype(np.float64)
+            eb = g.column(f"{extra_col}_b").to_numpy(zero_copy_only=False)[sel].astype(np.float64)
+            sel = sel[np.minimum(ea, eb) >= size_ratio_tau * np.maximum(ea, eb)]
+        return g.select(cols).take(pa.array(sel, type=pa.int64()))
 
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pbucket, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(reduce_pairs, batch_format="pandas")
+        .map_groups(reduce_pairs, batch_format="pyarrow")
     )
 
 
