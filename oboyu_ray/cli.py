@@ -35,7 +35,7 @@ def _ensure_ray(num_cpus: int | None) -> None:
 
 def cmd_build(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
-    from oboyu_ray.config import BM25Config, BuildConfig
+    from oboyu_ray.config_loader import ConfigManager
     from oboyu_ray.pipelines.build_index import build_index
 
     in_format = getattr(args, "format", "parquet")  # absent on programmatic Namespaces
@@ -55,13 +55,21 @@ def cmd_build(args: argparse.Namespace) -> int:
             os.path.join(args.index_dir, "converted_shards"),
             strict=not getattr(args, "lenient", False),
         )
-    cfg = BuildConfig(
-        bm25=BM25Config(k1=args.k1, b=args.b),
-        window_docs=args.window_docs,
-        vocab_buckets=args.vocab_buckets,
-        store_positions=getattr(args, "store_positions", False),
+    # CLI > --config YAML > dataclass defaults (None = flag not provided)
+    cm = ConfigManager(getattr(args, "config", None))
+    cfg, files_per_part = cm.build_config(
+        build_overrides={
+            "files_per_part": getattr(args, "files_per_part", None),
+            "window_docs": getattr(args, "window_docs", None),
+            "vocab_buckets": getattr(args, "vocab_buckets", None),
+            "store_positions": getattr(args, "store_positions", None),
+        },
+        bm25_overrides={
+            "k1": getattr(args, "k1", None),
+            "b": getattr(args, "b", None),
+        },
     )
-    report = build_index(files, args.index_dir, cfg, files_per_part=args.files_per_part)
+    report = build_index(files, args.index_dir, cfg, files_per_part=files_per_part)
     print(json.dumps(report["timings_sec"] | {
         "n_docs": report["n_docs"],
         "n_terms": report["n_terms"],
@@ -72,7 +80,21 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 def cmd_query(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
+    from oboyu_ray.config_loader import ConfigManager
     from oboyu_ray.pipelines.query import QueryEngine
+
+    # CLI > --config YAML > defaults (None = flag not provided)
+    qcfg = ConfigManager(getattr(args, "config", None)).merge_cli_overrides(
+        "query",
+        {
+            "k": getattr(args, "k", None),
+            "num_shards": getattr(args, "num_shards", None),
+            "hydrate": getattr(args, "hydrate", None),
+            "require_all": getattr(args, "require_all", None),
+        },
+    )
+    k, num_shards = int(qcfg["k"]), qcfg["num_shards"]
+    hydrate, require_all = bool(qcfg["hydrate"]), bool(qcfg["require_all"])
 
     if getattr(args, "federate", None):
         from oboyu_ray.pipelines.federated import FederatedEngine
@@ -87,8 +109,7 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--near", getattr(args, "near", None) is not None),
                 ("--prefix", bool(getattr(args, "prefix", False))),
                 ("--hydrate-for-fuzzy",
-                 bool(getattr(args, "hydrate", False))
-                 and getattr(args, "fuzzy", None) is not None),
+                 hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
         ]
         if unsupported:
@@ -100,20 +121,20 @@ def cmd_query(args: argparse.Namespace) -> int:
         members = [args.index_dir] + [
             d for d in args.federate.split(",") if d
         ]
-        engine = FederatedEngine(members, num_shards_each=args.num_shards)
+        engine = FederatedEngine(members, num_shards_each=num_shards)
         if getattr(args, "fuzzy", None) is not None:
-            out = engine.search_fuzzy(args.q, max_edits=args.fuzzy, k=args.k)
+            out = engine.search_fuzzy(args.q, max_edits=args.fuzzy, k=k)
         else:
             out = engine.search(
-                args.q, k=args.k, hydrate=args.hydrate,
-                require_all=getattr(args, "require_all", False),
+                args.q, k=k, hydrate=hydrate,
+                require_all=require_all,
                 exclude=getattr(args, "exclude", None),
             )
         print(out.to_string(index=False))
         engine.close()
         return 0
 
-    engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
+    engine = QueryEngine(args.index_dir, num_shards=num_shards)
     scope = None
     if getattr(args, "scope", None):
         lo, _, hi = args.scope.partition(":")
@@ -125,26 +146,26 @@ def cmd_query(args: argparse.Namespace) -> int:
             engine.close()
             return 2
         out = engine.search_near(
-            sides[0], sides[1], window=args.near, k=args.k,
-            hydrate=args.hydrate, scope=scope,
+            sides[0], sides[1], window=args.near, k=k,
+            hydrate=hydrate, scope=scope,
         )
     elif getattr(args, "prefix", False):
         out = engine.search_prefix(
-            args.q, k=args.k, hydrate=args.hydrate, resolve=True, scope=scope
+            args.q, k=k, hydrate=hydrate, resolve=True, scope=scope
         )
     elif getattr(args, "fuzzy", None) is not None:
         out = engine.search_fuzzy(
-            args.q, max_edits=args.fuzzy, k=args.k, hydrate=args.hydrate,
+            args.q, max_edits=args.fuzzy, k=k, hydrate=hydrate,
             resolve=True, scope=scope,
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
-            args.q, k=args.k, hydrate=args.hydrate, scope=scope
+            args.q, k=k, hydrate=hydrate, scope=scope
         )
     else:
         out = engine.search(
-            args.q, k=args.k, hydrate=args.hydrate,
-            require_all=getattr(args, "require_all", False),
+            args.q, k=k, hydrate=hydrate,
+            require_all=require_all,
             exclude=getattr(args, "exclude", None),
             scope=scope,
         )
@@ -188,7 +209,7 @@ def cmd_explain(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     from oboyu_ray.pipelines.query import QueryEngine
 
-    engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
+    engine = QueryEngine(args.index_dir, num_shards=num_shards)
     out = engine.explain(args.q, args.doc)
     print(out.to_string(index=False))
     print(f"total_score {float(out['contribution'].sum()):.6f}")
@@ -244,24 +265,32 @@ def main(argv=None) -> int:
     b.add_argument("--lenient", action="store_true",
                    help="jsonl only: quarantine malformed lines (counted in "
                         "conversion_manifest.json) instead of failing the shard")
-    b.add_argument("--files-per-part", type=int, default=0,
+    b.add_argument("--config", default=None, metavar="YAML",
+                   help="sectioned YAML config (build/bm25 sections); "
+                        "precedence: CLI flags > file > defaults")
+    b.add_argument("--files-per-part", type=int, default=None,
                    help="input files per build partition; 0 (default) sizes "
                         "automatically toward ~16 partitions per CPU")
-    b.add_argument("--window-docs", type=int, default=8192)
-    b.add_argument("--store-positions", action="store_true",
+    b.add_argument("--window-docs", type=int, default=None,
+                   help="aligned posting-block width in docs (default 8192)")
+    b.add_argument("--store-positions", action="store_true", default=None,
                    help="positional index (enables `query --phrase`)")
-    b.add_argument("--vocab-buckets", type=int, default=32)
-    b.add_argument("--k1", type=float, default=1.2)
-    b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--vocab-buckets", type=int, default=None,
+                   help="vocabulary hash buckets (default 32)")
+    b.add_argument("--k1", type=float, default=None, help="BM25 k1 (default 1.2)")
+    b.add_argument("--b", type=float, default=None, help="BM25 b (default 0.75)")
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="top-k BM25 query against a built index")
     q.add_argument("--index-dir", required=True)
     q.add_argument("--q", required=True)
-    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--config", default=None, metavar="YAML",
+                   help="sectioned YAML config (query section); "
+                        "precedence: CLI flags > file > defaults")
+    q.add_argument("-k", type=int, default=None, help="top-k (default 10)")
     q.add_argument("--num-shards", type=int, default=None)
-    q.add_argument("--hydrate", action="store_true")
+    q.add_argument("--hydrate", action="store_true", default=None)
     q.add_argument("--phrase", action="store_true",
                    help="exact adjacency phrase retrieval (positional index)")
     q.add_argument("--prefix", action="store_true",
@@ -273,7 +302,7 @@ def main(argv=None) -> int:
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",
                    help="proximity: the two terms in --q within W tokens (positional index)")
-    q.add_argument("--require-all", action="store_true",
+    q.add_argument("--require-all", action="store_true", default=None,
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")
     q.add_argument("--scope", default=None, metavar="LO:HI",

@@ -29,7 +29,7 @@ import ray
 from oboyu_ray.config import BM25Config
 from oboyu_ray.stages.postings import get_tokenizer
 from oboyu_ray.stages.stats import idf
-from oboyu_ray.state.shards import IndexShard, _merge_topk
+from oboyu_ray.state.shards import IndexShard, _merge_topk, _merge_topk_multi
 
 VOCAB_INMEM_LIMIT = 5_000_000
 
@@ -361,35 +361,27 @@ class MergeAggregator:
               exclude_terms: Sequence[str] = (), scope=None):
         import ray as _ray
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
+        return _merge_topk_multi(_ray.get(
             [
                 s.query.remote(
                     term_weights, k, exclude_terms=exclude_terms, scope=scope
                 )
                 for s in self.shards
             ]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
+        ), k)
 
     def query_all(self, term_weights: Dict[str, float], k: int,
                   exclude_terms: Sequence[str] = (), scope=None):
         import ray as _ray
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
+        return _merge_topk_multi(_ray.get(
             [
                 s.query_all.remote(
                     term_weights, k, exclude_terms=exclude_terms, scope=scope
                 )
                 for s in self.shards
             ]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
+        ), k)
 
     def explain(self, term_weights: Dict[str, float], doc_abs: int):
         import ray as _ray
@@ -407,9 +399,7 @@ class MergeAggregator:
                          weights_key=None):
         import ray as _ray
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
+        return _merge_topk_multi(_ray.get(
             [
                 s.query_term_range.remote(
                     lo, hi, term_weights, k, exclude_terms=exclude_terms,
@@ -417,40 +407,30 @@ class MergeAggregator:
                 )
                 for s in self.shards
             ]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
+        ), k)
 
     def query_phrase(self, phrase_terms: List[str], term_weights: Dict[str, float],
                      k: int, scope=None):
         import ray as _ray
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
+        return _merge_topk_multi(_ray.get(
             [
                 s.query_phrase.remote(phrase_terms, term_weights, k, scope=scope)
                 for s in self.shards
             ]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
+        ), k)
 
     def query_near(self, term_a: str, term_b: str, window: int,
                    term_weights: Dict[str, float], k: int, scope=None):
         import ray as _ray
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in _ray.get(
+        return _merge_topk_multi(_ray.get(
             [
                 s.query_near.remote(term_a, term_b, window, term_weights, k,
                                     scope=scope)
                 for s in self.shards
             ]
-        ):
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-        return top_docs, top_scores
+        ), k)
 
     def query_phrase_many(self, phrase_lists, weights_list, k: int):
         import ray as _ray
@@ -461,15 +441,10 @@ class MergeAggregator:
                 for s in self.shards
             ]
         )
-        out = []
-        for j in range(len(phrase_lists)):
-            top_docs = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            for shard_results in per_shard:
-                docs, scores = shard_results[j]
-                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-            out.append((top_docs, top_scores))
-        return out
+        return [
+            _merge_topk_multi([sr[j] for sr in per_shard], k)
+            for j in range(len(phrase_lists))
+        ]
 
     def query_many(self, weight_dicts, k: int, require_all: bool = False):
         import ray as _ray
@@ -477,15 +452,10 @@ class MergeAggregator:
         per_shard = _ray.get(
             [s.query_many.remote(weight_dicts, k, require_all) for s in self.shards]
         )
-        out = []
-        for j in range(len(weight_dicts)):
-            top_docs = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            for shard_results in per_shard:
-                docs, scores = shard_results[j]
-                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
-            out.append((top_docs, top_scores))
-        return out
+        return [
+            _merge_topk_multi([sr[j] for sr in per_shard], k)
+            for j in range(len(weight_dicts))
+        ]
 
 
 class QueryEngine:
@@ -606,10 +576,22 @@ class QueryEngine:
         an empty — wrong — result.  (This exact bug made every historical
         bench QPS ladder measure empty calls: bench.py closed the engine
         before its QPS loop.  Found round 4; see BASELINE.)"""
+        return self._fanout_wait(self._fanout_submit(submit), submit)
+
+    def _fanout_submit(self, submit):
+        """Issue the fan-out WITHOUT waiting — returns the in-flight object
+        refs.  Pair with ``_fanout_wait``; the split is what lets a serving
+        loop keep the next batch executing on the shard actors while the
+        driver merges the previous one (pipelined batched search)."""
         if not self._targets:
             self._spawn_pool()
+        return submit(self._targets)
+
+    def _fanout_wait(self, refs, submit):
+        """ray.get(refs) with the one-shot fault recovery described above;
+        ``submit`` re-issues the same pure-read work after a respawn."""
         try:
-            return ray.get(submit(self._targets))
+            return ray.get(refs)
         except ray.exceptions.RayActorError:
             pass  # a target actor died
         except ray.exceptions.RayTaskError as e:
@@ -677,10 +659,7 @@ class QueryEngine:
                     for a in ts
                 ]
             )
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in results:
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        top_docs, top_scores = _merge_topk_multi(results, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
     def search_prefix(
@@ -734,10 +713,7 @@ class QueryEngine:
                 for a in ts
             ]
         )
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in results:
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        top_docs, top_scores = _merge_topk_multi(results, k)
         out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         if resolve or hydrate:
             out = self._finish(out, hydrate)
@@ -765,10 +741,7 @@ class QueryEngine:
         results = self._fanout(
             lambda ts: [a.query.remote(weights, k, scope=scope) for a in ts]
         )
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in results:
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        top_docs, top_scores = _merge_topk_multi(results, k)
         out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         if resolve or hydrate:
             out = self._finish(out, hydrate)
@@ -832,10 +805,7 @@ class QueryEngine:
                 a.query_phrase.remote(terms, weights, k, scope=scope) for a in ts
             ]
         )
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in results:
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        top_docs, top_scores = _merge_topk_multi(results, k)
         return pd.DataFrame({"doc_num": top_docs, "score": top_scores})
 
     def search_near(
@@ -864,10 +834,7 @@ class QueryEngine:
                 for x in ts
             ]
         )
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        for docs, scores in results:
-            top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        top_docs, top_scores = _merge_topk_multi(results, k)
         return self._finish(
             pd.DataFrame({"doc_num": top_docs, "score": top_scores}), hydrate
         )
@@ -918,11 +885,9 @@ class QueryEngine:
             ]
         )
         for j, (i, _, _) in enumerate(live):
-            top_docs = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            for shard_results in results:
-                docs, scores = shard_results[j]
-                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+            top_docs, top_scores = _merge_topk_multi(
+                [sr[j] for sr in results], k
+            )
             out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         return out
 
@@ -935,6 +900,23 @@ class QueryEngine:
         then per-query exact merges — the throughput-serving path
         (single-query latency is search()).  ``require_all`` applies
         strict conjunctive semantics per query."""
+        return self.search_many_result(
+            self.search_many_submit(queries, k, require_all)
+        )
+
+    def search_many_submit(self, queries: List[str], k: int = 10,
+                           require_all: bool = False) -> dict:
+        """Issue a batched search WITHOUT waiting: tokenize + one vocab df
+        sweep + one fan-out, returning an opaque in-flight handle for
+        ``search_many_result``.  A serving loop that keeps one batch in
+        flight while merging the previous one (double buffering) hides the
+        driver-side merge + RPC turnaround behind shard compute — the
+        shard actors process queued batches back-to-back with no idle gap.
+
+        Handles must be collected in submission order per engine (shard
+        actors execute their queues in order; results are matched by
+        handle, so out-of-order collection is correct too, just pointless).
+        """
         token_lists = [self.tokenizer.tokenize(q) for q in queries]
         dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
         n = int(self.stats["N"])
@@ -944,25 +926,34 @@ class QueryEngine:
             for i, w in enumerate(weight_list)
             if w and not (require_all and len(w) < len(set(token_lists[i])))
         ]
+        handle = {"n": len(queries), "k": k, "live": live, "refs": None,
+                  "submit": None}
+        if not live:
+            return handle
+        submit = lambda ts: [  # noqa: E731 — re-issued verbatim on respawn
+            a.query_many.remote([w for _, w in live], k, require_all)
+            for a in ts
+        ]
+        handle["submit"] = submit
+        handle["refs"] = self._fanout_submit(submit)
+        return handle
+
+    def search_many_result(self, handle: dict) -> List[pd.DataFrame]:
+        """Wait on a ``search_many_submit`` handle and merge — same output
+        (order, schema, values) as ``search_many`` on the same inputs."""
         out: List[pd.DataFrame] = [
             pd.DataFrame({"doc_num": pd.Series(dtype=np.int64),
                           "score": pd.Series(dtype=np.float64)})
-            for _ in queries
+            for _ in range(handle["n"])
         ]
-        if not live:
+        if not handle["live"]:
             return out
-        per_shard = self._fanout(
-            lambda ts: [
-                a.query_many.remote([w for _, w in live], k, require_all)
-                for a in ts
-            ]
-        )
-        for j, (i, _) in enumerate(live):
-            top_docs = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            for shard_results in per_shard:
-                docs, scores = shard_results[j]
-                top_docs, top_scores = _merge_topk(top_docs, top_scores, docs, scores, k)
+        per_shard = self._fanout_wait(handle["refs"], handle["submit"])
+        k = handle["k"]
+        for j, (i, _) in enumerate(handle["live"]):
+            top_docs, top_scores = _merge_topk_multi(
+                [sr[j] for sr in per_shard], k
+            )
             out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         return out
 

@@ -250,6 +250,32 @@ def _merge_topk(
     return docs[order], scores[order]
 
 
+def _merge_topk_multi(
+    pairs: "List[Tuple[np.ndarray, np.ndarray]]", k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over MANY (docs, scores) partial results in one pass.
+
+    Semantically identical to folding ``_merge_topk`` over ``pairs`` (same
+    (score DESC, doc ASC) order), but one concatenate + one O(n) partition
+    + one ~k-row lexsort instead of len(pairs) incremental merges — the
+    driver/aggregator merge of a wide shard fan-out is a hot path in
+    batched serving (32 shards × Q queries per batch)."""
+    if k <= 0 or not pairs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(pairs) == 1:
+        docs, scores = pairs[0]
+    else:
+        docs = np.concatenate([p[0] for p in pairs])
+        scores = np.concatenate([p[1] for p in pairs])
+    n = len(scores)
+    if n > max(4 * k, 64) and k < n:
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        docs, scores = docs[mask], scores[mask]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
 class IndexShard:
     """Actor serving top-k BM25 for a set of document partitions.
 

@@ -697,6 +697,57 @@ def test_search_many_matches_single(engine):
         np.testing.assert_array_equal(got["score"].to_numpy(), single["score"].to_numpy())
 
 
+def test_search_many_pipelined_matches_sequential(engine):
+    """Double-buffered serving (search_many_submit/result with the next
+    batch in flight while the previous merges) returns exactly what the
+    blocking search_many returns, batch by batch."""
+    batches = [
+        ["python model", "検索 インデックス"],
+        ["です", "zzz_nohit", "python 検索"],
+        ["model index", "インデックス"],
+    ]
+    want = [engine.search_many(b, k=7) for b in batches]
+    got = []
+    handle = engine.search_many_submit(batches[0], k=7)
+    for nxt in batches[1:]:
+        nxt_handle = engine.search_many_submit(nxt, k=7)
+        got.append(engine.search_many_result(handle))
+        handle = nxt_handle
+    got.append(engine.search_many_result(handle))
+    for w_batch, g_batch in zip(want, got):
+        for w, g in zip(w_batch, g_batch):
+            assert g["doc_num"].tolist() == w["doc_num"].tolist()
+            np.testing.assert_array_equal(
+                g["score"].to_numpy(), w["score"].to_numpy()
+            )
+
+
+def test_merge_topk_multi_equals_incremental_fold():
+    """_merge_topk_multi (one-pass wide merge, the batched-serving hot
+    path) is exactly the fold of _merge_topk over the same partials,
+    including (score DESC, doc ASC) tie order.  Pure numpy — no Ray."""
+    from oboyu_ray.state.shards import _merge_topk, _merge_topk_multi
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_parts = int(rng.integers(1, 40))
+        k = int(rng.integers(0, 12))
+        pairs = []
+        for _ in range(n_parts):
+            m = int(rng.integers(0, 8))
+            docs = rng.choice(200, size=m, replace=False).astype(np.int64)
+            # quantized scores force score ties across partials
+            scores = (rng.integers(0, 5, size=m) / 2.0).astype(np.float64)
+            pairs.append((docs, scores))
+        fold_d = np.empty(0, dtype=np.int64)
+        fold_s = np.empty(0, dtype=np.float64)
+        for d, s in pairs:
+            fold_d, fold_s = _merge_topk(fold_d, fold_s, d, s, k)
+        multi_d, multi_s = _merge_topk_multi(pairs, k)
+        np.testing.assert_array_equal(multi_d, fold_d, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(multi_s, fold_s, err_msg=f"trial {trial}")
+
+
 def test_conv_map_range_mode_build_and_query(tmp_path):
     """Forcing the in-memory conv-map path OFF (inmem_limit=0) must produce
     a byte-identical build and identical query results: ingest tasks range-
