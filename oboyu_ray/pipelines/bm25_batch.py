@@ -503,9 +503,15 @@ def brute_force_topk(
     require_all: bool = False,
     exclude: "Dict[str, List[str]] | None" = None,
     scope: "Tuple[int, int] | None" = None,
+    offset: int = 0,
 ) -> pd.DataFrame:
     """EXACT top-k per query: (query_id, <id_col>, score_micros, rank),
     ranked by (score_micros DESC, doc ASC) — deterministic across engines.
+
+    ``offset`` pages past the first ``offset`` ranks (OFFSET/LIMIT — the
+    Lucene ``searchAfter`` result shape): rows offset+1 .. offset+k with
+    their GLOBAL rank values.  Map tasks then emit local top-(offset+k)
+    candidates — deep pages cost O(offset+k) per batch, stated explicitly.
 
     Distributed top-k: every map task emits only its local top-k per query
     (same total order as the global rank, so the global answer is a prefix
@@ -524,7 +530,7 @@ def brute_force_topk(
         return empty
     score_docs = _make_score_docs(
         queries, cfg, stats, df_map, id_col, text_col,
-        local_k=k, filter_col=filter_col, filter_value=filter_value,
+        local_k=int(offset) + k, filter_col=filter_col, filter_value=filter_value,
         require_all=require_all, exclude=exclude, scope=scope,
     )
     pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
@@ -534,7 +540,8 @@ def brute_force_topk(
         ["query_id", "score_micros", id_col], ascending=[True, False, True], kind="mergesort"
     )
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
-    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = pdf[(pdf["rank"] > int(offset)) & (pdf["rank"] <= int(offset) + k)][
+        ["query_id", id_col, "score_micros", "rank"]]
     out = out.reset_index(drop=True)
     out["rank"] = out["rank"].astype(np.int64)
     return out

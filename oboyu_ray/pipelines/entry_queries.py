@@ -219,6 +219,26 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# pagination: page 2 of the same ranking (rows TOPK+1 .. 2*TOPK with their
+# GLOBAL rank) — the Lucene searchAfter / SQL OFFSET-LIMIT result shape
+def q_bm25_topk_paged(sf_dir: str) -> pd.DataFrame:
+    """Second page of the fixed BM25 query set: exact rows offset+1..offset+k
+    of the (score_micros DESC, doc_id ASC) ranking, rank values GLOBAL.
+    Map tasks emit local top-(offset+k) candidates — deep pages cost
+    O(offset+k) per batch, stated in brute_force_topk's docstring."""
+    docs = _docs(sf_dir)
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return brute_force_topk(docs, queries, k=TOPK, cfg=CFG, offset=TOPK)
+
+
+def _sql_bm25_topk_paged() -> str:
+    base = _sql_bm25_topk()
+    want = f"WHERE rank <= {TOPK}"
+    assert want in base
+    return base.replace(want, f"WHERE rank > {TOPK} AND rank <= {2 * TOPK}")
+
+
+
 # scoped-retrieval doc_id interval [lo, hi): mid-corpus slice so the scoped
 # top-k provably differs from the global one
 SCOPE_LO, SCOPE_HI = 100, 350
@@ -644,6 +664,7 @@ def core_queries() -> dict:
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_scoped": q_bm25_topk_scoped,
+        "bm25_topk_paged": q_bm25_topk_paged,
     }
 
 
@@ -660,4 +681,5 @@ def core_oracle_sql() -> dict:
         "near_topk": _sql_near_topk(),
         "fuzzy_topk": _sql_fuzzy_topk(),
         "bm25_topk_scoped": _sql_bm25_topk_scoped(),
+        "bm25_topk_paged": _sql_bm25_topk_paged(),
     }

@@ -992,6 +992,31 @@ class QueryEngine:
             hydrate,
         )
 
+    def search_page(
+        self, query: str, k: int = 10, page: int = 0, hydrate: bool = False,
+        require_all: bool = False, exclude: Optional[str] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Result pagination (Lucene ``searchAfter`` result shape): EXACT
+        rows k·page+1 .. k·(page+1) of the global (score DESC, doc ASC)
+        ranking, plus a global ``rank`` column.  Implemented as a
+        top-k·(page+1) retrieval sliced to the requested page — the global
+        top-m is exact, so every page is; deep pages cost O(k·page) per
+        shard, the same trade Lucene documents for searchAfter without a
+        collector cursor.  Composes with AND / NOT / scope like search()."""
+        if page < 0:
+            raise ValueError(f"page must be >= 0, got {page}")
+        terms = self.tokenizer.tokenize(query)
+        excl = self.tokenizer.tokenize(exclude) if exclude else None
+        full = self.search_terms(
+            terms, k * (page + 1), require_all=require_all, exclude=excl,
+            scope=scope,
+        )
+        out = full.iloc[k * page : k * (page + 1)].reset_index(drop=True)
+        out = out.assign(rank=np.arange(k * page + 1, k * page + 1 + len(out),
+                                        dtype=np.int64))
+        return self._finish(out, hydrate)
+
     def _hydrate(self, out: pd.DataFrame) -> pd.DataFrame:
         """Attach turn text via point lookups on the partitioned docs parquet
         (only the top-k ids are read — row-group predicate pushdown)."""

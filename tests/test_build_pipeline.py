@@ -722,6 +722,44 @@ def test_search_many_pipelined_matches_sequential(engine):
             )
 
 
+def test_search_page_is_exact_slicing(engine):
+    """Pagination: pages 0..2 concatenated are exactly the global top-3k
+    with a correct global rank column; page 0 equals plain search."""
+    q, k = "python model", 5
+    full = engine.search_terms(engine.tokenizer.tokenize(q), k=3 * k)
+    pages = [engine.search_page(q, k=k, page=p) for p in range(3)]
+    got = np.concatenate([p["doc_num"].to_numpy() for p in pages])
+    np.testing.assert_array_equal(got, full["doc_num"].to_numpy())
+    ranks = np.concatenate([p["rank"].to_numpy() for p in pages])
+    np.testing.assert_array_equal(ranks, np.arange(1, len(got) + 1))
+    page0 = engine.search(q, k=k)
+    assert pages[0]["doc_num"].tolist() == page0["doc_num"].tolist()
+    # past-the-end page is empty, not an error
+    assert len(engine.search_page("zzz_nohit", k=k, page=4)) == 0
+    with pytest.raises(ValueError):
+        engine.search_page(q, k=k, page=-1)
+
+
+def test_brute_topk_offset_pages_match_full_ranking(ray_session):
+    """brute_force_topk(offset=o) returns exactly rows o+1..o+k of the
+    full ranking, rank values global — the bm25_topk_paged contract."""
+    import ray.data
+
+    from oboyu_ray.config import BM25Config
+    from oboyu_ray.pipelines.bm25_batch import brute_force_topk, tokenize_queries
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    cfg = BM25Config()
+    queries = tokenize_queries(["spark merge sort", "customer table"], cfg)
+    full = brute_force_topk(docs, queries, k=30, cfg=cfg)
+    for off, k in ((10, 10), (5, 7), (0, 30)):
+        page = brute_force_topk(docs, queries, k=k, cfg=cfg, offset=off)
+        want = full[(full["rank"] > off) & (full["rank"] <= off + k)]
+        assert page.reset_index(drop=True).equals(want.reset_index(drop=True)), (off, k)
+
+
 def test_merge_topk_multi_equals_incremental_fold():
     """_merge_topk_multi (one-pass wide merge, the batched-serving hot
     path) is exactly the fold of _merge_topk over the same partials,
