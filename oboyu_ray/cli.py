@@ -96,6 +96,17 @@ def cmd_query(args: argparse.Namespace) -> int:
     k, num_shards = int(qcfg["k"]), qcfg["num_shards"]
     hydrate, require_all = bool(qcfg["hydrate"]), bool(qcfg["require_all"])
 
+    page = int(getattr(args, "page", 0) or 0)
+    if page and (
+        getattr(args, "phrase", False) or getattr(args, "prefix", False)
+        or getattr(args, "near", None) is not None
+        or getattr(args, "fuzzy", None) is not None
+        or getattr(args, "federate", None)
+    ):
+        print("query --page is only supported in plain search mode",
+              file=sys.stderr)
+        return 2
+
     if getattr(args, "federate", None):
         from oboyu_ray.pipelines.federated import FederatedEngine
 
@@ -161,6 +172,13 @@ def cmd_query(args: argparse.Namespace) -> int:
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
             args.q, k=k, hydrate=hydrate, scope=scope
+        )
+    elif page:
+        out = engine.search_page(
+            args.q, k=k, page=page, hydrate=hydrate,
+            require_all=require_all,
+            exclude=getattr(args, "exclude", None),
+            scope=scope,
         )
     else:
         out = engine.search(
@@ -302,6 +320,9 @@ def main(argv=None) -> int:
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",
                    help="proximity: the two terms in --q within W tokens (positional index)")
+    q.add_argument("--page", type=int, default=0,
+                   help="result page (0-based): exact rows k*page+1..k*(page+1) "
+                        "of the global ranking; plain search mode only")
     q.add_argument("--require-all", action="store_true", default=None,
                    help="conjunctive (AND) retrieval: only docs containing "
                         "every query term rank")

@@ -76,6 +76,13 @@ TOOLS = [
                                    "interval restricting candidates "
                                    "(full-corpus statistics)",
                 },
+                "page": {
+                    "type": "integer",
+                    "default": 0,
+                    "description": "result page (0-based): exact rows "
+                                   "top_k*page+1 .. top_k*(page+1) of the "
+                                   "global ranking; plain search mode only",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -131,11 +138,16 @@ class McpServer:
         require_all: bool = False, phrase: bool = False,
         prefix: bool = False, near: Optional[int] = None,
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
+        page: int = 0,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
         # never silently drop it on the fuzzy/prefix/phrase/near branches
         sc = (int(scope[0]), int(scope[1])) if scope else None
+        # pagination is a plain-search feature; refuse it elsewhere instead
+        # of silently answering page 0 (the silently-dropped-flag hazard)
+        if int(page) and (phrase or prefix or near is not None or fuzzy is not None):
+            raise ValueError("page is only supported in plain search mode")
         if near is not None:
             sides = query.split()
             if len(sides) != 2:
@@ -155,6 +167,11 @@ class McpServer:
             )
         elif phrase:
             df = eng.search_phrase(query, k=int(top_k), hydrate=True, scope=sc)
+        elif int(page):
+            df = eng.search_page(
+                query, k=int(top_k), page=int(page), hydrate=True,
+                require_all=bool(require_all), scope=sc,
+            )
         else:
             df = eng.search(
                 query, k=int(top_k), hydrate=True, require_all=bool(require_all),

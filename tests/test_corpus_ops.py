@@ -711,6 +711,36 @@ def test_mcp_stdio_transport(tmp_path):
     assert _json.loads(resps2[22]["result"]["content"][0]["text"])["stats"]["count"] == 0
     assert _json.loads(resps2[23]["result"]["content"][0]["text"])["stats"]["count"] == 0
 
+    # pagination through the protocol: "tokens" matches both docs; page 0
+    # at top_k=1 and page 1 at top_k=1 partition the 2-doc ranking; page
+    # combined with a non-plain mode is refused (never silently page 0)
+    reqs3 = [
+        {"jsonrpc": "2.0", "id": 30, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 1}}},
+        {"jsonrpc": "2.0", "id": 31, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 1, "page": 1}}},
+        {"jsonrpc": "2.0", "id": 32, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tok", "index_dir": index_dir,
+                                  "top_k": 1, "page": 1, "prefix": True}}},
+    ]
+    inp3 = io.StringIO("\n".join(_json.dumps(r) for r in reqs3) + "\n")
+    out3 = io.StringIO()
+    serve(inp3, out3)
+    resps3 = {m["id"]: m for m in map(_json.loads, out3.getvalue().splitlines())}
+    p0 = _json.loads(resps3[30]["result"]["content"][0]["text"])
+    p1 = _json.loads(resps3[31]["result"]["content"][0]["text"])
+    assert p0["stats"]["count"] == 1 and p1["stats"]["count"] == 1
+    assert {p0["results"][0]["uri"], p1["results"][0]["uri"]} == {
+        r["uri"] for r in p0["results"] + p1["results"]
+    } and p0["results"][0]["uri"] != p1["results"][0]["uri"]
+    assert resps3[32]["result"]["isError"] is True
+    assert "plain search mode" in resps3[32]["result"]["content"][0]["text"]
+
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
     """M12: front-matter title -> first-line (<100 chars, no '.') -> stem
