@@ -222,6 +222,17 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(args: argparse.Namespace) -> int:
+    """Index integrity check (Lucene CheckIndex analog) — exit 1 on any
+    inconsistency, 0 on a clean report."""
+    _ensure_ray(args.num_cpus)
+    from oboyu_ray.pipelines.check_index import check_index
+
+    report = check_index(args.index_dir, sample_terms=args.sample_terms)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Per-term score breakdown for one document (Lucene explain shape)."""
     _ensure_ray(args.num_cpus)
@@ -356,6 +367,15 @@ def main(argv=None) -> int:
                          "(auto: when every member has one)")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    ck = sub.add_parser("check", help="index integrity check (structure, stats, "
+                        "vocab, blocks==postings, block-max bounds, conv map)")
+    ck.add_argument("--index-dir", required=True)
+    ck.add_argument("--sample-terms", type=int, default=64,
+                    help="vocabulary terms to deep-verify (blocks decode == "
+                         "raw postings == vocab df/cf; bounds re-baked)")
+    ck.add_argument("--num-cpus", type=int, default=None)
+    ck.set_defaults(fn=cmd_check)
 
     x = sub.add_parser("explain", help="per-term score breakdown for one document")
     x.add_argument("--index-dir", required=True)
