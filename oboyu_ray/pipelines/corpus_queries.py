@@ -4248,6 +4248,149 @@ ORDER BY o_orderpriority
 """
 
 
+def q_waiting_suppliers(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    ('F') orders with >= 2 distinct suppliers, credit the supplier whose
+    lines were the ONLY late ones (late := max ship date > order date +
+    60 days); top 20 suppliers by credited-order count.
+
+    The double EXISTS/NOT-EXISTS anti-join folds to per-order SET logic
+    after ONE co-shuffle on hash(orderkey): lineitem pre-aggregates to
+    per-(order, supplier) max ship date map-side (the only big exchange is
+    those partials), each bucket joins its 'F' orders and emits per-supplier
+    partial credit counts, and the driver folds <= #suppliers rows, attaching
+    s_name from a pruned point read of the tiny supplier dimension."""
+    LATE_US = 60 * 86_400 * 1_000_000  # 60 days in timestamp[us] units
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def lpre(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "skey": t.column("l_suppkey").cast(pa.int64()),
+                "ship_us": t.column("l_shipdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+        g = pre.group_by(["okey", "skey"]).aggregate([("ship_us", "max")])
+        k = g.column("okey").to_numpy().astype(np.int64)
+        n = g.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "skey": g.column("skey"),
+                "ship_us": g.column("ship_us_max"),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def otag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(k),
+                "skey": pa.array(np.zeros(n, dtype=np.int64)),
+                "ship_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "odate_us": t.column("o_orderdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def credit(g: "pd.DataFrame") -> "pd.DataFrame":
+        # complete the per-(order, supplier) max: lpre's group_by is
+        # per-BATCH, so the same (okey, skey) may arrive as several partials
+        lef = (
+            g[g["side"] == 0]
+            .groupby(["okey", "skey"], as_index=False)["ship_us"].max()
+        )
+        rig = g[g["side"] == 1][["okey", "odate_us"]]
+        j = lef.merge(rig, on="okey", how="inner")  # keeps 'F' orders only
+        if not len(j):
+            return pd.DataFrame({"skey": pd.Series(dtype=np.int64),
+                                 "numwait": pd.Series(dtype=np.int64)})
+        j = j.assign(late=j["ship_us"].to_numpy()
+                     > j["odate_us"].to_numpy() + LATE_US)
+        per = j.groupby("okey").agg(n_sups=("skey", "size"),
+                                    n_late=("late", "sum"))
+        # the single late supplier of each credited order
+        one = per[(per["n_sups"] >= 2) & (per["n_late"] == 1)].index
+        lj = j[j["late"] & j["okey"].isin(one)]
+        out = lj.groupby("skey", as_index=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    both = li.map_batches(lpre, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
+    )
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(credit, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    empty = pd.DataFrame({"s_name": pd.Series(dtype=object),
+                          "numwait": pd.Series(dtype=np.int64)})
+    if not parts:
+        return empty
+    agg = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("skey", as_index=False)["numwait"].sum()
+    )
+    import pyarrow.parquet as pq
+
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = agg.merge(names, left_on="skey", right_on="s_suppkey", how="inner")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True],
+                          kind="mergesort").head(20)
+    out = out[["s_name", "numwait"]].reset_index(drop=True)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH l AS (
+    SELECT l_orderkey, l_suppkey, max(l_shipdate) AS mship
+    FROM lineitem GROUP BY 1, 2
+),
+j AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           (l.mship > o.o_orderdate + INTERVAL 60 DAY) AS late
+    FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey, count(*) AS n_sups,
+           sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+           max(CASE WHEN late THEN l_suppkey END) AS late_sup
+    FROM j GROUP BY 1
+),
+credit AS (
+    SELECT late_sup AS sk FROM per_order WHERE n_sups >= 2 AND n_late = 1
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM credit c JOIN supplier s ON s.s_suppkey = c.sk
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def q_ship_lag_priority(sf_dir: str) -> "pd.DataFrame":
     """TPC-H Q12 shape over available columns: lines bucketed by shipping
     lag (days from order date to ship date: 0-7 / 8-30 / 31+), counting
@@ -5048,6 +5191,7 @@ def corpus_queries() -> dict:
         # rotation in __ray_entry__ puts them inside the driver's sample
         "substring_dups": q_substring_dups,
         "order_priority_wait": q_order_priority_wait,
+        "waiting_suppliers": q_waiting_suppliers,
         "ship_lag_priority": q_ship_lag_priority,
         "promo_revenue": q_promo_revenue,
         "idle_highvalue_customers": q_idle_highvalue_customers,
@@ -5173,6 +5317,7 @@ def corpus_queries() -> dict:
 def corpus_oracle_sql() -> dict:
     return {
         "order_priority_wait": SQL_ORDER_PRIORITY_WAIT,
+        "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,
         "promo_revenue": SQL_PROMO_REVENUE,
         "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,

@@ -62,6 +62,7 @@ HEAVY_QUERIES = [
     "events_daily_ohlc",
     "interval_join",
     "price_ship_frontier",
+    "waiting_suppliers",
 ]
 
 
