@@ -4391,6 +4391,141 @@ LIMIT 20
 """
 
 
+def q_large_volume_customers(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds 150, with customer name, ordered by (o_totalprice
+    DESC, o_orderdate ASC, o_orderkey ASC), top 20.
+
+    The HAVING-on-aggregate semi-join is ONE hash(orderkey) co-shuffle:
+    lineitem folds to per-order int64 quantity partials map-side
+    (l_quantity is integral in this schema — exact summation, no float
+    order sensitivity), each bucket completes the sum, filters the
+    threshold and joins its orders; survivors are rare, so the driver fold
+    is bounded and c_name attaches from the small customer dimension."""
+    QTY_MIN = 150
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def lqty(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "qty": t.column("l_quantity").cast(pa.int64()),
+            }
+        )
+        g = pre.group_by("okey").aggregate([("qty", "sum")])
+        n = g.num_rows
+        k = g.column("okey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": g.column("okey"),
+                "qty": g.column("qty_sum"),
+                "ckey": pa.array(np.zeros(n, dtype=np.int64)),
+                "price": pa.array(np.zeros(n, dtype=np.float64)),
+                "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def otag(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "jb": _jbucket(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(k),
+                "qty": pa.array(np.zeros(n, dtype=np.int64)),
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+                "price": t.column("o_totalprice").cast(pa.float64()),
+                "odate_us": t.column("o_orderdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        # complete the per-order sum (map-side partials may split an order)
+        tot = (
+            g[g["side"] == 0]
+            .groupby("okey", as_index=False)["qty"].sum()
+        )
+        tot = tot[tot["qty"] > QTY_MIN]
+        if not len(tot):
+            return pd.DataFrame(
+                {"okey": pd.Series(dtype=np.int64),
+                 "ckey": pd.Series(dtype=np.int64),
+                 "price": pd.Series(dtype=np.float64),
+                 "odate_us": pd.Series(dtype=np.int64),
+                 "total_qty": pd.Series(dtype=np.int64)}
+            )
+        rig = g[g["side"] == 1][["okey", "ckey", "price", "odate_us"]]
+        j = tot.merge(rig, on="okey", how="inner")
+        return j.rename(columns={"qty": "total_qty"})[
+            ["okey", "ckey", "price", "odate_us", "total_qty"]
+        ]
+
+    both = li.map_batches(lqty, batch_format="pyarrow").union(
+        orders.map_batches(otag, batch_format="pyarrow")
+    )
+    parts = [
+        b
+        for b in both.groupby("jb")
+        .map_groups(pick, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+        if len(b)
+    ]
+    empty = pd.DataFrame(
+        {"c_name": pd.Series(dtype=object),
+         "o_orderkey": pd.Series(dtype=np.int64),
+         "o_orderdate": pd.Series(dtype="datetime64[us]"),
+         "o_totalprice": pd.Series(dtype=np.float64),
+         "total_qty": pd.Series(dtype=np.int64)}
+    )
+    if not parts:
+        return empty
+    import pyarrow.parquet as pq
+
+    agg = pd.concat(parts, ignore_index=True)
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = agg.merge(names, left_on="ckey", right_on="c_custkey", how="inner")
+    out = out.sort_values(["price", "odate_us", "okey"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(20)
+    out = pd.DataFrame(
+        {
+            "c_name": out["c_name"].to_numpy(),
+            "o_orderkey": out["okey"].to_numpy(dtype=np.int64),
+            "o_orderdate": pd.to_datetime(out["odate_us"].to_numpy(), unit="us"),
+            "o_totalprice": out["price"].to_numpy(dtype=np.float64),
+            "total_qty": out["total_qty"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+    FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+
 def q_ship_lag_priority(sf_dir: str) -> "pd.DataFrame":
     """TPC-H Q12 shape over available columns: lines bucketed by shipping
     lag (days from order date to ship date: 0-7 / 8-30 / 31+), counting
@@ -5192,6 +5327,7 @@ def corpus_queries() -> dict:
         "substring_dups": q_substring_dups,
         "order_priority_wait": q_order_priority_wait,
         "waiting_suppliers": q_waiting_suppliers,
+        "large_volume_customers": q_large_volume_customers,
         "ship_lag_priority": q_ship_lag_priority,
         "promo_revenue": q_promo_revenue,
         "idle_highvalue_customers": q_idle_highvalue_customers,
@@ -5318,6 +5454,7 @@ def corpus_oracle_sql() -> dict:
     return {
         "order_priority_wait": SQL_ORDER_PRIORITY_WAIT,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+        "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
         "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,
         "promo_revenue": SQL_PROMO_REVENUE,
         "idle_highvalue_customers": SQL_IDLE_HIGHVALUE_CUSTOMERS,

@@ -63,6 +63,7 @@ HEAVY_QUERIES = [
     "interval_join",
     "price_ship_frontier",
     "waiting_suppliers",
+    "large_volume_customers",
 ]
 
 
