@@ -373,4 +373,33 @@ def check_index(index_dir: str, sample_terms: int = 64) -> Dict:
         errors.append("conv_map: conv_id/conv_offset ordering violated")
     checks["conv_map"] = {"ok": cm_ok, "n_turns": n_turns_total}
 
+    # ---- fuzzy sidecar (optional artifact): manifest consistency only —
+    # content equivalence (sidecar ≡ vocabulary sweep) is pinned in pytest
+    fz_dir = os.path.join(index_dir, "fuzzy_fastss")
+    if os.path.isdir(fz_dir):
+        fz_ok = True
+        try:
+            with open(os.path.join(fz_dir, "manifest.json")) as f:
+                man = json.load(f)
+            if int(man.get("n_terms", -1)) != int(stats["n_terms"]):
+                fz_ok = False
+                errors.append(
+                    f"fuzzy_sidecar: manifest n_terms {man.get('n_terms')} "
+                    f"!= stats n_terms {stats['n_terms']} (stale sidecar — "
+                    "rebuild with `cli build-fuzzy`)"
+                )
+            n_files = len(
+                [f for f in os.listdir(fz_dir) if f.endswith(".parquet")]
+            )
+            if n_files != int(man.get("written_buckets", -1)):
+                fz_ok = False
+                errors.append(
+                    f"fuzzy_sidecar: {n_files} bucket files != manifest "
+                    f"written_buckets {man.get('written_buckets')}"
+                )
+        except (OSError, ValueError) as e:
+            fz_ok = False
+            errors.append(f"fuzzy_sidecar: unreadable manifest ({e})")
+        checks["fuzzy_sidecar"] = {"ok": fz_ok}
+
     return {"ok": not errors, "checks": checks, "errors": errors}

@@ -135,6 +135,29 @@ def test_unsorted_conv_map_detected(clean_index, tmp_path):
     assert not report["checks"]["conv_map"]["ok"]
 
 
+def test_stale_fuzzy_sidecar_detected(clean_index, tmp_path):
+    """A sidecar built over a DIFFERENT vocabulary (stale after re-index)
+    must flag; a fresh one passes."""
+    from oboyu_ray.state.fuzzy_index import build_fuzzy_sidecar
+
+    idx = _copy(clean_index, tmp_path, "sidecar")
+    build_fuzzy_sidecar(idx, max_edits=1, n_buckets=4)
+    report = check_index(idx, sample_terms=8)
+    assert report["ok"], report["errors"]
+    assert report["checks"]["fuzzy_sidecar"]["ok"]
+
+    man_path = os.path.join(idx, "fuzzy_fastss", "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    man["n_terms"] -= 1
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    report = check_index(idx, sample_terms=8)
+    assert not report["ok"]
+    assert not report["checks"]["fuzzy_sidecar"]["ok"]
+    assert any("stale sidecar" in e for e in report["errors"])
+
+
 def test_cli_check_exit_codes(clean_index, tmp_path, capsys):
     import argparse
 
