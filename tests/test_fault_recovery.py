@@ -55,6 +55,23 @@ def test_kill_shard_actor_recovers_identically(engine):
                          before[0])
 
 
+def test_kill_shard_with_pipelined_batches_in_flight(engine):
+    """Pipelined serving survives actor death: kill a shard AFTER handles
+    were submitted — search_many_result's retry re-issues the stored submit
+    against the respawned pool and returns the identical rankings for every
+    in-flight batch."""
+    before = [engine.search_many(QUERIES, k=10),
+              engine.search_many(QUERIES[:2], k=10)]
+
+    h1 = engine.search_many_submit(QUERIES, k=10)
+    h2 = engine.search_many_submit(QUERIES[:2], k=10)
+    ray.kill(engine.actors[2])  # dies with both batches queued
+    got = [engine.search_many_result(h1), engine.search_many_result(h2)]
+    for want_batch, got_batch in zip(before, got):
+        for a, b in zip(want_batch, got_batch):
+            assert _frames_equal(a, b)
+
+
 def test_kill_aggregator_recovers_identically(engine):
     assert engine.aggregators, "fixture must exercise the two-level merge"
     before = engine.search_many(QUERIES, k=10, require_all=True)
