@@ -195,10 +195,17 @@ def cmd_query(args: argparse.Namespace) -> int:
 def cmd_build_fuzzy(args: argparse.Namespace) -> int:
     """Build the FastSS deletion-neighborhood sidecar for fuzzy retrieval."""
     _ensure_ray(args.num_cpus)
+    from oboyu_ray.config_loader import ConfigManager
     from oboyu_ray.state.fuzzy_index import build_fuzzy_sidecar
 
+    fcfg = ConfigManager(getattr(args, "config", None)).merge_cli_overrides(
+        "fuzzy",
+        {"max_edits": getattr(args, "max_edits", None),
+         "buckets": getattr(args, "buckets", None)},
+    )
     manifest = build_fuzzy_sidecar(
-        args.index_dir, max_edits=args.max_edits, n_buckets=args.buckets
+        args.index_dir, max_edits=int(fcfg["max_edits"]),
+        n_buckets=int(fcfg["buckets"]),
     )
     print(json.dumps(manifest))
     return 0
@@ -238,7 +245,7 @@ def cmd_explain(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     from oboyu_ray.pipelines.query import QueryEngine
 
-    engine = QueryEngine(args.index_dir, num_shards=num_shards)
+    engine = QueryEngine(args.index_dir, num_shards=args.num_shards)
     out = engine.explain(args.q, args.doc)
     print(out.to_string(index=False))
     print(f"total_score {float(out['contribution'].sum()):.6f}")
@@ -249,15 +256,23 @@ def cmd_explain(args: argparse.Namespace) -> int:
 def cmd_index_dir(args: argparse.Namespace) -> int:
     """`oboyu index DIR` equivalent over a file corpus."""
     _ensure_ray(args.num_cpus)
+    from oboyu_ray.config_loader import ConfigManager
     from oboyu_ray.pipelines.file_index import index_directory
 
+    dcfg = ConfigManager(getattr(args, "config", None)).merge_cli_overrides(
+        "index_dir",
+        {"include": getattr(args, "include", None),
+         "exclude": getattr(args, "exclude", None),
+         "chunk_size": getattr(args, "chunk_size", None),
+         "chunk_overlap": getattr(args, "chunk_overlap", None)},
+    )
     report = index_directory(
         args.root,
         args.index_dir,
-        include_patterns=args.include.split(",") if args.include else None,
-        exclude_patterns=args.exclude.split(",") if args.exclude else None,
-        chunk_size=args.chunk_size,
-        chunk_overlap=args.chunk_overlap,
+        include_patterns=dcfg["include"].split(",") if dcfg["include"] else None,
+        exclude_patterns=dcfg["exclude"].split(",") if dcfg["exclude"] else None,
+        chunk_size=int(dcfg["chunk_size"]),
+        chunk_overlap=int(dcfg["chunk_overlap"]),
     )
     print(json.dumps({"n_docs": report["n_docs"], "n_terms": report["n_terms"],
                       **report["timings_sec"]}))
@@ -349,8 +364,12 @@ def main(argv=None) -> int:
     bf = sub.add_parser("build-fuzzy",
                         help="build the FastSS sidecar (point-read fuzzy expansion)")
     bf.add_argument("--index-dir", required=True)
-    bf.add_argument("--max-edits", type=int, default=1)
-    bf.add_argument("--buckets", type=int, default=32)
+    bf.add_argument("--config", default=None, metavar="YAML",
+                    help="sectioned YAML config (fuzzy section)")
+    bf.add_argument("--max-edits", type=int, default=None,
+                    help="levenshtein radius of the sidecar (default 1)")
+    bf.add_argument("--buckets", type=int, default=None,
+                    help="sidecar hash buckets (default 32)")
     bf.add_argument("--num-cpus", type=int, default=None)
     bf.set_defaults(fn=cmd_build_fuzzy)
 
@@ -388,10 +407,14 @@ def main(argv=None) -> int:
     d = sub.add_parser("index-dir", help="index a document directory (oboyu index DIR equivalent)")
     d.add_argument("--root", required=True)
     d.add_argument("--index-dir", required=True)
+    d.add_argument("--config", default=None, metavar="YAML",
+                   help="sectioned YAML config (index_dir section)")
     d.add_argument("--include", default=None, help="comma-separated globs (default *.txt,*.md)")
     d.add_argument("--exclude", default=None)
-    d.add_argument("--chunk-size", type=int, default=1024)
-    d.add_argument("--chunk-overlap", type=int, default=256)
+    d.add_argument("--chunk-size", type=int, default=None,
+                   help="chunk size in chars (default 1024)")
+    d.add_argument("--chunk-overlap", type=int, default=None,
+                   help="chunk overlap in chars (default 256)")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_index_dir)
 

@@ -46,9 +46,6 @@ INDEX_DIR_DEFAULTS: dict[str, Any] = {
     "chunk_overlap": 256,
 }
 
-_BUILD_KEYS = ("files_per_part", "window_docs", "vocab_buckets", "store_positions")
-
-
 def _build_defaults() -> dict[str, dict[str, Any]]:
     """Complete default tree, derived from the live dataclasses so the two
     sources of truth cannot drift (reference _build_defaults, base.py:49)."""
@@ -82,7 +79,12 @@ class ConfigManager:
         if self._config_data is not None:
             return self._config_data
 
-        self._config_data = {k: dict(v) for k, v in self._defaults.items()}
+        # merge into a LOCAL dict and memoize only on success: an
+        # unknown-key ValueError must not leave a partially-merged config
+        # behind for a later load_config()/get_section() call to return
+        # silently (the exact silently-carried-typo hazard the validation
+        # exists to prevent)
+        data = {k: dict(v) for k, v in self._defaults.items()}
         if self._config_path is not None and self._config_path.exists():
             try:
                 import yaml
@@ -95,7 +97,7 @@ class ConfigManager:
                         f"{type(file_config).__name__}"
                     )
                 for section, values in file_config.items():
-                    if section in self._config_data and isinstance(values, dict):
+                    if section in data and isinstance(values, dict):
                         known = self._defaults[section]
                         unknown = sorted(set(values) - set(known))
                         if unknown:
@@ -103,11 +105,11 @@ class ConfigManager:
                                 f"unknown key(s) {unknown} in section "
                                 f"{section!r}; valid: {sorted(known)}"
                             )
-                        self._config_data[section].update(values)
+                        data[section].update(values)
                     else:
                         # unknown sections (or scalar-valued ones) carry
                         # through verbatim, matching the reference
-                        self._config_data[section] = values
+                        data[section] = values
             except ValueError:
                 raise  # typos are a user error, not a fall-back case
             except Exception as e:  # unreadable / malformed YAML
@@ -116,7 +118,8 @@ class ConfigManager:
                     f"Using defaults.",
                     stacklevel=2,
                 )
-                self._config_data = {k: dict(v) for k, v in self._defaults.items()}
+                data = {k: dict(v) for k, v in self._defaults.items()}
+        self._config_data = data
         return self._config_data
 
     def get_section(self, section: str) -> dict[str, Any]:

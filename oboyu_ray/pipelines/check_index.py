@@ -189,14 +189,27 @@ def _check_vocab_bucket(index_dir: str, fname: str, n_sample: int) -> Dict:
 
 
 def check_index(index_dir: str, sample_terms: int = 64) -> Dict:
-    """Run every integrity check; see the module docstring for the list."""
+    """Run every integrity check; see the module docstring for the list.
+
+    ``sample_terms`` bounds the deep-verified vocabulary sample (0 skips
+    the per-term deep checks entirely — structure/stats/dls/conv-map
+    still run).  Never raises on a broken index: unreadable metadata is
+    itself a failing check (an fsck that crashes on the corruption it
+    exists to diagnose is useless)."""
     errors: List[str] = []
     checks: Dict[str, Dict] = {}
 
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
-    with open(os.path.join(index_dir, "build_report.json")) as f:
-        report = json.load(f)
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        with open(os.path.join(index_dir, "build_report.json")) as f:
+            report = json.load(f)
+        _ = (stats["avgdl"], stats["N"], stats["total_dl"],
+             stats["n_terms"], report["parts"])
+    except (OSError, ValueError, KeyError) as e:
+        checks["metadata"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        errors.append(f"metadata: unreadable stats/build_report ({e})")
+        return {"ok": False, "checks": checks, "errors": errors}
     cfg = report.get("config", {})
     window_docs = int(cfg.get("window_docs", 8192))
     k1 = float(cfg.get("bm25", {}).get("k1", 1.2))
@@ -214,12 +227,14 @@ def check_index(index_dir: str, sample_terms: int = 64) -> Dict:
             path = os.path.join(index_dir, sub, pat % p)
             if not os.path.exists(path):
                 missing.append(os.path.relpath(path, index_dir))
+    vocab_dir = os.path.join(index_dir, "vocab")
     vocab_files = sorted(
-        f for f in os.listdir(os.path.join(index_dir, "vocab"))
-        if f.endswith(".parquet")
-    )
+        f for f in os.listdir(vocab_dir) if f.endswith(".parquet")
+    ) if os.path.isdir(vocab_dir) else []
     if not vocab_files:
         missing.append("vocab/*.parquet")
+    if not os.path.isdir(os.path.join(index_dir, "conv_map")):
+        missing.append("conv_map/")
     checks["structure"] = {"ok": not missing, "missing": missing}
     if missing:
         errors.append(f"structure: {len(missing)} missing files")
@@ -260,12 +275,15 @@ def check_index(index_dir: str, sample_terms: int = 64) -> Dict:
         )
     checks["vocab"] = {"ok": vocab_ok, "n_terms": n_terms_total}
 
-    # deterministic sample: spread evenly across buckets
+    # deterministic sample: spread evenly across buckets, capped at the
+    # requested budget (per-bucket rounding can overshoot; 0 disables the
+    # deep per-term checks entirely)
     sampled: Dict[str, Dict] = {}
     for v in vres:
         for term, df, cf in v["sample"]:
             sampled[term] = {"df": df, "cf": cf}
-    terms = sorted(sampled)
+    terms = sorted(sampled)[: max(0, int(sample_terms))]
+    sampled = {t: sampled[t] for t in terms}
 
     # ---- per-part decode + dls (parallel over parts)
     pres = ray.get([
@@ -308,10 +326,11 @@ def check_index(index_dir: str, sample_terms: int = 64) -> Dict:
             acc["cf"] += st["cf"]
             acc["digest"] = (acc["digest"] + st["digest"]) % ((1 << 127) - 1)
 
-    # ---- raw postings side (parallel over parts, pruned reads)
+    # ---- raw postings side (parallel over parts, pruned reads); an empty
+    # sample (sample_terms=0) skips the scan — pyarrow rejects `in ()`
     sres = ray.get([
         _scan_postings_part.remote(index_dir, p, terms) for p in parts
-    ])
+    ]) if terms else []
     postings_side: Dict[str, Dict] = {
         t: {"df": 0, "cf": 0, "digest": 0} for t in terms
     }

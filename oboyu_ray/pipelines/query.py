@@ -527,6 +527,7 @@ class QueryEngine:
         self._assign = [a for a in assign if a]
         self.actors: List = []
         self.aggregators: List = []
+        self._pool_epoch = 0
         self._spawn_pool()
 
     def _spawn_pool(self) -> None:
@@ -564,6 +565,9 @@ class QueryEngine:
                 if self.actors[g::n_groups]
             ]
         self._targets = self.aggregators or self.actors
+        # bumped on every respawn: in-flight pipelined handles stamped with
+        # an older epoch know the pool was already rebuilt (see _fanout_wait)
+        self._pool_epoch += 1
 
     def _fanout(self, submit):
         """ray.get(submit(targets)) with one-shot fault recovery: a dead
@@ -576,7 +580,8 @@ class QueryEngine:
         an empty — wrong — result.  (This exact bug made every historical
         bench QPS ladder measure empty calls: bench.py closed the engine
         before its QPS loop.  Found round 4; see BASELINE.)"""
-        return self._fanout_wait(self._fanout_submit(submit), submit)
+        return self._fanout_wait(self._fanout_submit(submit), submit,
+                                 self._pool_epoch)
 
     def _fanout_submit(self, submit):
         """Issue the fan-out WITHOUT waiting — returns the in-flight object
@@ -587,9 +592,17 @@ class QueryEngine:
             self._spawn_pool()
         return submit(self._targets)
 
-    def _fanout_wait(self, refs, submit):
+    def _fanout_wait(self, refs, submit, epoch):
         """ray.get(refs) with the one-shot fault recovery described above;
-        ``submit`` re-issues the same pure-read work after a respawn."""
+        ``submit`` re-issues the same pure-read work after a respawn.
+
+        ``epoch`` is the pool epoch the refs were submitted against: with
+        SEVERAL pipelined handles in flight, the first failed wait respawns
+        the pool ONCE and bumps the epoch — later handles' refs still point
+        at dead actors, but their waits see the newer epoch and only
+        re-issue against the already-healthy pool instead of discarding it
+        (one actor death must not cost one full pool rebuild per queued
+        handle)."""
         try:
             return ray.get(refs)
         except ray.exceptions.RayActorError:
@@ -598,7 +611,8 @@ class QueryEngine:
             # an aggregator survived but one of ITS shards died mid-merge
             if not isinstance(e.cause, ray.exceptions.RayActorError):
                 raise
-        self._spawn_pool()
+        if epoch == self._pool_epoch:
+            self._spawn_pool()
         return ray.get(submit(self._targets))
 
     # ------------------------------------------------------------ querying
@@ -936,6 +950,7 @@ class QueryEngine:
         ]
         handle["submit"] = submit
         handle["refs"] = self._fanout_submit(submit)
+        handle["epoch"] = self._pool_epoch
         return handle
 
     def search_many_result(self, handle: dict) -> List[pd.DataFrame]:
@@ -948,7 +963,8 @@ class QueryEngine:
         ]
         if not handle["live"]:
             return out
-        per_shard = self._fanout_wait(handle["refs"], handle["submit"])
+        per_shard = self._fanout_wait(handle["refs"], handle["submit"],
+                                      handle.get("epoch", -1))
         k = handle["k"]
         for j, (i, _) in enumerate(handle["live"]):
             top_docs, top_scores = _merge_topk_multi(

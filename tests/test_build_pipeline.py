@@ -324,6 +324,22 @@ def test_cli_build_and_query(built, tmp_path, capsys):
     assert "doc_num" in capsys.readouterr().out
 
 
+def test_cli_explain_runs(built, capsys):
+    """Regression (round-5 review): the ConfigManager refactor left
+    cmd_explain referencing a cmd_query-local variable — `cli explain`
+    crashed with NameError on every invocation."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_explain
+
+    rc = cmd_explain(argparse.Namespace(
+        index_dir=built["index_dir"], q="python model", doc=0,
+        num_shards=2, num_cpus=None,
+    ))
+    assert rc == 0
+    assert "total_score" in capsys.readouterr().out
+
+
 def test_cli_federate_rejects_unsupported_flags(capsys):
     """r5 ADVICE: --federate with --scope/--phrase/--near/--prefix (or
     --hydrate combined with --fuzzy) must exit 2 with a clear message,

@@ -178,3 +178,37 @@ def test_cli_check_exit_codes(clean_index, tmp_path, capsys):
     rc = cmd_check(argparse.Namespace(index_dir=idx, sample_terms=8,
                                       num_cpus=None))
     assert rc == 1
+
+
+def test_unreadable_metadata_is_failing_report_not_crash(clean_index, tmp_path):
+    """Regression (round-5 review): an fsck must not crash on the exact
+    corruption it diagnoses — missing/truncated stats.json yields a
+    failing report."""
+    idx = _copy(clean_index, tmp_path, "nostats")
+    os.remove(os.path.join(idx, "stats.json"))
+    report = check_index(idx, sample_terms=4)
+    assert report["ok"] is False
+    assert not report["checks"]["metadata"]["ok"]
+
+    idx2 = _copy(clean_index, tmp_path, "badjson")
+    with open(os.path.join(idx2, "stats.json"), "w") as f:
+        f.write("{not json")
+    report = check_index(idx2, sample_terms=4)
+    assert report["ok"] is False and not report["checks"]["metadata"]["ok"]
+
+    idx3 = _copy(clean_index, tmp_path, "noconvmap")
+    shutil.rmtree(os.path.join(idx3, "conv_map"))
+    report = check_index(idx3, sample_terms=4)
+    assert report["ok"] is False
+    assert any("conv_map" in m for m in report["checks"]["structure"]["missing"])
+
+
+def test_sample_terms_budget_respected(clean_index):
+    """--sample-terms is a ceiling (per-bucket rounding must not overshoot)
+    and 0 disables the deep per-term checks."""
+    report = check_index(clean_index, sample_terms=3)
+    assert report["ok"]
+    assert report["checks"]["sampled_terms"]["n_sampled"] <= 3
+    report0 = check_index(clean_index, sample_terms=0)
+    assert report0["ok"]
+    assert report0["checks"]["sampled_terms"]["n_sampled"] == 0

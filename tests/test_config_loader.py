@@ -124,3 +124,29 @@ def test_full_bm25_section_resolves():
         bm25_overrides={"language": "en", "tokenizer_mode": "ngram"}
     )
     assert cfg.bm25 == BM25Config(language="en", tokenizer_mode="ngram")
+
+
+def test_failed_load_is_not_memoized(tmp_path):
+    """Regression (round-5 review): an unknown-key ValueError must not
+    leave a partially-merged config behind — every later call re-raises
+    instead of silently returning the partial merge."""
+    p = tmp_path / "oboyu.yaml"
+    p.write_text("build:\n  window_docs: 999\nquery:\n  topk: 5\n")  # typo
+    cm = ConfigManager(p)
+    with pytest.raises(ValueError, match="topk"):
+        cm.load_config()
+    with pytest.raises(ValueError, match="topk"):
+        cm.get_section("build")  # NOT {window_docs: 999} silently
+
+
+def test_fuzzy_and_index_dir_sections_resolve(tmp_path):
+    """Regression (round-5 review): the fuzzy / index_dir sections are
+    consumed by cmd_build_fuzzy / cmd_index_dir (not schema-validated dead
+    weight) — resolution honors file values under None CLI overrides."""
+    p = tmp_path / "oboyu.yaml"
+    p.write_text("fuzzy:\n  max_edits: 2\nindex_dir:\n  chunk_size: 2048\n")
+    cm = ConfigManager(p)
+    f = cm.merge_cli_overrides("fuzzy", {"max_edits": None, "buckets": None})
+    assert f == {"max_edits": 2, "buckets": 32}
+    d = cm.merge_cli_overrides("index_dir", {"chunk_size": None})
+    assert d["chunk_size"] == 2048 and d["chunk_overlap"] == 256

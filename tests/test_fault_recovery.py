@@ -72,6 +72,22 @@ def test_kill_shard_with_pipelined_batches_in_flight(engine):
             assert _frames_equal(a, b)
 
 
+def test_one_death_respawns_pool_once_across_handles(engine):
+    """Regression (round-5 review): with several pipelined handles in
+    flight, one actor death must rebuild the pool ONCE — later handles see
+    the bumped epoch and re-issue against the healthy pool instead of
+    discarding it."""
+    handles = [engine.search_many_submit(QUERIES, k=10) for _ in range(3)]
+    epoch_before = engine._pool_epoch
+    ray.kill(engine.actors[0])
+    results = [engine.search_many_result(h) for h in handles]
+    assert engine._pool_epoch == epoch_before + 1  # exactly one respawn
+    want = engine.search_many(QUERIES, k=10)
+    for got in results:
+        for a, b in zip(want, got):
+            assert _frames_equal(a, b)
+
+
 def test_kill_aggregator_recovers_identically(engine):
     assert engine.aggregators, "fixture must exercise the two-level merge"
     before = engine.search_many(QUERIES, k=10, require_all=True)
