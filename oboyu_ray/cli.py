@@ -96,11 +96,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     k, num_shards = int(qcfg["k"]), qcfg["num_shards"]
     hydrate, require_all = bool(qcfg["hydrate"]), bool(qcfg["require_all"])
 
+    pattern_mode = (
+        getattr(args, "regex", None) is not None
+        or getattr(args, "wildcard", None) is not None
+    )
+    if not pattern_mode and not getattr(args, "q", None):
+        print("query: --q is required (except with --regex/--wildcard)",
+              file=sys.stderr)
+        return 2
+
     page = int(getattr(args, "page", 0) or 0)
     if page and (
         getattr(args, "phrase", False) or getattr(args, "prefix", False)
         or getattr(args, "near", None) is not None
         or getattr(args, "fuzzy", None) is not None
+        or getattr(args, "regex", None) is not None
+        or getattr(args, "wildcard", None) is not None
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -119,6 +130,8 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--phrase", bool(getattr(args, "phrase", False))),
                 ("--near", getattr(args, "near", None) is not None),
                 ("--prefix", bool(getattr(args, "prefix", False))),
+                ("--regex", getattr(args, "regex", None) is not None),
+                ("--wildcard", getattr(args, "wildcard", None) is not None),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -168,6 +181,14 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.search_fuzzy(
             args.q, max_edits=args.fuzzy, k=k, hydrate=hydrate,
             resolve=True, scope=scope,
+        )
+    elif getattr(args, "regex", None) is not None:
+        out = engine.search_regex(
+            args.regex, k=k, hydrate=hydrate, resolve=True, scope=scope
+        )
+    elif getattr(args, "wildcard", None) is not None:
+        out = engine.search_wildcard(
+            args.wildcard, k=k, hydrate=hydrate, resolve=True, scope=scope
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -328,7 +349,8 @@ def main(argv=None) -> int:
 
     q = sub.add_parser("query", help="top-k BM25 query against a built index")
     q.add_argument("--index-dir", required=True)
-    q.add_argument("--q", required=True)
+    q.add_argument("--q", default=None,
+                   help="query text (required except with --regex/--wildcard)")
     q.add_argument("--config", default=None, metavar="YAML",
                    help="sectioned YAML config (query section); "
                         "precedence: CLI flags > file > defaults")
@@ -342,6 +364,13 @@ def main(argv=None) -> int:
     q.add_argument("--fuzzy", type=int, default=None, metavar="D",
                    help="fuzzy term~D retrieval (vocabulary expansion within "
                         "levenshtein distance D)")
+    q.add_argument("--regex", default=None, metavar="PATTERN",
+                   help="regex term retrieval: every vocabulary term fully "
+                        "matching the RE2 pattern, scored as BM25 OR "
+                        "(--q is ignored)")
+    q.add_argument("--wildcard", default=None, metavar="PATTERN",
+                   help="wildcard term retrieval (* any run, ? one char), "
+                        "rewritten to the regex path (--q is ignored)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

@@ -22,6 +22,7 @@ orders and comparable against SQL oracles.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -1031,6 +1032,153 @@ def fuzzy_topk(
         f"{q}~{d}": [t for t in vocab if lev_at_most(t, q, d)] for q, d in specs
     }
     qmap = {qid: ts for qid, ts in qmap.items() if ts}
+    if not qmap:
+        return empty
+    score_docs = _make_score_docs(
+        qmap, cfg, stats, df_map, id_col, text_col, local_k=k
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+# --------------------------------------------------- regex / wildcard search
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery → regex: ``*`` matches any run (incl. empty),
+    ``?`` exactly one codepoint; everything else is literal.  The output is
+    RE2-safe (no backrefs / lookaround), so pyarrow and DuckDB agree."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _anchored(pattern: str) -> str:
+    """Full-term match semantics (Lucene RegexpQuery anchors implicitly)."""
+    return f"^(?:{pattern})$"
+
+
+def _stats_and_regex_dfs(
+    docs_ds: "ray.data.Dataset",
+    patterns: Sequence[str],
+    cfg: BM25Config,
+    id_col: str,
+    text_col: str,
+):
+    """One tokenization pass → ({N, total_dl, avgdl}, df for every term
+    fully matching ANY pattern).  Same partial-combine shape as
+    ``_stats_and_prefix_dfs`` with an RE2 full-match mask — pyarrow's
+    match_substring_regex and DuckDB's regexp_full_match are both RE2, so
+    the oracle expansion is engine-identical."""
+    pats = sorted({p for p in patterns if p})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        total_dl = 0
+        if p.num_rows:
+            total_dl = int(pc.sum(p.column("tf")).as_py() or 0)
+        mask = None
+        for x in pats:
+            m = pc.match_substring_regex(p.column("term"), pattern=_anchored(x))
+            mask = m if mask is None else pc.or_(mask, m)
+        q = p.filter(mask) if mask is not None else p.slice(0, 0)
+        g = (
+            q.group_by("term").aggregate([("tf", "count")])
+            if q.num_rows
+            else pa.table({"term": pa.array([], type=pa.string()),
+                           "tf_count": pa.array([], type=pa.int64())})
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays([pa.array([None], type=pa.string()),
+                                          g.column("term").combine_chunks().cast(pa.string())]),
+                "df_partial": pa.concat_arrays(
+                    [pa.array([batch.num_rows], type=pa.int64()),
+                     g.column("tf_count").combine_chunks().cast(pa.int64())]
+                ),
+                "dl_partial": pa.concat_arrays(
+                    [pa.array([total_dl], type=pa.int64()),
+                     pa.nulls(g.num_rows, type=pa.int64())]
+                ),
+            }
+        )
+
+    n_docs = 0
+    total_dl = 0
+    df_map: Dict[str, int] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for t, d, dl in zip(
+            b.column("term").to_pylist(),
+            b.column("df_partial").to_pylist(),
+            b.column("dl_partial").to_pylist(),
+        ):
+            if t is None:
+                n_docs += int(d)
+                total_dl += int(dl or 0)
+            else:
+                df_map[t] = df_map.get(t, 0) + int(d)
+    stats = {
+        "N": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
+    return stats, df_map
+
+
+def regex_topk(
+    docs_ds: "ray.data.Dataset",
+    patterns: Sequence[str],
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wildcard: bool = False,
+) -> pd.DataFrame:
+    """Regex (or, with ``wildcard=True``, Lucene-wildcard) term retrieval:
+    each pattern expands to EVERY vocabulary term it fully matches, scored
+    as the ordinary BM25 OR over the expanded set (idf per matched term,
+    multiplicity 1) — the RegexpQuery/WildcardQuery → BooleanQuery rewrite
+    (reference has no pattern matching; scoring follows its BM25 scorer,
+    bm25_indexer.py:300-340, over the expanded term set).  query_id is the
+    pattern as given.  Exact top-k: (query_id, id, score_micros, rank) like
+    ``brute_force_topk``."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    raw = [p for p in patterns if p]
+    if not raw:
+        return empty
+    regexes = {p: (wildcard_to_regex(p) if wildcard else p) for p in raw}
+    stats, df_map = _stats_and_regex_dfs(
+        docs_ds, list(regexes.values()), cfg, id_col, text_col
+    )
+    if int(stats["N"]) == 0 or not df_map:
+        return empty
+    vocab = pa.array(sorted(df_map), type=pa.string())
+    qmap: Dict[str, List[str]] = {}
+    for p, rx in regexes.items():
+        m = pc.match_substring_regex(vocab, pattern=_anchored(rx))
+        ts = [t for t, ok in zip(vocab.to_pylist(), m.to_pylist()) if ok]
+        if ts:
+            qmap[p] = ts
     if not qmap:
         return empty
     score_docs = _make_score_docs(

@@ -651,6 +651,101 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# Regex term queries (full-match, RE2 on BOTH sides — pyarrow and DuckDB):
+# optional groups, a single-char wildcard, alternation with a suffix class,
+# a character class, and a no-hit.
+REGEX_QUERIES: List[str] = [
+    "tab(le)?s?",
+    "jo.n",
+    "(merge|sort)s?",
+    "wind[aeiou]w",
+    "zzz.*nohit",
+]
+
+# Lucene-wildcard term queries: trailing-*, ?-substitution, leading-* (no
+# literal prefix to prune by), mixed ?/*, and a no-hit.
+WILDCARD_QUERIES: List[str] = [
+    "tab*",
+    "j?in",
+    "*dow",
+    "sc?n*",
+    "zzz*nohit",
+]
+
+
+def q_regex_topk(sf_dir: str) -> pd.DataFrame:
+    """Regex term retrieval: each pattern expands to every vocabulary term
+    it fully matches (RE2, implicit anchors), scored as the ordinary BM25
+    OR (idf per matched term) — Lucene's RegexpQuery rewrite, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import regex_topk
+
+    return regex_topk(_docs(sf_dir), REGEX_QUERIES, k=TOPK, cfg=CFG)
+
+
+def q_wildcard_topk(sf_dir: str) -> pd.DataFrame:
+    """Wildcard term retrieval (``*`` any run, ``?`` one codepoint): each
+    pattern rewrites to the equivalent anchored regex and scores as the
+    ordinary BM25 OR — Lucene's WildcardQuery rewrite, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import regex_topk
+
+    return regex_topk(_docs(sf_dir), WILDCARD_QUERIES, k=TOPK, cfg=CFG,
+                      wildcard=True)
+
+
+def _sql_pattern_topk(pairs: "List[tuple]") -> str:
+    """Shared oracle for regex/wildcard retrieval: (query_id, RE2 pattern)
+    pairs expand against the vocabulary with ``regexp_full_match`` (DuckDB
+    is RE2, same engine as pyarrow's match_substring_regex — pinned in
+    tests/test_regex_query.py), then the standard BM25 OR scoring."""
+    values = ", ".join(f"('{qid}', '{rx}')" for qid, rx in pairs)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qpat(query_id, pat) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+qterms AS (
+    SELECT q.query_id, d.term, d.df
+    FROM qpat q JOIN dfreq d ON regexp_full_match(d.term, q.pat)
+),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - q.df + 0.5) / (q.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_regex_topk() -> str:
+    return _sql_pattern_topk([(p, p) for p in REGEX_QUERIES])
+
+
+def _sql_wildcard_topk() -> str:
+    from oboyu_ray.pipelines.bm25_batch import wildcard_to_regex
+
+    return _sql_pattern_topk(
+        [(p, wildcard_to_regex(p)) for p in WILDCARD_QUERIES]
+    )
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -665,6 +760,8 @@ def core_queries() -> dict:
         "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_scoped": q_bm25_topk_scoped,
         "bm25_topk_paged": q_bm25_topk_paged,
+        "regex_topk": q_regex_topk,
+        "wildcard_topk": q_wildcard_topk,
     }
 
 
@@ -682,4 +779,6 @@ def core_oracle_sql() -> dict:
         "fuzzy_topk": _sql_fuzzy_topk(),
         "bm25_topk_scoped": _sql_bm25_topk_scoped(),
         "bm25_topk_paged": _sql_bm25_topk_paged(),
+        "regex_topk": _sql_regex_topk(),
+        "wildcard_topk": _sql_wildcard_topk(),
     }

@@ -83,6 +83,20 @@ TOOLS = [
                                    "top_k*page+1 .. top_k*(page+1) of the "
                                    "global ranking; plain search mode only",
                 },
+                "regex": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "regex term retrieval: the query is an "
+                                   "RE2 pattern fully matched against the "
+                                   "vocabulary (bounded expansion)",
+                },
+                "wildcard": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "wildcard term retrieval: the query uses "
+                                   "* (any run) and ? (one char), rewritten "
+                                   "to the regex path",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -138,7 +152,7 @@ class McpServer:
         require_all: bool = False, phrase: bool = False,
         prefix: bool = False, near: Optional[int] = None,
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
-        page: int = 0,
+        page: int = 0, regex: bool = False, wildcard: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -146,9 +160,15 @@ class McpServer:
         sc = (int(scope[0]), int(scope[1])) if scope else None
         # pagination is a plain-search feature; refuse it elsewhere instead
         # of silently answering page 0 (the silently-dropped-flag hazard)
-        if int(page) and (phrase or prefix or near is not None or fuzzy is not None):
+        if int(page) and (phrase or prefix or near is not None
+                          or fuzzy is not None or regex or wildcard):
             raise ValueError("page is only supported in plain search mode")
-        if near is not None:
+        if regex and wildcard:
+            raise ValueError("regex and wildcard are mutually exclusive")
+        if regex or wildcard:
+            fn = eng.search_regex if regex else eng.search_wildcard
+            df = fn(query, k=int(top_k), hydrate=True, resolve=True, scope=sc)
+        elif near is not None:
             sides = query.split()
             if len(sides) != 2:
                 raise ValueError("near search takes exactly two terms")

@@ -69,6 +69,29 @@ def _fuzzy_scan_table(path: str, q: str, d: int, cap: int) -> Dict[str, int]:
 _scan_vocab_fuzzy_file = ray.remote(num_cpus=0)(_fuzzy_scan_table)
 
 
+def _regex_scan_table(path: str, anchored: str, cap: int) -> Dict[str, int]:
+    """Sweep ONE vocab parquet file for terms fully matching ``anchored``
+    (an ``^(?:...)$`` RE2 pattern): a single vectorized
+    ``match_substring_regex`` over the term column — no per-term Python.
+    Stops early past ``cap`` matches (the caller raises)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["term", "df"])
+    m = pc.match_substring_regex(t.column("term"), pattern=anchored)
+    t = t.filter(m)
+    out: Dict[str, int] = {}
+    for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+        out[term] = int(df)
+        if len(out) > cap:
+            break
+    return out
+
+
+# same num_cpus=0 rationale as the fuzzy sweep above
+_scan_vocab_regex_file = ray.remote(num_cpus=0)(_regex_scan_table)
+
+
 class VocabLookup:
     """df lookup for query terms.
 
@@ -214,6 +237,68 @@ class VocabLookup:
             raise ValueError(
                 f"prefix {prefix!r} expands to >{max_terms} terms; "
                 "narrow the prefix or raise max_terms"
+            )
+        return out
+
+    def df_regex(
+        self, pattern: str, max_terms: int = 1000, parallel: bool = True,
+        literal_prefix: str = "",
+    ) -> Dict[str, int]:
+        """df for EVERY vocabulary term fully matching ``pattern`` (RE2,
+        implicit anchors — Lucene RegexpQuery semantics).  In-memory
+        vocabularies answer with one vectorized ``match_substring_regex``
+        over the packed sorted term list; beyond the limit the hash-bucketed
+        files sweep as parallel Ray tasks (the same fan-out shape as
+        ``df_fuzzy`` — a regex has no hash locality).  ``literal_prefix``
+        (the pattern's leading literal run, supplied by the wildcard
+        rewrite) prunes the sweep to the covering term range exactly like
+        ``df_prefix``.  Raises past ``max_terms`` — an unbounded ``.*`` is a
+        user error, not a silent full-vocabulary OR query."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        if not pattern:
+            raise ValueError("df_regex: empty pattern")
+        anchored = f"^(?:{pattern})$"
+        out: Dict[str, int] = {}
+        if self._map is not None:
+            import bisect
+
+            cache = getattr(self, "_pfx_sorted", None)
+            if cache is None:
+                terms = sorted(self._map.keys())
+                dfs_np = np.fromiter(
+                    (self._map[t] for t in terms), dtype=np.int64,
+                    count=len(terms),
+                )
+                cache = self._pfx_sorted = (terms, dfs_np)
+            terms, dfs_np = cache
+            i0, i1 = 0, len(terms)
+            if literal_prefix:
+                i0 = bisect.bisect_left(terms, literal_prefix)
+                i1 = bisect.bisect_left(terms, literal_prefix + "￿")
+            sl = terms[i0:i1]
+            m = _pc.match_substring_regex(
+                _pa.array(sl, type=_pa.string()), pattern=anchored
+            ).to_numpy(zero_copy_only=False)
+            for ix in np.flatnonzero(m):
+                out[sl[int(ix)]] = int(dfs_np[i0 + int(ix)])
+        elif parallel and len(self.files) > 1:
+            futs = [
+                _scan_vocab_regex_file.remote(f, anchored, max_terms)
+                for f in self.files
+            ]
+            for part in ray.get(futs):
+                out.update(part)
+        else:
+            for f in self.files:
+                out.update(_regex_scan_table(f, anchored, max_terms))
+                if len(out) > max_terms:
+                    break
+        if len(out) > max_terms:
+            raise ValueError(
+                f"regex {pattern!r} expands to >{max_terms} terms; "
+                "narrow the pattern or raise max_terms"
             )
         return out
 
@@ -744,12 +829,21 @@ class QueryEngine:
         (idf per matched term, multiplicity 1) — Lucene's FuzzyQuery →
         BooleanQuery rewrite, identical scoring to ``fuzzy_topk``.  Unknown
         neighborhood → empty frame.  ``scope`` composes like search()."""
-        empty = pd.DataFrame(
-            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
-        )
         dfs = self.vocab.df_fuzzy(term, max_edits=max_edits, max_terms=max_terms)
         n = int(self.stats["N"])
         weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
+        return self._search_expanded(weights, k, hydrate, resolve, scope)
+
+    def _search_expanded(
+        self, weights: Dict[str, float], k: int,
+        hydrate: bool, resolve: bool, scope,
+    ) -> pd.DataFrame:
+        """OR query over a pre-expanded term→weight map (the shared tail of
+        every multi-term rewrite: fuzzy / regex / wildcard).  ≥64 matched
+        terms take the shards' wide-OR dense path automatically."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
         if not weights:
             return self._finish(empty, hydrate) if (resolve or hydrate) else empty
         results = self._fanout(
@@ -760,6 +854,51 @@ class QueryEngine:
         if resolve or hydrate:
             out = self._finish(out, hydrate)
         return out
+
+    def search_regex(
+        self, pattern: str, k: int = 10, max_terms: int = 1000,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+        _literal_prefix: str = "",
+    ) -> pd.DataFrame:
+        """Regex term retrieval: expand the pattern against the vocabulary
+        (every term it FULLY matches — implicit anchors, RE2; bounded by
+        ``max_terms``), then run the ordinary OR query over the expanded
+        set (idf per matched term, multiplicity 1) — Lucene's RegexpQuery →
+        BooleanQuery rewrite, identical scoring to ``regex_topk``.  No
+        vocabulary match → empty frame.  ``scope`` composes like search()."""
+        dfs = self.vocab.df_regex(
+            pattern, max_terms=max_terms, literal_prefix=_literal_prefix
+        )
+        n = int(self.stats["N"])
+        weights = {t: idf(int(d), n) for t, d in dfs.items() if d > 0}
+        return self._search_expanded(weights, k, hydrate, resolve, scope)
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_terms: int = 1000,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Wildcard term retrieval (``*`` any run, ``?`` one codepoint):
+        rewrites to the equivalent anchored regex and reuses the regex
+        path; the leading literal run (chars before the first metachar)
+        prunes the vocabulary sweep to its covering term range.  A pure
+        trailing-``*`` pattern is exactly a prefix query — callers wanting
+        the fastest path for that shape should use ``search_prefix`` (the
+        term-range fan-out); this method keeps WildcardQuery semantics
+        uniform."""
+        from oboyu_ray.pipelines.bm25_batch import wildcard_to_regex
+
+        lit = []
+        for ch in pattern:
+            if ch in "*?":
+                break
+            lit.append(ch)
+        return self.search_regex(
+            wildcard_to_regex(pattern), k=k, max_terms=max_terms,
+            hydrate=hydrate, resolve=resolve, scope=scope,
+            _literal_prefix="".join(lit),
+        )
 
     def explain(self, query: str, doc_num: int) -> pd.DataFrame:
         """Per-term score breakdown for one document — the Lucene `explain`

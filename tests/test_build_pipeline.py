@@ -353,12 +353,34 @@ def test_cli_federate_rejects_unsupported_flags(capsys):
                 num_shards=2, hydrate=False, num_cpus=None)
     for extra in (
         {"scope": "0:5"}, {"phrase": True}, {"near": 3}, {"prefix": True},
-        {"fuzzy": 1, "hydrate": True},
+        {"fuzzy": 1, "hydrate": True}, {"regex": "tok.*"}, {"wildcard": "tok*"},
     ):
         rc = cmd_query(argparse.Namespace(**{**base, **extra}))
         err = capsys.readouterr().err
         assert rc == 2, extra
         assert "does not support" in err, extra
+
+
+def test_cli_regex_wildcard_modes(built, engine, capsys):
+    """`query --regex` / `--wildcard` work without --q; plain mode without
+    --q exits 2; --page refuses pattern modes (the silently-dropped-flag
+    hazard)."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_query
+
+    base = dict(index_dir=built["index_dir"], q=None, k=5, num_shards=2,
+                hydrate=False, num_cpus=None)
+    rc = cmd_query(argparse.Namespace(**{**base, "regex": "tok(en)?s?"}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    rc = cmd_query(argparse.Namespace(**{**base, "wildcard": "tok*"}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    # plain mode still requires --q
+    rc = cmd_query(argparse.Namespace(**base))
+    assert rc == 2 and "--q is required" in capsys.readouterr().err
+    # pagination refuses pattern modes
+    rc = cmd_query(argparse.Namespace(**{**base, "regex": "tok.*", "page": 1}))
+    assert rc == 2 and "plain search mode" in capsys.readouterr().err
 
 
 def test_hot_term_skew_balance(tmp_path):
@@ -1275,6 +1297,69 @@ def test_fuzzy_engine_matches_brute_force(built, engine):
         engine.vocab.df_fuzzy("de", max_edits=2, max_terms=1)
     with _pytest.raises(ValueError, match="empty"):
         engine.vocab.df_fuzzy("")
+
+
+def test_regex_wildcard_engine_matches_brute_force(built, engine):
+    """search_regex / search_wildcard (RE2 vocab expansion → OR query
+    through the shards) must be rank- and score-identical to the Dataset
+    brute force; the bucket-file sweep df_regex must agree with the
+    in-memory vectorized path (serial and Ray-task-parallel), and the
+    wildcard literal-prefix prune must not change the expansion."""
+    from oboyu_ray.pipelines.bm25_batch import (
+        regex_topk,
+        score_micros,
+        wildcard_to_regex,
+    )
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    k = 12
+    regexes = ["tok(en)?s?", "mod.l", "(python|decode)", "zzznohit.*"]
+    wildcards = ["tok*", "m?del", "*dex", "zz*hit"]
+
+    brute_rx = regex_topk(docs_ds, regexes, k=k, cfg=CFG, id_col="doc_num",
+                          text_col="text")
+    hits = 0
+    for p in regexes:
+        got = engine.search_regex(p, k=k)
+        expect = brute_rx[brute_rx.query_id == p]
+        assert len(got) == len(expect), p
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), p
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=p,
+            )
+            hits += 1
+    assert hits >= 2
+
+    brute_wc = regex_topk(docs_ds, wildcards, k=k, cfg=CFG, id_col="doc_num",
+                          text_col="text", wildcard=True)
+    hits = 0
+    for p in wildcards:
+        got = engine.search_wildcard(p, k=k)
+        expect = brute_wc[brute_wc.query_id == p]
+        assert len(got) == len(expect), p
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), p
+        if len(got):
+            hits += 1
+    assert hits >= 2
+
+    # in-memory vectorized path == bucket-file sweep (serial AND parallel);
+    # the wildcard literal-prefix prune changes nothing but the scan cost
+    vl = engine.vocab
+    for p in regexes + [wildcard_to_regex(w) for w in wildcards]:
+        inmem = vl.df_regex(p)
+        saved, vl._map = vl._map, None
+        try:
+            par = vl.df_regex(p, parallel=True)
+            ser = vl.df_regex(p, parallel=False)
+        finally:
+            vl._map = saved
+        assert par == inmem and ser == inmem, p
+    assert vl.df_regex("tok.*", literal_prefix="tok") == vl.df_regex("tok.*")
+    with pytest.raises(ValueError, match="expands"):
+        vl.df_regex(".*", max_terms=5)
 
 
 def test_not_engine_matches_brute_force(built, engine):

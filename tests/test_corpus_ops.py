@@ -619,6 +619,14 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "tokens", "index_dir": index_dir,
                                   "top_k": 3, "scope": [0, 1]}}},
+        {"jsonrpc": "2.0", "id": 18, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tok(en)?s?", "index_dir": index_dir,
+                                  "top_k": 3, "regex": True}}},
+        {"jsonrpc": "2.0", "id": 19, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tok*", "index_dir": index_dir,
+                                  "top_k": 3, "wildcard": True}}},
     ]
     inp = io.StringIO("\n".join(_json.dumps(r) for r in reqs) + "\n")
     out = io.StringIO()
@@ -668,6 +676,11 @@ def test_mcp_stdio_transport(tmp_path):
     # scoped search: "tokens" is in BOTH docs globally; scope [0, 1) keeps one
     sc = _json.loads(resps[17]["result"]["content"][0]["text"])
     assert sc["stats"]["count"] == 1
+    # regex/wildcard through the protocol: both expand to "tokens" (both docs)
+    rx = _json.loads(resps[18]["result"]["content"][0]["text"])
+    assert rx["stats"]["count"] == 2
+    wc = _json.loads(resps[19]["result"]["content"][0]["text"])
+    assert wc["stats"]["count"] == 2
 
     # r5 ADVICE regression: scope must compose with fuzzy/prefix/phrase/
     # near too (it was silently dropped on those branches).  Work out which
