@@ -99,6 +99,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     pattern_mode = (
         getattr(args, "regex", None) is not None
         or getattr(args, "wildcard", None) is not None
+        or getattr(args, "more_like", None) is not None
     )
     if not pattern_mode and not getattr(args, "q", None):
         print("query: --q is required (except with --regex/--wildcard)",
@@ -112,6 +113,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         or getattr(args, "fuzzy", None) is not None
         or getattr(args, "regex", None) is not None
         or getattr(args, "wildcard", None) is not None
+        or getattr(args, "more_like", None) is not None
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -132,6 +134,7 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--prefix", bool(getattr(args, "prefix", False))),
                 ("--regex", getattr(args, "regex", None) is not None),
                 ("--wildcard", getattr(args, "wildcard", None) is not None),
+                ("--more-like", getattr(args, "more_like", None) is not None),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -189,6 +192,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     elif getattr(args, "wildcard", None) is not None:
         out = engine.search_wildcard(
             args.wildcard, k=k, hydrate=hydrate, resolve=True, scope=scope
+        )
+    elif getattr(args, "more_like", None) is not None:
+        out = engine.more_like_this(
+            int(args.more_like), k=k, hydrate=hydrate, resolve=True,
+            scope=scope,
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -371,6 +379,9 @@ def main(argv=None) -> int:
     q.add_argument("--wildcard", default=None, metavar="PATTERN",
                    help="wildcard term retrieval (* any run, ? one char), "
                         "rewritten to the regex path (--q is ignored)")
+    q.add_argument("--more-like", default=None, metavar="DOC_NUM",
+                   help="more-like-this: rank documents similar to the "
+                        "given doc_num (--q is ignored)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

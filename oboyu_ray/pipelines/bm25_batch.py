@@ -1198,6 +1198,90 @@ def regex_topk(
     return out
 
 
+# ---------------------------------------------------------- more-like-this
+
+def mlt_topk(
+    docs_ds: "ray.data.Dataset",
+    doc_ids: Sequence[int],
+    k: int = 10,
+    n_terms: int = 10,
+    min_df: int = 2,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """More-like-this retrieval (the Lucene MoreLikeThis shape): for each
+    source document, select its ``n_terms`` most characteristic terms by
+    tf × ln(1 + (N-df+0.5)/(df+0.5)) — the POSITIVE BM25+-style selection
+    weight (monotone-decreasing in df, so rarer terms win even on corpora
+    where every term sits in over half the documents and the signed idf
+    goes uniformly negative), df ≥ ``min_df``, ties (tfidf_micros DESC,
+    term ASC).  SCORING then runs the ordinary signed-idf BM25 OR over the
+    selected set (multiplicity 1) with the source document itself excluded
+    from candidates.  query_id is ``"doc:<id>"``.  Exact top-k: (query_id,
+    id, score_micros, rank) like ``brute_force_topk``.  Two passes:
+    source-doc postings (a filtered scan), then stats+df for the union of
+    source terms."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    src = sorted({int(x) for x in doc_ids})
+    if not src or k <= 0 or n_terms <= 0:
+        return empty
+    src_arr = pa.array(src, type=pa.int64())
+
+    def src_postings(batch: pa.Table) -> pa.Table:
+        b2 = batch.filter(pc.is_in(batch.column(id_col), value_set=src_arr))
+        return postings_batch(b2, cfg, id_col=id_col, text_col=text_col)
+
+    srcp = docs_ds.map_batches(src_postings, batch_format="pyarrow").to_pandas()
+    if srcp.empty:
+        return empty
+    stats, df_map = _stats_and_term_dfs(
+        docs_ds, srcp["term"].unique().tolist(), cfg, id_col, text_col
+    )
+    n = int(stats["N"])
+    if n == 0:
+        return empty
+    dfv = srcp["term"].map(df_map).fillna(0).to_numpy(dtype=np.float64)
+    # literal `ln(1 + ...)` (not log1p) — mirrors the DuckDB oracle expression
+    selw = np.where(dfv > 0, np.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5)), 0.0)
+    sel = srcp.assign(
+        sel_micros=score_micros(srcp["tf"].to_numpy(dtype=np.float64) * selw)
+    )[dfv >= min_df]
+    if sel.empty:
+        return empty
+    sel = sel.sort_values(
+        [id_col, "sel_micros", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    sel = sel[sel.groupby(id_col).cumcount() < n_terms]
+    qmap = {
+        f"doc:{d}": sorted(g["term"].tolist())
+        for d, g in sel.groupby(id_col, sort=True)
+    }
+    # local_k = k+1: the source doc may rank anywhere in its own result —
+    # dropped driver-side, so each batch must surface one spare candidate
+    score_docs = _make_score_docs(
+        qmap, cfg, stats, df_map, id_col, text_col, local_k=k + 1
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    src_of = {f"doc:{d}": d for d in src}
+    pdf = pdf[pdf[id_col] != pdf["query_id"].map(src_of)]
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 # ------------------------------------------------------------- NEAR search
 
 def near_topk(

@@ -746,6 +746,80 @@ def _sql_wildcard_topk() -> str:
     )
 
 
+# More-like-this source documents (doc_ids exist at every sf: 0-499 minimum)
+MLT_DOC_IDS: List[int] = [3, 57, 123, 401]
+MLT_N_TERMS = 10
+MLT_MIN_DF = 2
+
+
+def q_mlt_topk(sf_dir: str) -> pd.DataFrame:
+    """More-like-this: per source doc, its 10 most characteristic terms by
+    tf × ln(1+(N-df+0.5)/(df+0.5)) (df ≥ 2) become a signed-idf BM25 OR
+    query; the source doc itself is excluded — Lucene MoreLikeThis shape,
+    exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import mlt_topk
+
+    return mlt_topk(_docs(sf_dir), MLT_DOC_IDS, k=TOPK, n_terms=MLT_N_TERMS,
+                    min_df=MLT_MIN_DF, cfg=CFG)
+
+
+def _sql_mlt_topk() -> str:
+    values = ", ".join(f"({d})" for d in MLT_DOC_IDS)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+src(src_id) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+src_terms AS (
+    SELECT s.src_id, p.term, p.tf, d.df,
+           ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS w
+    FROM src s
+    JOIN postings p ON p.doc_id = s.src_id
+    JOIN dfreq d ON d.term = p.term
+    CROSS JOIN stats2 st
+    WHERE d.df >= {MLT_MIN_DF}
+),
+sel AS (
+    SELECT src_id, term,
+           ROW_NUMBER() OVER (
+               PARTITION BY src_id
+               ORDER BY CAST(floor(tf * w * 1e6 + 0.5) AS BIGINT) DESC, term ASC
+           ) AS rn
+    FROM src_terms
+),
+qterms AS (
+    SELECT 'doc:' || CAST(src_id AS VARCHAR) AS query_id, src_id, term
+    FROM sel WHERE rn <= {MLT_N_TERMS}
+),
+contrib AS (
+    SELECT q.query_id, q.src_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+    WHERE p.doc_id <> q.src_id
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -762,6 +836,7 @@ def core_queries() -> dict:
         "bm25_topk_paged": q_bm25_topk_paged,
         "regex_topk": q_regex_topk,
         "wildcard_topk": q_wildcard_topk,
+        "mlt_topk": q_mlt_topk,
     }
 
 
@@ -781,4 +856,5 @@ def core_oracle_sql() -> dict:
         "bm25_topk_paged": _sql_bm25_topk_paged(),
         "regex_topk": _sql_regex_topk(),
         "wildcard_topk": _sql_wildcard_topk(),
+        "mlt_topk": _sql_mlt_topk(),
     }

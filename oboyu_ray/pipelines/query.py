@@ -900,6 +900,60 @@ class QueryEngine:
             _literal_prefix="".join(lit),
         )
 
+    def more_like_this(
+        self, doc_num: int, k: int = 10, n_terms: int = 10, min_df: int = 2,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """More-like-this (Lucene MoreLikeThis): hydrate the source turn's
+        text (one point read), re-tokenize it with the indexing tokenizer,
+        select its ``n_terms`` most characteristic terms by
+        tf × ln(1+(N-df+0.5)/(df+0.5)) (the positive selection weight;
+        df ≥ ``min_df``; ties (tfidf_micros DESC, term ASC) — identical
+        selection to ``mlt_topk``), then run the ordinary signed-idf OR
+        query over the selected set with the source document dropped from
+        the merged result.  Unknown doc_num → empty frame."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        src = self._hydrate(pd.DataFrame({"doc_num": [int(doc_num)]}))
+        text = src["text"].iloc[0] if len(src) else None
+        if not text:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        from collections import Counter
+
+        from oboyu_ray.fixedpoint import micros
+
+        tf = Counter(self.tokenizer.tokenize(text))
+        dfs = self.vocab.df(sorted(tf))
+        n = int(self.stats["N"])
+        import math
+
+        cands = []
+        for t, c in tf.items():
+            d = int(dfs.get(t, 0))
+            if d < min_df:
+                continue
+            selw = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            cands.append((-int(micros(float(c) * selw)), t, idf(d, n)))
+        cands.sort()
+        weights = {t: w for _, t, w in cands[:n_terms]}
+        if not weights:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        # k+1 then drop the source doc — it may rank anywhere in its own
+        # neighborhood (typically first)
+        results = self._fanout(
+            lambda ts: [a.query.remote(weights, k + 1, scope=scope) for a in ts]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k + 1)
+        keep = top_docs != int(doc_num)
+        out = pd.DataFrame(
+            {"doc_num": top_docs[keep][:k], "score": top_scores[keep][:k]}
+        )
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
     def explain(self, query: str, doc_num: int) -> pd.DataFrame:
         """Per-term score breakdown for one document — the Lucene `explain`
         shape: (term, tf, dl, df, weight, contribution) rows plus the same

@@ -375,6 +375,8 @@ def test_cli_regex_wildcard_modes(built, engine, capsys):
     assert rc == 0 and "doc_num" in capsys.readouterr().out
     rc = cmd_query(argparse.Namespace(**{**base, "wildcard": "tok*"}))
     assert rc == 0 and "doc_num" in capsys.readouterr().out
+    rc = cmd_query(argparse.Namespace(**{**base, "more_like": "0"}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
     # plain mode still requires --q
     rc = cmd_query(argparse.Namespace(**base))
     assert rc == 2 and "--q is required" in capsys.readouterr().err
@@ -1360,6 +1362,39 @@ def test_regex_wildcard_engine_matches_brute_force(built, engine):
     assert vl.df_regex("tok.*", literal_prefix="tok") == vl.df_regex("tok.*")
     with pytest.raises(ValueError, match="expands"):
         vl.df_regex(".*", max_terms=5)
+
+
+def test_mlt_engine_matches_brute_force(built, engine):
+    """more_like_this (hydrate source text → tf×selection-weight term pick
+    → signed-idf OR query, self excluded) must be rank- and score-identical
+    to the Dataset brute force mlt_topk; the source doc never appears in
+    its own neighborhood; unknown doc_num → empty."""
+    from oboyu_ray.pipelines.bm25_batch import mlt_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    k, n_terms = 8, 6
+    src_docs = [0, 7, 101, 555]
+    brute = mlt_topk(docs_ds, src_docs, k=k, n_terms=n_terms, cfg=CFG,
+                     id_col="doc_num", text_col="text")
+    hits = 0
+    for d in src_docs:
+        got = engine.more_like_this(d, k=k, n_terms=n_terms)
+        expect = brute[brute.query_id == f"doc:{d}"]
+        assert len(got) == len(expect), d
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), d
+        assert int(d) not in got["doc_num"].tolist()
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=str(d),
+            )
+            hits += 1
+    assert hits >= 3
+    # unknown doc_num → empty, hydrate path intact
+    assert engine.more_like_this(10**9, k=5).empty
+    h = engine.more_like_this(src_docs[0], k=3, hydrate=True)
+    assert "text" in h.columns and len(h) == 3
 
 
 def test_not_engine_matches_brute_force(built, engine):
