@@ -100,6 +100,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         getattr(args, "regex", None) is not None
         or getattr(args, "wildcard", None) is not None
         or getattr(args, "more_like", None) is not None
+        or getattr(args, "bool_expr", None) is not None
     )
     if not pattern_mode and not getattr(args, "q", None):
         print("query: --q is required (except with --regex/--wildcard)",
@@ -114,6 +115,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         or getattr(args, "regex", None) is not None
         or getattr(args, "wildcard", None) is not None
         or getattr(args, "more_like", None) is not None
+        or getattr(args, "bool_expr", None) is not None
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -135,6 +137,7 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--regex", getattr(args, "regex", None) is not None),
                 ("--wildcard", getattr(args, "wildcard", None) is not None),
                 ("--more-like", getattr(args, "more_like", None) is not None),
+                ("--bool", getattr(args, "bool_expr", None) is not None),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -197,6 +200,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.more_like_this(
             int(args.more_like), k=k, hydrate=hydrate, resolve=True,
             scope=scope,
+        )
+    elif getattr(args, "bool_expr", None) is not None:
+        out = engine.search_bool(
+            args.bool_expr, k=k, hydrate=hydrate, resolve=True, scope=scope
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -382,6 +389,10 @@ def main(argv=None) -> int:
     q.add_argument("--more-like", default=None, metavar="DOC_NUM",
                    help="more-like-this: rank documents similar to the "
                         "given doc_num (--q is ignored)")
+    q.add_argument("--bool", dest="bool_expr", default=None, metavar="EXPR",
+                   help="boolean retrieval: '(a AND b) OR c NOT d' over "
+                        "index terms; negated clauses filter, positive "
+                        "terms score (--q is ignored)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

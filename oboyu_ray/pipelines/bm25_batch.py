@@ -1282,6 +1282,283 @@ def mlt_topk(
     return out
 
 
+# ----------------------------------------------------------- boolean queries
+
+def parse_bool_query(s: str):
+    """Parse ``(a AND b) OR c NOT d`` into a nested-list AST:
+    ``["or"|"and", x, y, ...]`` / ``["not", x]`` / term string.  Precedence
+    NOT > AND > OR; ``a NOT b`` is sugar for ``a AND (NOT b)`` (the Lucene
+    query-parser convention); parens group.  Terms are lowercased single
+    tokens (the caller's tokenizer normalization is NOT applied — boolean
+    queries name index terms directly)."""
+    import re as _re
+
+    toks = _re.findall(r"\(|\)|[^\s()]+", s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        if pos >= len(toks) or (t is not None and toks[pos] != t):
+            raise ValueError(f"bool query parse error at token {pos}: {s!r}")
+        pos += 1
+        return toks[pos - 1]
+
+    def atom():
+        if peek() == "(":
+            eat("(")
+            node = expr_or()
+            eat(")")
+            return node
+        if peek() in (")", "AND", "OR", "NOT", None):
+            raise ValueError(f"bool query parse error: unexpected {peek()!r} in {s!r}")
+        return eat().lower()
+
+    def expr_not():
+        if peek() == "NOT":
+            eat("NOT")
+            return ["not", expr_not()]
+        return atom()
+
+    def expr_and():
+        node = expr_not()
+        while peek() in ("AND", "NOT"):
+            if peek() == "NOT":  # infix NOT: a NOT b == a AND (NOT b)
+                eat("NOT")
+                node = ["and", node, ["not", expr_not()]]
+            else:
+                eat("AND")
+                node = ["and", node, expr_not()]
+        return node
+
+    def expr_or():
+        node = expr_and()
+        while peek() == "OR":
+            eat("OR")
+            node = ["or", node, expr_and()]
+        return node
+
+    out = expr_or()
+    if pos != len(toks):
+        raise ValueError(f"bool query parse error: trailing tokens in {s!r}")
+    return out
+
+
+def bool_leaves(tree, negated: bool = False):
+    """(positive_terms, all_terms): positive = leaves under an EVEN number
+    of NOTs (they score); the rest are filter-only (Lucene MUST_NOT)."""
+    if isinstance(tree, str):
+        return (set() if negated else {tree}), {tree}
+    op = tree[0]
+    if op == "not":
+        return bool_leaves(tree[1], not negated)
+    pos: set = set()
+    al: set = set()
+    for sub in tree[1:]:
+        p, a = bool_leaves(sub, negated)
+        pos |= p
+        al |= a
+    return pos, al
+
+
+def render_bool_query(tree) -> str:
+    """Canonical string form of an AST (used as query_id)."""
+    if isinstance(tree, str):
+        return tree
+    op = tree[0]
+    if op == "not":
+        return f"NOT {render_bool_query(tree[1])}"
+    joiner = f" {op.upper()} "
+    return "(" + joiner.join(render_bool_query(x) for x in tree[1:]) + ")"
+
+
+def bool_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: "Sequence",
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Boolean-expression retrieval (Lucene BooleanQuery): each query is an
+    AST (see ``parse_bool_query``) evaluated per document over term
+    PRESENCE; qualifying docs must additionally contain ≥1 positive term
+    (pure-negative queries match nothing — the Lucene convention).  The
+    score is the ordinary signed-idf BM25 sum over the DISTINCT positive
+    terms present (negated clauses filter, never score), accumulated in
+    sorted-term order on both tiers.  query_id is the canonical rendering.
+    Exact top-k: (query_id, id, score_micros, rank)."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    trees = {}
+    for q in queries:
+        t = parse_bool_query(q) if isinstance(q, str) else q
+        trees[render_bool_query(t)] = t
+    if not trees:
+        return empty
+    leafsets = {qid: bool_leaves(t) for qid, t in trees.items()}
+    all_terms = sorted({t for _, a in leafsets.values() for t in a})
+    stats, df_map = _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col, text_col)
+    n, avgdl = int(stats["N"]), float(stats["avgdl"])
+    if n == 0:
+        return empty
+    idf_map = {t: idf(int(df_map.get(t, 0)), n) for t in all_terms}
+    term_set = pa.array(all_terms, type=pa.string())
+    k1, b = cfg.k1, cfg.b
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        if not pdf.empty:
+            pdf["tfnorm"] = bm25_term_score(
+                pdf["tf"].to_numpy(dtype=np.float64),
+                pdf["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
+            )
+            by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+        for qid, tree in trees.items():
+            pos_terms, qleaves = leafsets[qid]
+            pos_in = [t for t in sorted(pos_terms) if t in (by_term if not pdf.empty else {})]
+            if not pos_in:
+                continue
+            cand = np.unique(np.concatenate(
+                [by_term[t][id_col].to_numpy() for t in pos_in]
+            ))
+            presence = {
+                t: np.isin(cand, by_term[t][id_col].to_numpy())
+                if t in by_term else np.zeros(len(cand), dtype=bool)
+                for t in qleaves
+            }
+
+            def ev(node):
+                if isinstance(node, str):
+                    return presence[node]
+                op = node[0]
+                if op == "not":
+                    return ~ev(node[1])
+                m = ev(node[1])
+                for sub in node[2:]:
+                    m = (m & ev(sub)) if op == "and" else (m | ev(sub))
+                return m
+
+            mask = ev(tree)
+            if not mask.any():
+                continue
+            sel = cand[mask]
+            scores = np.zeros(len(sel), dtype=np.float64)
+            for t in pos_in:
+                g = by_term[t]
+                v = (
+                    pd.Series(g["tfnorm"].to_numpy(), index=g[id_col].to_numpy())
+                    .reindex(sel)
+                    .to_numpy()
+                )
+                scores += idf_map[t] * np.nan_to_num(v, nan=0.0)
+            g = pd.DataFrame({id_col: sel, "score": scores})
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score": pa.array([], type=pa.float64()),
+            "score_micros": pa.array([], type=pa.int64()),
+        }
+        if not frames:
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+# ------------------------------------------------------------ faceted search
+
+def facet_counts(
+    docs_ds: "ray.data.Dataset",
+    queries: Dict[str, List[str]],
+    facet_col: str,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Faceted search (the Lucene facets / Elasticsearch terms-aggregation
+    shape): for every query, the count of ALL matching documents (≥1 query
+    term present) per value of ``facet_col`` — computed over the full match
+    set, not just the top-k page.  One tokenization pass; per-batch partial
+    (query, facet, n) rows fold driver-side (bounded: |queries| × facet
+    cardinality).  Distinct-doc counting is batch-safe because a document's
+    postings never split across batches (structural per-doc completeness,
+    see ``_make_score_docs``).  Returns (query_id, facet value col, n_docs)
+    sorted (query_id, facet)."""
+    qmap = {q: sorted(set(ts)) for q, ts in queries.items() if ts}
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), facet_col: pd.Series(dtype=object),
+         "n_docs": pd.Series(dtype=np.int64)}
+    )
+    if not qmap:
+        return empty
+    all_terms = pa.array(sorted({t for ts in qmap.values() for t in ts}),
+                         type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=all_terms)).to_pandas()
+        facets = dict(zip(batch.column(id_col).to_pylist(),
+                          batch.column(facet_col).to_pylist()))
+        rows_q, rows_f, rows_n = [], [], []
+        for qid, ts in qmap.items():
+            sub = pdf[pdf["term"].isin(ts)]
+            if sub.empty:
+                continue
+            docs = sub[id_col].unique()
+            vc = pd.Series([facets[d] for d in docs]).value_counts()
+            rows_q.extend([qid] * len(vc))
+            rows_f.extend(vc.index.tolist())
+            rows_n.extend(int(x) for x in vc.to_numpy())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.string()),
+            facet_col: pa.array(rows_f, type=pa.string()),
+            "n_docs": pa.array(rows_n, type=pa.int64()),
+        })
+
+    acc: Dict[tuple, int] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for q, f, n in zip(b.column("query_id").to_pylist(),
+                           b.column(facet_col).to_pylist(),
+                           b.column("n_docs").to_pylist()):
+            acc[(q, f)] = acc.get((q, f), 0) + int(n)
+    if not acc:
+        return empty
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "query_id": [k[0] for k in keys],
+        facet_col: [k[1] for k in keys],
+        "n_docs": pd.array([acc[k] for k in keys], dtype="int64"),
+    })
+
+
 # ------------------------------------------------------------- NEAR search
 
 def near_topk(

@@ -820,6 +820,140 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_bm25_facets(sf_dir: str) -> pd.DataFrame:
+    """Faceted search: per fixed BM25 query, the count of ALL matching
+    documents (≥1 query term present) by language — the Lucene facets /
+    terms-aggregation shape, over the full match set."""
+    from oboyu_ray.pipelines.bm25_batch import facet_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    return facet_counts(docs, queries, "lang", cfg=CFG)
+
+
+def _sql_bm25_facets() -> str:
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qid, terms in queries.items():
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows) if rows else "('__none__', '__none__')"
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+matched AS (
+    SELECT DISTINCT q.query_id, p.doc_id
+    FROM qterms q JOIN postings p ON p.term = q.term
+)
+SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+
+# Boolean-expression queries (Lucene BooleanQuery shapes): nested AND/OR,
+# infix NOT, a NOT over a conjunction, and a NOT inside an OR.
+BOOL_QUERIES: List[str] = [
+    "(table AND join) OR vector",
+    "window NOT merge",
+    "(scan OR stream) AND NOT (sort AND batch)",
+    "customer AND (vector OR NOT table)",
+]
+
+
+def q_bool_topk(sf_dir: str) -> pd.DataFrame:
+    """Boolean-expression retrieval: AND/OR/NOT trees over term presence,
+    scored as the signed-idf BM25 sum over the distinct POSITIVE terms
+    present (negated clauses filter only); qualifying docs need ≥1 positive
+    term — the Lucene BooleanQuery shape, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import bool_topk
+
+    return bool_topk(_docs(sf_dir), BOOL_QUERIES, k=TOPK, cfg=CFG)
+
+
+def _sql_bool_topk() -> str:
+    from oboyu_ray.pipelines.bm25_batch import (
+        bool_leaves,
+        parse_bool_query,
+        render_bool_query,
+    )
+
+    trees = {}
+    for q in BOOL_QUERIES:
+        t = parse_bool_query(q)
+        trees[render_bool_query(t)] = t
+    all_terms = sorted({t for tr in trees.values() for t in bool_leaves(tr)[1]})
+    col = {t: f"p_{i}" for i, t in enumerate(all_terms)}
+    pres_cols = ",\n           ".join(
+        f"bool_or(term = '{t}') AS {col[t]}" for t in all_terms
+    )
+
+    def sql_expr(node) -> str:
+        if isinstance(node, str):
+            return col[node]
+        if node[0] == "not":
+            return f"(NOT {sql_expr(node[1])})"
+        j = " AND " if node[0] == "and" else " OR "
+        return "(" + j.join(sql_expr(x) for x in node[1:]) + ")"
+
+    qdoc_selects, qterm_rows = [], []
+    for qid, tree in trees.items():
+        pos, _ = bool_leaves(tree)
+        pos_or = " OR ".join(col[t] for t in sorted(pos))
+        qdoc_selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id FROM pres "
+            f"WHERE ({sql_expr(tree)}) AND ({pos_or})"
+        )
+        for t in sorted(pos):
+            qterm_rows.append(f"('{qid}', '{t}')")
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+pres AS (
+    SELECT doc_id,
+           {pres_cols}
+    FROM postings GROUP BY doc_id
+),
+qdocs AS (
+    {" UNION ALL ".join(qdoc_selects)}
+),
+qterms(query_id, term) AS (VALUES {", ".join(qterm_rows)}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           (p.tf * ({k1} + 1)) / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (
+    SELECT co.query_id, co.doc_id, sum(co.c) AS score
+    FROM contrib co JOIN qdocs qd
+      ON qd.query_id = co.query_id AND qd.doc_id = co.doc_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -837,6 +971,8 @@ def core_queries() -> dict:
         "regex_topk": q_regex_topk,
         "wildcard_topk": q_wildcard_topk,
         "mlt_topk": q_mlt_topk,
+        "bm25_facets": q_bm25_facets,
+        "bool_topk": q_bool_topk,
     }
 
 
@@ -857,4 +993,6 @@ def core_oracle_sql() -> dict:
         "regex_topk": _sql_regex_topk(),
         "wildcard_topk": _sql_wildcard_topk(),
         "mlt_topk": _sql_mlt_topk(),
+        "bm25_facets": _sql_bm25_facets(),
+        "bool_topk": _sql_bool_topk(),
     }

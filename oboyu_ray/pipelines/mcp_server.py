@@ -97,6 +97,14 @@ TOOLS = [
                                    "* (any run) and ? (one char), rewritten "
                                    "to the regex path",
                 },
+                "bool_query": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "boolean retrieval: the query is an "
+                                   "'(a AND b) OR c NOT d' expression over "
+                                   "index terms (negated clauses filter, "
+                                   "positive terms score)",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -153,6 +161,7 @@ class McpServer:
         prefix: bool = False, near: Optional[int] = None,
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
         page: int = 0, regex: bool = False, wildcard: bool = False,
+        bool_query: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -161,11 +170,14 @@ class McpServer:
         # pagination is a plain-search feature; refuse it elsewhere instead
         # of silently answering page 0 (the silently-dropped-flag hazard)
         if int(page) and (phrase or prefix or near is not None
-                          or fuzzy is not None or regex or wildcard):
+                          or fuzzy is not None or regex or wildcard
+                          or bool_query):
             raise ValueError("page is only supported in plain search mode")
-        if regex and wildcard:
-            raise ValueError("regex and wildcard are mutually exclusive")
-        if regex or wildcard:
+        if sum((regex, wildcard, bool_query)) > 1:
+            raise ValueError("regex/wildcard/bool_query are mutually exclusive")
+        if bool_query:
+            df = eng.search_bool(query, k=int(top_k), hydrate=True, scope=sc)
+        elif regex or wildcard:
             fn = eng.search_regex if regex else eng.search_wildcard
             df = fn(query, k=int(top_k), hydrate=True, resolve=True, scope=sc)
         elif near is not None:

@@ -468,6 +468,17 @@ class MergeAggregator:
             ]
         ), k)
 
+    def query_bool(self, tree, term_weights: Dict[str, float], k: int,
+                   scope=None):
+        import ray as _ray
+
+        return _merge_topk_multi(_ray.get(
+            [
+                s.query_bool.remote(tree, term_weights, k, scope=scope)
+                for s in self.shards
+            ]
+        ), k)
+
     def explain(self, term_weights: Dict[str, float], doc_abs: int):
         import ray as _ray
 
@@ -950,6 +961,41 @@ class QueryEngine:
         out = pd.DataFrame(
             {"doc_num": top_docs[keep][:k], "score": top_scores[keep][:k]}
         )
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
+    def search_bool(
+        self, query: str, k: int = 10,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Boolean-expression retrieval: ``query`` is a ``(a AND b) OR c
+        NOT d`` expression (see ``parse_bool_query``) over INDEX TERMS.
+        Candidates must match ≥1 positive (non-negated) term; scoring is
+        the signed-idf BM25 sum over the distinct positive terms present —
+        identical to ``bool_topk``.  Terms are looked up verbatim (the
+        boolean grammar names index terms directly; no tokenizer pass)."""
+        from oboyu_ray.pipelines.bm25_batch import bool_leaves, parse_bool_query
+
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        tree = parse_bool_query(query) if isinstance(query, str) else query
+        pos_terms, _ = bool_leaves(tree)
+        dfs = self.vocab.df(sorted(pos_terms))
+        n = int(self.stats["N"])
+        weights = {
+            t: idf(int(dfs.get(t, 0)), n) for t in sorted(pos_terms)
+        }
+        if not any(int(dfs.get(t, 0)) > 0 for t in pos_terms):
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        results = self._fanout(
+            lambda ts: [a.query_bool.remote(tree, weights, k, scope=scope)
+                        for a in ts]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
         if resolve or hydrate:
             out = self._finish(out, hydrate)
         return out

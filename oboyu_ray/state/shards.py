@@ -712,6 +712,96 @@ class IndexShard:
                 )
         return top_docs, top_scores
 
+    def query_bool(
+        self, tree, term_weights: Dict[str, float], k: int, scope=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Boolean-expression top-k (Lucene BooleanQuery): ``tree`` is a
+        nested-list AST (["and"|"or", x, ...] / ["not", x] / term string)
+        evaluated per document over term PRESENCE; candidates are the union
+        of the POSITIVE terms' postings (a doc matching only negated
+        clauses never ranks — the Lucene convention), and the score is the
+        signed-idf BM25 sum over the distinct positive terms present
+        (``term_weights``; negated-only leaves carry no weight).
+
+        Execution is the dense-array shape shared with the rarest-AND and
+        wide-OR paths: per part, candidates gather one cached contribution
+        slice per positive term (union), every leaf's presence is one
+        gather from its cached dense tfnorm array (tfnorm > 0 ⇔ present),
+        the AST evaluates vectorized over the candidate vector, and scores
+        accumulate in sorted-term order.  Work per part is O(Σ positive
+        df + |leaves|·|candidates|) — no per-doc Python, no block-max
+        machinery (presence filtering prunes harder than any bound)."""
+        from oboyu_ray.pipelines.bm25_batch import bool_leaves
+
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        pos_terms, all_terms = bool_leaves(tree)
+        pos_sorted = sorted(pos_terms)
+        if k <= 0 or not pos_sorted:
+            return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
+        self.counters["queries"] += 1
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            pos_in = [t for t in pos_sorted if t in part.term_slices]
+            if not pos_in:
+                continue
+            span = part.n_windows * W
+            base = part.win_base * W
+            cand_list = [
+                self._contrib_cached(part_idx, *part.term_slices[t])[0]
+                for t in pos_in
+            ]
+            cand = (
+                cand_list[0]
+                if len(cand_list) == 1
+                else np.unique(np.concatenate(cand_list))
+            )
+            dense = {
+                t: self._dense_contrib_cached(
+                    part_idx, *part.term_slices[t], span
+                )
+                for t in all_terms
+                if t in part.term_slices
+            }
+            zeros = None
+
+            def ev(node):
+                nonlocal zeros
+                if isinstance(node, str):
+                    d = dense.get(node)
+                    if d is None:
+                        if zeros is None:
+                            zeros = np.zeros(len(cand), dtype=bool)
+                        return zeros
+                    return d[cand] != 0.0
+                op = node[0]
+                if op == "not":
+                    return ~ev(node[1])
+                m = ev(node[1])
+                for sub in node[2:]:
+                    m = (m & ev(sub)) if op == "and" else (m | ev(sub))
+                return m
+
+            mask = ev(tree)
+            if not mask.any():
+                continue
+            sel = cand[mask]
+            scores = np.zeros(len(sel), dtype=np.float64)
+            for t in pos_in:
+                scores += term_weights[t] * dense[t][sel]
+            docs_abs, sc = self._drop_excluded(base + sel, scores, None, scope)
+            if len(docs_abs):
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, sc, k
+                )
+        return top_docs, top_scores
+
     def _range_cached(self, part_idx: int, part: _PartIndex,
                       ti0: int, ti1: int):
         """FIFO-cached whole-range decode for unique-term interval

@@ -354,6 +354,7 @@ def test_cli_federate_rejects_unsupported_flags(capsys):
     for extra in (
         {"scope": "0:5"}, {"phrase": True}, {"near": 3}, {"prefix": True},
         {"fuzzy": 1, "hydrate": True}, {"regex": "tok.*"}, {"wildcard": "tok*"},
+        {"bool_expr": "a AND b"},
     ):
         rc = cmd_query(argparse.Namespace(**{**base, **extra}))
         err = capsys.readouterr().err
@@ -376,6 +377,9 @@ def test_cli_regex_wildcard_modes(built, engine, capsys):
     rc = cmd_query(argparse.Namespace(**{**base, "wildcard": "tok*"}))
     assert rc == 0 and "doc_num" in capsys.readouterr().out
     rc = cmd_query(argparse.Namespace(**{**base, "more_like": "0"}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    rc = cmd_query(argparse.Namespace(
+        **{**base, "bool_expr": "(token AND python) OR model"}))
     assert rc == 0 and "doc_num" in capsys.readouterr().out
     # plain mode still requires --q
     rc = cmd_query(argparse.Namespace(**base))
@@ -1362,6 +1366,55 @@ def test_regex_wildcard_engine_matches_brute_force(built, engine):
     assert vl.df_regex("tok.*", literal_prefix="tok") == vl.df_regex("tok.*")
     with pytest.raises(ValueError, match="expands"):
         vl.df_regex(".*", max_terms=5)
+
+
+def test_bool_engine_matches_brute_force(built, engine):
+    """search_bool (AST evaluated over cached dense presence arrays through
+    the shards) must be rank- and score-identical to the Dataset brute
+    force bool_topk, across AND/OR/NOT nestings, absent terms, double
+    negation, and the pure-negative degenerate (empty)."""
+    from oboyu_ray.pipelines.bm25_batch import (
+        bool_topk,
+        parse_bool_query,
+        render_bool_query,
+        score_micros,
+    )
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    k = 12
+    exprs = [
+        "(token AND python) OR model",
+        "検索 NOT python",
+        "(token OR model) AND NOT (python AND 検索)",
+        "token AND (model OR NOT python)",
+        "token AND zzznohit",          # absent term in an AND -> still candidates via token? NO: and(token, absent)=False
+        "token OR zzznohit",           # absent term in an OR -> token alone
+        "NOT NOT token",               # double negation -> plain token query
+    ]
+    brute = bool_topk(docs_ds, exprs, k=k, cfg=CFG, id_col="doc_num",
+                      text_col="text")
+    hits = 0
+    for s in exprs:
+        qid = render_bool_query(parse_bool_query(s))
+        got = engine.search_bool(s, k=k)
+        expect = brute[brute.query_id == qid]
+        assert len(got) == len(expect), s
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), s
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=s,
+            )
+            hits += 1
+    assert hits >= 4
+    # pure-negative: no positive leaf -> empty on both tiers
+    assert engine.search_bool("NOT token", k=5).empty
+    assert bool_topk(docs_ds, ["NOT token"], k=5, cfg=CFG, id_col="doc_num",
+                     text_col="text").empty
+    # scope composes
+    a = engine.search_bool("(token AND python) OR model", k=k, scope=(0, 100))
+    assert (a["doc_num"] < 100).all()
 
 
 def test_mlt_engine_matches_brute_force(built, engine):
