@@ -5320,11 +5320,605 @@ ORDER BY source, lang
 
 # ---------------------------------------------------------------- registry
 
+# ------------------------------------------------ TPC-H analogs Q5/Q7/Q8/Q9
+#
+# Shared plan shape: lineitem ⋈ orders is the ONE large-large hash-shuffle
+# join; every dimension (customer→nation, supplier→nation, part attrs,
+# nation/region names) broadcasts via ray.put and resolves with a
+# searchsorted gather inside map_batches — TPC-H dimension/fact ratios keep
+# the broadcast sides tiny relative to the fact tables at every SF, the
+# same documented trade as orders_by_nation_broadcast.  Per-row revenue is
+# fixed-pointed to int64 micros BEFORE any aggregation (associative sums),
+# and every final aggregate has a bounded key space (nations × years), so
+# partials fold on the driver instead of paying a second shuffle.
+
+def _bcast_i64_map(sf_dir: str, table: str, key: str, val: str):
+    """ray.put a small-side (sorted keys, int64 values) lookup."""
+    from oboyu_ray.stages.relational import load_broadcast_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    keys, vals = load_broadcast_map(ds, key, val)
+    return ray.put((keys, vals))
+
+
+def _gather_i64(ref, keys_np: np.ndarray, what: str) -> np.ndarray:
+    """Vectorized broadcast-map gather; raises on unknown keys (referential
+    integrity is a data invariant here, not a silent null)."""
+    k, v = ray.get(ref)
+    ix = np.searchsorted(k, keys_np)
+    ok = (ix < len(k)) & (k[np.minimum(ix, len(k) - 1)] == keys_np)
+    if not ok.all():
+        raise ValueError(f"unknown {what} key in fact table")
+    return v[ix]
+
+
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+
+
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 analog: revenue by supplier nation where the CUSTOMER's
+    nation equals the SUPPLIER's nation, region ASIA, orders 1996-1997.
+    One lineitem⋈orders hash join; customer/supplier nations and the
+    region-membership bitmap broadcast; ≤25-key driver fold."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia_key = int(reg.loc[reg.r_name == Q5_REGION, "r_regionkey"].iloc[0])
+    asia_nations = ray.put(
+        np.sort(nat.loc[nat.n_regionkey == asia_key, "n_nationkey"]
+                .to_numpy(dtype=np.int64))
+    )
+    names = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((d >= Q5_LO) & (d < Q5_HI)))
+        cn = _gather_i64(cust_nat, b.column("o_custkey").to_numpy().astype(np.int64),
+                         "customer")
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "cust_nation": pa.array(cn, type=pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        sn = _gather_i64(supp_nat, b.column("l_suppkey").to_numpy().astype(np.int64),
+                         "supplier")
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "supp_nation": pa.array(sn, type=pa.int64()),
+            "rev_micros": pa.array(micros(price * (1.0 - disc)), type=pa.int64()),
+        })
+
+    joined = hash_join(
+        li.map_batches(li_rev, batch_format="pyarrow"),
+        orders.map_batches(pick_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b.column("supp_nation").to_numpy(zero_copy_only=False)
+        cn = b.column("cust_nation").to_numpy(zero_copy_only=False)
+        asia = ray.get(asia_nations)
+        ix = np.searchsorted(asia, sn)
+        in_asia = (ix < len(asia)) & (asia[np.minimum(ix, len(asia) - 1)] == sn)
+        keep = (sn == cn) & in_asia
+        t = pa.table({
+            "supp_nation": pa.array(sn[keep], type=pa.int64()),
+            "rev_micros": b.column("rev_micros").filter(pa.array(keep)),
+        })
+        return t.group_by("supp_nation").aggregate([("rev_micros", "sum")])
+
+    acc: dict = {}
+    for b in joined.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nk, rv in zip(b.column("supp_nation").to_pylist(),
+                          b.column("rev_micros_sum").to_pylist()):
+            acc[int(nk)] = acc.get(int(nk), 0) + int(rv)
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "n_name": [names[k] for k in keys],
+        "revenue_micros": pd.array([acc[k] for k in keys], dtype="int64"),
+    })
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_micros
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+
+
+def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 analog: shipping volume between a nation pair (both
+    directions kept distinct) by ship year, 1996-1997.  Same one-join
+    plan as Q5; the (supp_nation, cust_nation, year) key space is 4."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    names = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    ka = int(nat.loc[nat.n_name == Q7_NATION_A, "n_nationkey"].iloc[0])
+    kb = int(nat.loc[nat.n_name == Q7_NATION_B, "n_nationkey"].iloc[0])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        cn = _gather_i64(cust_nat, b.column("o_custkey").to_numpy().astype(np.int64),
+                         "customer")
+        keep = (cn == ka) | (cn == kb)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "cust_nation": pa.array(cn[keep], type=pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        sn = _gather_i64(supp_nat, b.column("l_suppkey").to_numpy().astype(np.int64),
+                         "supplier")
+        keep = (d >= lo) & (d < hi) & ((sn == ka) | (sn == kb))
+        b2 = b.filter(pa.array(keep))
+        price = b2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b2.column("l_discount").to_numpy(zero_copy_only=False)
+        year = d[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": b2.column("l_orderkey"),
+            "supp_nation": pa.array(sn[keep], type=pa.int64()),
+            "l_year": pa.array(year, type=pa.int64()),
+            "rev_micros": pa.array(
+                micros(price * (1.0 - disc)), type=pa.int64()
+            ),
+        })
+
+    joined = hash_join(
+        li.map_batches(li_rev, batch_format="pyarrow"),
+        orders.map_batches(pick_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey",
+    )
+
+    acc: dict = {}
+    for b in joined.iter_batches(batch_format="pyarrow"):
+        sn = b.column("supp_nation").to_numpy(zero_copy_only=False)
+        cn = b.column("cust_nation").to_numpy(zero_copy_only=False)
+        yr = b.column("l_year").to_numpy(zero_copy_only=False)
+        rv = b.column("rev_micros").to_numpy(zero_copy_only=False)
+        keep = sn != cn  # the cross-nation pair, both directions
+        for s, c, y, r in zip(sn[keep], cn[keep], yr[keep], rv[keep]):
+            key = (int(s), int(c), int(y))
+            acc[key] = acc.get(key, 0) + int(r)
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "supp_nation": [names[k[0]] for k in keys],
+        "cust_nation": [names[k[1]] for k in keys],
+        "l_year": pd.array([k[2] for k in keys], dtype="int64"),
+        "revenue_micros": pd.array([acc[k] for k in keys], dtype="int64"),
+    })
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_micros
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+Q8_REGION_KEY = 1          # AMERICA
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_6"
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 analog: NATION_6's share (ppm) of ECONOMY-part revenue sold
+    into region AMERICA, per order year.  Part-type and region-membership
+    bitmaps broadcast; numerator and denominator accumulate as exact int64
+    micros and divide once per year on the driver."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region_nations = ray.put(
+        np.sort(nat.loc[nat.n_regionkey == Q8_REGION_KEY, "n_nationkey"]
+                .to_numpy(dtype=np.int64))
+    )
+    target_key = int(nat.loc[nat.n_name == Q8_NATION, "n_nationkey"].iloc[0])
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    econ = ray.put(
+        np.sort(part.loc[part.p_type == Q8_TYPE, "p_partkey"]
+                .to_numpy(dtype=np.int64))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        cn = _gather_i64(cust_nat, b.column("o_custkey").to_numpy().astype(np.int64),
+                         "customer")
+        rn = ray.get(region_nations)
+        ix = np.searchsorted(rn, cn)
+        keep = (ix < len(rn)) & (rn[np.minimum(ix, len(rn) - 1)] == cn)
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "o_year": pa.array(year[keep], type=pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        ep = ray.get(econ)
+        ix = np.searchsorted(ep, pk)
+        keep = (ix < len(ep)) & (ep[np.minimum(ix, len(ep) - 1)] == pk)
+        b2 = b.filter(pa.array(keep))
+        sn = _gather_i64(supp_nat, b2.column("l_suppkey").to_numpy().astype(np.int64),
+                         "supplier")
+        price = b2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b2.column("l_discount").to_numpy(zero_copy_only=False)
+        rv = micros(price * (1.0 - disc))
+        return pa.table({
+            "l_orderkey": b2.column("l_orderkey"),
+            "rev_micros": pa.array(rv, type=pa.int64()),
+            "nat_micros": pa.array(np.where(sn == target_key, rv, 0),
+                                   type=pa.int64()),
+        })
+
+    joined = hash_join(
+        li.map_batches(li_rev, batch_format="pyarrow"),
+        orders.map_batches(pick_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey",
+    )
+
+    acc: dict = {}
+    for b in joined.iter_batches(batch_format="pyarrow"):
+        for y, r, nr in zip(b.column("o_year").to_pylist(),
+                            b.column("rev_micros").to_pylist(),
+                            b.column("nat_micros").to_pylist()):
+            tot, nt = acc.get(int(y), (0, 0))
+            acc[int(y)] = (tot + int(r), nt + int(nr))
+    from oboyu_ray.fixedpoint import micros as _mic
+
+    years = sorted(acc)
+    return pd.DataFrame({
+        "o_year": pd.array(years, dtype="int64"),
+        "mkt_share_ppm": pd.array(
+            [int(_mic(acc[y][1] / acc[y][0])) for y in years], dtype="int64"
+        ),
+    })
+
+
+SQL_MARKET_SHARE = f"""
+WITH rev AS (
+    SELECT year(o_orderdate)::BIGINT AS o_year,
+           CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT) AS r,
+           s_nationkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE p_type = '{Q8_TYPE}' AND nc.n_regionkey = {Q8_REGION_KEY}
+)
+SELECT o_year,
+       CAST(floor(
+           sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                        WHERE n_name = '{Q8_NATION}')
+                    THEN r ELSE 0 END)::DOUBLE
+           / sum(r)::DOUBLE * 1e6 + 0.5) AS BIGINT) AS mkt_share_ppm
+FROM rev GROUP BY 1
+"""
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 analog: profit by (supplier nation, order year) over parts
+    whose name contains 'red'.  No partsupp table exists in this schema, so
+    cost = p_retailprice × l_quantity (documented adaptation); profit =
+    revenue − cost, fixed-pointed per row.  Part attrs broadcast as
+    (sorted partkeys, retail micros) with a name-match bitmap."""
+    from oboyu_ray.fixedpoint import micros
+    from oboyu_ray.stages.relational import hash_join
+
+    supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    names = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    red = part[part.p_name.str.contains(Q9_NAME_SUBSTR, regex=False)]
+    order_ix = np.argsort(red.p_partkey.to_numpy())
+    red_ref = ray.put((
+        red.p_partkey.to_numpy(dtype=np.int64)[order_ix],
+        red.p_retailprice.to_numpy(dtype=np.float64)[order_ix],
+    ))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pa.array(year, type=pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def li_profit(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        rk, rp = ray.get(red_ref)
+        ix = np.searchsorted(rk, pk)
+        keep = (ix < len(rk)) & (rk[np.minimum(ix, len(rk) - 1)] == pk)
+        b2 = b.filter(pa.array(keep))
+        retail = rp[ix[keep]]
+        sn = _gather_i64(supp_nat, b2.column("l_suppkey").to_numpy().astype(np.int64),
+                         "supplier")
+        price = b2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b2.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b2.column("l_quantity").to_numpy(zero_copy_only=False)
+        profit = micros(price * (1.0 - disc) - retail * qty)
+        return pa.table({
+            "l_orderkey": b2.column("l_orderkey"),
+            "supp_nation": pa.array(sn, type=pa.int64()),
+            "profit_micros": pa.array(profit, type=pa.int64()),
+        })
+
+    joined = hash_join(
+        li.map_batches(li_profit, batch_format="pyarrow"),
+        orders.map_batches(pick_orders, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey",
+    )
+
+    acc: dict = {}
+    for b in joined.iter_batches(batch_format="pyarrow"):
+        for s, y, p in zip(b.column("supp_nation").to_pylist(),
+                           b.column("o_year").to_pylist(),
+                           b.column("profit_micros").to_pylist()):
+            key = (int(s), int(y))
+            acc[key] = acc.get(key, 0) + int(p)
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "n_name": [names[k[0]] for k in keys],
+        "o_year": pd.array([k[1] for k in keys], dtype="int64"),
+        "profit_micros": pd.array([acc[k] for k in keys], dtype="int64"),
+    })
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+                       - p_retailprice * l_quantity) * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS profit_micros
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%'
+GROUP BY 1, 2
+"""
+
+
+Q13_EXCLUDED_PRIORITY = "5-LOW"
+
+
+def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 analog: distribution of per-customer order counts (orders
+    with priority 5-LOW excluded — the comment-filter analog), INCLUDING
+    the zero-order bucket.  One groupby(custkey) shuffle produces the
+    per-customer counts; the distribution itself is a bounded driver fold,
+    and the zero bucket is total_customers − customers_with_orders (orders
+    reference only existing customers — checked by events_validation-style
+    invariants), so no customer-side join is needed."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    per_cust = (
+        orders.filter(
+            lambda r: r["o_orderpriority"] != Q13_EXCLUDED_PRIORITY
+        )
+        .groupby("o_custkey")
+        .count()
+    )
+    dist: dict = {}
+    n_with_orders = 0
+    for b in per_cust.iter_batches(batch_format="pyarrow"):
+        n_with_orders += b.num_rows
+        cnts = b.column("count()").to_numpy(zero_copy_only=False)
+        vals, reps = np.unique(cnts, return_counts=True)
+        for v, r in zip(vals, reps):
+            dist[int(v)] = dist.get(int(v), 0) + int(r)
+    import pyarrow.parquet as _pq
+
+    n_customers = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+    zero = int(n_customers) - n_with_orders
+    if zero > 0:
+        dist[0] = dist.get(0, 0) + zero
+    keys = sorted(dist)
+    return pd.DataFrame({
+        "c_count": pd.array(keys, dtype="int64"),
+        "custdist": pd.array([dist[k] for k in keys], dtype="int64"),
+    })
+
+
+SQL_CUSTOMER_ORDER_DIST = f"""
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c_orders GROUP BY 1
+"""
+
+
+# Q19 disjuncts: (brand, size_hi, qty_lo, qty_hi) with size from 1
+Q19_DISJUNCTS = [
+    ("Brand#1", 15, 1, 11),
+    ("Brand#2", 25, 10, 20),
+    ("Brand#3", 40, 20, 30),
+]
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 analog: revenue under an OR-of-ANDs predicate over part
+    brand/size × lineitem quantity.  Part (brand-code, size) broadcast as
+    aligned arrays; the whole disjunction evaluates vectorized per batch —
+    one scan, zero shuffles, single-row exact result."""
+    from oboyu_ray.fixedpoint import micros
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    order_ix = np.argsort(part.p_partkey.to_numpy())
+    brands = {b: i for i, (b, *_ ) in enumerate(Q19_DISJUNCTS)}
+    bcode = part.p_brand.map(brands).fillna(-1).to_numpy(dtype=np.int64)
+    pref = ray.put((
+        part.p_partkey.to_numpy(dtype=np.int64)[order_ix],
+        bcode[order_ix],
+        part.p_size.to_numpy(dtype=np.int64)[order_ix],
+    ))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy().astype(np.int64)
+        keys, bc, sz = ray.get(pref)
+        ix = np.searchsorted(keys, pk)
+        ok = (ix < len(keys)) & (keys[np.minimum(ix, len(keys) - 1)] == pk)
+        if not ok.all():
+            raise ValueError("lineitem references unknown part")
+        code, size = bc[ix], sz[ix]
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i, (_, size_hi, qlo, qhi) in enumerate(Q19_DISJUNCTS):
+            keep |= (
+                (code == i) & (size >= 1) & (size <= size_hi)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rv = micros(price * (1.0 - disc))[keep]
+        return pa.table({
+            "rev_micros": pa.array([int(rv.sum())], type=pa.int64()),
+            "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    tot_r = tot_n = 0
+    # iter_batches COALESCES blocks: one iterated batch carries one row per
+    # upstream map task — fold EVERY row, never just [0]
+    for b in li.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        tot_r += sum(int(x or 0) for x in b.column("rev_micros").to_pylist())
+        tot_n += sum(int(x or 0) for x in b.column("n_items").to_pylist())
+    return pd.DataFrame({
+        "revenue_micros": pd.array([tot_r], dtype="int64"),
+        "n_items": pd.array([tot_n], dtype="int64"),
+    })
+
+
+def _sql_disjunctive_revenue() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sh} "
+        f"AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, sh, ql, qh in Q19_DISJUNCTS
+    )
+    return f"""
+SELECT sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_micros,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
 def corpus_queries() -> dict:
     return {
         # round-4 session-3 additions first: never driver-checked, so the
         # rotation in __ray_entry__ puts them inside the driver's sample
         "substring_dups": q_substring_dups,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "customer_order_dist": q_customer_order_dist,
+        "disjunctive_revenue": q_disjunctive_revenue,
         "order_priority_wait": q_order_priority_wait,
         "waiting_suppliers": q_waiting_suppliers,
         "large_volume_customers": q_large_volume_customers,
@@ -5453,6 +6047,12 @@ def corpus_queries() -> dict:
 def corpus_oracle_sql() -> dict:
     return {
         "order_priority_wait": SQL_ORDER_PRIORITY_WAIT,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "volume_shipping": SQL_VOLUME_SHIPPING,
+        "market_share": SQL_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
+        "disjunctive_revenue": _sql_disjunctive_revenue(),
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
         "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,

@@ -49,6 +49,12 @@ HEAVY_QUERIES = [
     "user_skew_report",
     "user_day_activity",
     "join_revenue",
+    "local_supplier_volume",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "customer_order_dist",
+    "disjunctive_revenue",
     "orders_unfilled",
     "orders_range_sorted",
     "revenue_concentration",
