@@ -116,6 +116,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         or getattr(args, "wildcard", None) is not None
         or getattr(args, "more_like", None) is not None
         or getattr(args, "bool_expr", None) is not None
+        or bool(getattr(args, "synonyms", None))
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -138,6 +139,7 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--wildcard", getattr(args, "wildcard", None) is not None),
                 ("--more-like", getattr(args, "more_like", None) is not None),
                 ("--bool", getattr(args, "bool_expr", None) is not None),
+                ("--synonyms", bool(getattr(args, "synonyms", None))),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -204,6 +206,14 @@ def cmd_query(args: argparse.Namespace) -> int:
     elif getattr(args, "bool_expr", None) is not None:
         out = engine.search_bool(
             args.bool_expr, k=k, hydrate=hydrate, resolve=True, scope=scope
+        )
+    elif getattr(args, "synonyms", None):
+        import json as _json
+
+        with open(args.synonyms) as f:
+            syn = _json.load(f)
+        out = engine.search_synonym(
+            args.q, syn, k=k, hydrate=hydrate, resolve=True, scope=scope
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -393,6 +403,10 @@ def main(argv=None) -> int:
                    help="boolean retrieval: '(a AND b) OR c NOT d' over "
                         "index terms; negated clauses filter, positive "
                         "terms score (--q is ignored)")
+    q.add_argument("--synonyms", default=None, metavar="JSON",
+                   help="blended synonym retrieval: JSON file mapping "
+                        "term -> [synonyms...]; each query token's group "
+                        "scores as one term (SynonymQuery semantics)")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

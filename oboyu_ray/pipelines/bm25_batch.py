@@ -1491,6 +1491,126 @@ def bool_topk(
     return out
 
 
+# ------------------------------------------------------------ synonym search
+
+def synonym_groups(
+    terms: Sequence[str], synonyms: Dict[str, Sequence[str]]
+) -> "List[List[str]]":
+    """Per query-token synonym group: ``[t] + synonyms[t]`` (one-directional
+    map form, duplicates dropped, member order sorted).  A token without an
+    entry is a singleton group — plain term scoring."""
+    out = []
+    for t in terms:
+        g = sorted({t, *synonyms.get(t, ())})
+        out.append(g)
+    return out
+
+
+def synonym_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: Sequence[str],
+    synonyms: Dict[str, Sequence[str]],
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Blended synonym retrieval (Lucene SynonymQuery): each query token
+    expands to its synonym group and the group scores AS ONE TERM — per doc
+    the group tf is the SUM of member tfs (summed BEFORE BM25 saturation)
+    and the group idf uses the group's MAX df (blending prevents a rare
+    synonym's high idf from dominating — the Lucene SynonymQuery/BM25
+    docFreq=max convention).  Duplicate query tokens multiply the group
+    weight (reference per-occurrence summing).  Exact top-k: (query_id,
+    id, score_micros, rank) like ``brute_force_topk``."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    tokq = tokenize_queries(list(queries), cfg)
+    qgroups = {q: synonym_groups(ts, synonyms) for q, ts in tokq.items() if ts}
+    if not qgroups:
+        return empty
+    all_terms = sorted({t for gs in qgroups.values() for g in gs for t in g})
+    stats, df_map = _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col, text_col)
+    n, avgdl = int(stats["N"]), float(stats["avgdl"])
+    if n == 0:
+        return empty
+    # per query: fold duplicate groups into (group-key → weight) with
+    # multiplicity; group weight = idf(max member df)
+    qweights: Dict[str, Dict[tuple, float]] = {}
+    for q, gs in qgroups.items():
+        w: Dict[tuple, float] = {}
+        for g in gs:
+            df_max = max((df_map.get(t, 0) for t in g), default=0)
+            if df_max <= 0:
+                continue
+            key = tuple(g)
+            w[key] = w.get(key, 0.0) + idf(int(df_max), n)
+        if w:
+            qweights[q] = w
+    if not qweights:
+        return empty
+    term_set = pa.array(all_terms, type=pa.string())
+    k1, b = cfg.k1, cfg.b
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        for qid, w in qweights.items():
+            doc_scores: Dict[int, float] = {}
+            acc = None
+            for g, wg in w.items():
+                sub = pdf[pdf["term"].isin(g)]
+                if sub.empty:
+                    continue
+                # group tf = per-doc SUM over members; dl is per-doc constant
+                gg = sub.groupby(id_col, sort=True).agg(
+                    tf=("tf", "sum"), dl=("dl", "first")
+                )
+                contrib = wg * bm25_term_score(
+                    gg["tf"].to_numpy(dtype=np.float64),
+                    gg["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
+                )
+                s = pd.Series(contrib, index=gg.index)
+                acc = s if acc is None else acc.add(s, fill_value=0.0)
+            if acc is None or acc.empty:
+                continue
+            g = acc.reset_index()
+            g.columns = [id_col, "score"]
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score": pa.array([], type=pa.float64()),
+            "score_micros": pa.array([], type=pa.int64()),
+        }
+        if not frames:
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 # ------------------------------------------------------------ faceted search
 
 def facet_counts(

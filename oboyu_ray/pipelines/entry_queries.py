@@ -954,6 +954,92 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# Fixed synonym map (one-directional) over the documents vocabulary; the
+# last entry maps onto another query term so group-vs-singleton overlap is
+# exercised (a doc's "batch" tf counts in BOTH the scan-group and the
+# plain batch token of the same query).
+SYNONYMS = {
+    "table": ["tables"],
+    "join": ["merge"],
+    "window": ["stream"],
+    "scan": ["batch"],
+    "customer": ["supplier"],
+}
+
+
+def q_synonym_topk(sf_dir: str) -> pd.DataFrame:
+    """Blended synonym retrieval over the fixed BM25 query set: each token's
+    synonym group scores as ONE term (tf summed before saturation, idf of
+    the group's max df) — the Lucene SynonymQuery shape, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import synonym_topk
+
+    return synonym_topk(_docs(sf_dir), BM25_QUERIES, SYNONYMS, k=TOPK, cfg=CFG)
+
+
+def _sql_synonym_topk() -> str:
+    from oboyu_ray.pipelines.bm25_batch import synonym_groups
+
+    tokq = tokenize_queries(BM25_QUERIES, CFG)
+    syn_rows, mult_rows = [], []
+    for q, terms in tokq.items():
+        if not terms:
+            continue
+        mult: dict = {}
+        for g in synonym_groups(terms, SYNONYMS):
+            mult[tuple(g)] = mult.get(tuple(g), 0) + 1
+        for g, m in mult.items():
+            gid = "|".join(g)
+            mult_rows.append(f"('{q}', '{gid}', {m})")
+            for t in g:
+                syn_rows.append(f"('{q}', '{gid}', '{t}')")
+    if not syn_rows:
+        return "SELECT NULL WHERE FALSE"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+syn(query_id, gid, term) AS (VALUES {", ".join(syn_rows)}),
+synm(query_id, gid, mult) AS (VALUES {", ".join(mult_rows)}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+gdf AS (
+    SELECT s.query_id, s.gid, max(d.df) AS df_max
+    FROM syn s JOIN dfreq d ON d.term = s.term
+    GROUP BY 1, 2
+),
+gtf AS (
+    SELECT s.query_id, s.gid, p.doc_id,
+           sum(p.tf)::BIGINT AS tf, min(p.dl)::BIGINT AS dl
+    FROM syn s JOIN postings_dl p ON p.term = s.term
+    GROUP BY 1, 2, 3
+),
+contrib AS (
+    SELECT g.query_id, g.doc_id,
+           m.mult * (g.tf * ({k1} + 1))
+             / (g.tf + {k1} * (1 - {b} + {b} * (g.dl / st.avgdl)))
+             * ln((st.n - gd.df_max + 0.5) / (gd.df_max + 0.5)) AS c
+    FROM gtf g
+    JOIN gdf gd ON gd.query_id = g.query_id AND gd.gid = g.gid
+    JOIN synm m ON m.query_id = g.query_id AND m.gid = g.gid
+    CROSS JOIN stats2 st
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -973,6 +1059,7 @@ def core_queries() -> dict:
         "mlt_topk": q_mlt_topk,
         "bm25_facets": q_bm25_facets,
         "bool_topk": q_bool_topk,
+        "synonym_topk": q_synonym_topk,
     }
 
 
@@ -995,4 +1082,5 @@ def core_oracle_sql() -> dict:
         "mlt_topk": _sql_mlt_topk(),
         "bm25_facets": _sql_bm25_facets(),
         "bool_topk": _sql_bool_topk(),
+        "synonym_topk": _sql_synonym_topk(),
     }

@@ -479,6 +479,16 @@ class MergeAggregator:
             ]
         ), k)
 
+    def query_synonym(self, groups, group_weights, k: int, scope=None):
+        import ray as _ray
+
+        return _merge_topk_multi(_ray.get(
+            [
+                s.query_synonym.remote(groups, group_weights, k, scope=scope)
+                for s in self.shards
+            ]
+        ), k)
+
     def explain(self, term_weights: Dict[str, float], doc_abs: int):
         import ray as _ray
 
@@ -993,6 +1003,50 @@ class QueryEngine:
         results = self._fanout(
             lambda ts: [a.query_bool.remote(tree, weights, k, scope=scope)
                         for a in ts]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
+    def search_synonym(
+        self, query: str, synonyms: Dict[str, "Sequence[str]"],
+        k: int = 10, hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Blended synonym retrieval (Lucene SynonymQuery): each query
+        token expands to its synonym group scored AS ONE TERM — group tf =
+        per-doc SUM of member tfs (before BM25 saturation), group idf =
+        idf(max member df), duplicate tokens multiply the group weight.
+        Identical scoring to ``synonym_topk``.  ``synonyms`` is the
+        one-directional map form {term: [synonyms...]}."""
+        from oboyu_ray.pipelines.bm25_batch import synonym_groups
+
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        terms = self.tokenizer.tokenize(query)
+        gs = synonym_groups(terms, synonyms)
+        all_terms = sorted({t for g in gs for t in g})
+        dfs = self.vocab.df(all_terms)
+        n = int(self.stats["N"])
+        w: Dict[tuple, float] = {}
+        for g in gs:
+            df_max = max((int(dfs.get(t, 0)) for t in g), default=0)
+            if df_max <= 0:
+                continue
+            key = tuple(g)
+            w[key] = w.get(key, 0.0) + idf(df_max, n)
+        if not w:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        groups = [list(g) for g in w]
+        weights = [w[g] for g in w]
+        results = self._fanout(
+            lambda ts: [
+                a.query_synonym.remote(groups, weights, k, scope=scope)
+                for a in ts
+            ]
         )
         top_docs, top_scores = _merge_topk_multi(results, k)
         out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})

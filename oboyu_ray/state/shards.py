@@ -376,6 +376,87 @@ class IndexShard:
         self._cache_put(key, dense, span // 2)
         return dense
 
+    def _tfdl_cached(self, part_idx: int, s: int, e: int):
+        """FIFO-cached RAW (part-local doc index, tf, dl) for a term's block
+        range — the synonym path needs pre-normalization tf so group members
+        can SUM their tfs before the BM25 saturation applies (SynonymQuery
+        semantics: tfnorm(tf1+tf2) ≠ tfnorm(tf1)+tfnorm(tf2)).  Accounted
+        ~1.5× a contribution entry (three arrays instead of two)."""
+        key = (part_idx, s, e, -4)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self.counters["cache_hits"] += 1
+            return hit[0]
+        self.counters["cache_misses"] += 1
+        part = self.parts[part_idx]
+        docs_abs, tf, dl = part.decode_range(s, e)
+        self.counters["postings_decoded"] += len(docs_abs)
+        idx = docs_abs - part.win_base * self.window_docs
+        out = (idx, tf, dl)
+        self._cache_put(key, out, len(idx) + len(idx) // 2)
+        return out
+
+    def query_synonym(
+        self, groups, group_weights, k: int, scope=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blended synonym-group top-k (Lucene SynonymQuery): each group is
+        a list of interchangeable terms scored AS ONE TERM — per doc the
+        group tf is the SUM of member tfs (summed BEFORE the BM25
+        saturation), weighted by the caller-supplied group weight (idf of
+        the group's max df × query multiplicity).  A doc matching any
+        member of any group is a candidate; score = Σ_g w_g ·
+        tfnorm(Σ_t tf).  Dense part-span accumulation (the wide-OR shape):
+        per group one np.add.at scatter of raw tfs + one vectorized
+        saturation over the group's candidates — no per-doc Python."""
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0 or not groups:
+            return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
+        self.counters["queries"] += 1
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            span = part.n_windows * W
+            base = part.win_base * W
+            acc = None
+            present = None
+            for g, w in zip(groups, group_weights):
+                members = [t for t in g if t in part.term_slices]
+                if not members:
+                    continue
+                if acc is None:
+                    acc = np.zeros(span, dtype=np.float64)
+                    present = np.zeros(span, dtype=bool)
+                tfsum = np.zeros(span, dtype=np.float64)
+                dlv = np.zeros(span, dtype=np.float64)
+                for t in members:
+                    idx, tf, dl = self._tfdl_cached(
+                        part_idx, *part.term_slices[t]
+                    )
+                    np.add.at(tfsum, idx, tf.astype(np.float64))
+                    dlv[idx] = dl  # same doc → same dl whichever member wrote it
+                cand_g = np.flatnonzero(tfsum)
+                acc[cand_g] += w * self._tfnorm(tfsum[cand_g], dlv[cand_g])
+                present[cand_g] = True
+            if acc is None:
+                continue
+            cand = np.flatnonzero(present)
+            if not len(cand):
+                continue
+            docs_abs, sc = self._drop_excluded(
+                base + cand, acc[cand], None, scope
+            )
+            if len(docs_abs):
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, sc, k
+                )
+        return top_docs, top_scores
+
     def _excluded_abs(self, part_idx: int, part: _PartIndex, exclude_terms):
         """Sorted absolute doc_nums in this part containing ANY excluded
         term (boolean NOT support) — decoded through the shared contribution

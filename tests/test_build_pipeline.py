@@ -354,7 +354,7 @@ def test_cli_federate_rejects_unsupported_flags(capsys):
     for extra in (
         {"scope": "0:5"}, {"phrase": True}, {"near": 3}, {"prefix": True},
         {"fuzzy": 1, "hydrate": True}, {"regex": "tok.*"}, {"wildcard": "tok*"},
-        {"bool_expr": "a AND b"},
+        {"bool_expr": "a AND b"}, {"synonyms": "/tmp/nope.json"},
     ):
         rc = cmd_query(argparse.Namespace(**{**base, **extra}))
         err = capsys.readouterr().err
@@ -380,6 +380,13 @@ def test_cli_regex_wildcard_modes(built, engine, capsys):
     assert rc == 0 and "doc_num" in capsys.readouterr().out
     rc = cmd_query(argparse.Namespace(
         **{**base, "bool_expr": "(token AND python) OR model"}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    import json as _json
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump({"token": ["model"]}, f)
+    rc = cmd_query(argparse.Namespace(
+        **{**base, "q": "token", "synonyms": f.name}))
     assert rc == 0 and "doc_num" in capsys.readouterr().out
     # plain mode still requires --q
     rc = cmd_query(argparse.Namespace(**base))
@@ -1415,6 +1422,48 @@ def test_bool_engine_matches_brute_force(built, engine):
     # scope composes
     a = engine.search_bool("(token AND python) OR model", k=k, scope=(0, 100))
     assert (a["doc_num"] < 100).all()
+
+
+def test_synonym_engine_matches_brute_force(built, engine):
+    """search_synonym (raw-tf dense group accumulation through the shards)
+    must be rank- and score-identical to the Dataset brute force
+    synonym_topk: group tf sums BEFORE saturation, group idf = max member
+    df, duplicate tokens multiply, absent-synonym singletons degrade to the
+    plain query, unknown groups drop."""
+    from oboyu_ray.pipelines.bm25_batch import score_micros, synonym_topk
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    syn = {
+        "token": ["model"],           # both common
+        "python": ["zzznohit"],       # absent synonym -> degrades to plain
+        "検索": ["圧縮", "token"],     # multibyte + overlap with another group
+        "zzqnope": ["token"],         # absent head, present synonym
+    }
+    queries = ["token python", "検索 token", "zzqnope", "token token"]
+    k = 12
+    brute = synonym_topk(docs_ds, queries, syn, k=k, cfg=CFG,
+                         id_col="doc_num", text_col="text")
+    hits = 0
+    for q in queries:
+        got = engine.search_synonym(q, syn, k=k)
+        expect = brute[brute.query_id == q]
+        assert len(got) == len(expect), q
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), q
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=q,
+            )
+            hits += 1
+    assert hits >= 3
+    # no synonym map -> identical to plain search (groups are singletons
+    # with df_max = the term's own df)
+    a = engine.search_synonym("token python", {}, k=k)
+    b = engine.search("token python", k=k)
+    assert a["doc_num"].tolist() == b["doc_num"].tolist()
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                               rtol=0, atol=1e-9)
 
 
 def test_mlt_engine_matches_brute_force(built, engine):
