@@ -222,6 +222,20 @@ def run_feature_latency(files: list, num_cpus: int) -> dict:
         "scoped": lambda: engine.search(
             BENCH_QUERIES[0], k=10, scope=(0, max(1, engine.stats["N"] // 20))
         ),
+        # round-5 session-3 modes: regex (alternation over the two probe
+        # terms), wildcard (literal-prefix pruned), boolean AST (dense
+        # presence path), blended synonym group, more-like-this (doc 0)
+        "regex": lambda: engine.search_regex(
+            f"({a}|{b})s?", k=10, max_terms=500_000
+        ),
+        "wildcard": lambda: engine.search_wildcard(
+            a[:3] + "*", k=10, max_terms=500_000
+        ),
+        "bool": lambda: engine.search_bool(
+            f"({a} AND {b}) OR ({a} NOT {b})", k=10
+        ),
+        "synonym": lambda: engine.search_synonym(a, {a: [b]}, k=10),
+        "mlt": lambda: engine.more_like_this(0, k=10),
     }
     feat = {}
     for name, fn in probes.items():

@@ -5366,8 +5366,10 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
 
     cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
     supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
-    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
     asia_key = int(reg.loc[reg.r_name == Q5_REGION, "r_regionkey"].iloc[0])
     asia_nations = ray.put(
         np.sort(nat.loc[nat.n_regionkey == asia_key, "n_nationkey"]
@@ -5466,7 +5468,8 @@ def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
 
     cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
     supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
     names = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
     ka = int(nat.loc[nat.n_name == Q7_NATION_A, "n_nationkey"].iloc[0])
     kb = int(nat.loc[nat.n_name == Q7_NATION_B, "n_nationkey"].iloc[0])
@@ -5568,7 +5571,8 @@ def q_market_share(sf_dir: str) -> pd.DataFrame:
 
     cust_nat = _bcast_i64_map(sf_dir, "customer", "c_custkey", "c_nationkey")
     supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
     region_nations = ray.put(
         np.sort(nat.loc[nat.n_regionkey == Q8_REGION_KEY, "n_nationkey"]
                 .to_numpy(dtype=np.int64))
@@ -5683,7 +5687,8 @@ def q_product_profit(sf_dir: str) -> pd.DataFrame:
     from oboyu_ray.stages.relational import hash_join
 
     supp_nat = _bcast_i64_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
     names = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
     part = pd.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
@@ -5908,6 +5913,34 @@ WHERE {ors}
 """
 
 
+
+def q_user_rolling_median(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user EXACT rolling median of event value over the trailing 5
+    events (ordered by ts, event_id) — the order-statistic sliding window,
+    one hash-bucketed cogroup, fully vectorized gather-sort kernel."""
+    from oboyu_ray.stages.window import keyed_rolling_median
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return keyed_rolling_median(ev, "user_id", "ts", "event_id", "value",
+                                window=5)
+
+
+SQL_USER_ROLLING_MEDIAN = """
+WITH e AS (
+    SELECT event_id AS id, user_id AS key, ts, value FROM events
+)
+SELECT id, key,
+       CAST(floor(
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY key ORDER BY ts, id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) * 1e6 + 0.5) AS BIGINT) AS med_micros
+FROM e
+"""
+
+
 def corpus_queries() -> dict:
     return {
         # round-4 session-3 additions first: never driver-checked, so the
@@ -5919,6 +5952,7 @@ def corpus_queries() -> dict:
         "product_profit": q_product_profit,
         "customer_order_dist": q_customer_order_dist,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "user_rolling_median": q_user_rolling_median,
         "order_priority_wait": q_order_priority_wait,
         "waiting_suppliers": q_waiting_suppliers,
         "large_volume_customers": q_large_volume_customers,
@@ -6053,6 +6087,7 @@ def corpus_oracle_sql() -> dict:
         "product_profit": SQL_PRODUCT_PROFIT,
         "customer_order_dist": SQL_CUSTOMER_ORDER_DIST,
         "disjunctive_revenue": _sql_disjunctive_revenue(),
+        "user_rolling_median": SQL_USER_ROLLING_MEDIAN,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
         "ship_lag_priority": SQL_SHIP_LAG_PRIORITY,

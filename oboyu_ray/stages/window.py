@@ -117,6 +117,89 @@ def keyed_window_scan(
     )
 
 
+def keyed_rolling_median(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    window: int = 5,
+    n_buckets: int = WINDOW_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key EXACT rolling median of ``val_col`` over the trailing
+    ``window`` rows (inclusive; ragged head uses the rows available),
+    ordered by (ts, id) within key — the order-statistic sliding window.
+    One hash-bucketed cogroup on key (same shape as keyed_window_scan);
+    per bucket the kernel gathers each row's window into an (n, window)
+    matrix (NaN-padded across group starts), sorts rows once, and picks
+    the two middle order statistics with DuckDB's quantile_cont lerp
+    ``lo*(1-f)+hi*f`` (pinned bit-exact in quantiles.py — don't
+    "simplify").  Returns (id, key, med_micros)."""
+
+    def route(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "key": pa.array(key, type=pa.int64()),
+                "ts_i": pa.array(_ts_int64(t.column(ts_col)), type=pa.int64()),
+                "id": pa.array(
+                    t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "v": pa.array(
+                    t.column(val_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_i").to_numpy(zero_copy_only=False)
+        rid = g.column("id").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, key))
+        key_s, rid_s, v_s = key[order], rid[order], v[order]
+        n = len(key_s)
+        new = np.r_[True, key_s[1:] != key_s[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, counts)
+        # gather each row's trailing window (columns: offset window-1 .. 0);
+        # offsets past the group start are NaN and sort to the row's tail
+        offs = np.arange(window - 1, -1, -1)
+        idx = np.arange(n)[:, None] - offs[None, :]
+        valid = offs[None, :] <= pos[:, None]
+        mat = np.where(valid, v_s[np.clip(idx, 0, n - 1)], np.nan)
+        mat.sort(axis=1)  # NaNs last
+        cnt = np.minimum(pos + 1, window)
+        rank = 0.5 * (cnt - 1)
+        lo_i = np.floor(rank).astype(np.int64)
+        hi_i = np.ceil(rank).astype(np.int64)
+        f = rank - lo_i
+        rows = np.arange(n)
+        lo = mat[rows, lo_i]
+        hi = mat[rows, hi_i]
+        med = lo * (1.0 - f) + hi * f
+        return pa.table(
+            {
+                "id": pa.array(rid_s, type=pa.int64()),
+                "key": pa.array(key_s, type=pa.int64()),
+                "med_micros": pa.array(micros(med), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, id_col, val_col])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
 def global_row_number(
     ds: "ray.data.Dataset",
     order_cols: list,

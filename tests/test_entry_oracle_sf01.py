@@ -55,6 +55,7 @@ HEAVY_QUERIES = [
     "product_profit",
     "customer_order_dist",
     "disjunctive_revenue",
+    "user_rolling_median",
     "orders_unfilled",
     "orders_range_sorted",
     "revenue_concentration",
