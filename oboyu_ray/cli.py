@@ -117,6 +117,8 @@ def cmd_query(args: argparse.Namespace) -> int:
         or getattr(args, "more_like", None) is not None
         or getattr(args, "bool_expr", None) is not None
         or bool(getattr(args, "synonyms", None))
+        or getattr(args, "dismax", None) is not None
+        or bool(getattr(args, "boosts", None))
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -140,6 +142,8 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--more-like", getattr(args, "more_like", None) is not None),
                 ("--bool", getattr(args, "bool_expr", None) is not None),
                 ("--synonyms", bool(getattr(args, "synonyms", None))),
+                ("--dismax", getattr(args, "dismax", None) is not None),
+                ("--boosts", bool(getattr(args, "boosts", None))),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -214,6 +218,20 @@ def cmd_query(args: argparse.Namespace) -> int:
             syn = _json.load(f)
         out = engine.search_synonym(
             args.q, syn, k=k, hydrate=hydrate, resolve=True, scope=scope
+        )
+    elif getattr(args, "dismax", None) is not None:
+        out = engine.search_dismax(
+            args.q, k=k, tiebreak=float(args.dismax), hydrate=hydrate,
+            resolve=True, scope=scope,
+        )
+    elif getattr(args, "boosts", None):
+        import json as _json
+
+        with open(args.boosts) as f:
+            boosts = _json.load(f)
+        out = engine.search_boosted(
+            args.q, boosts, k=k, hydrate=hydrate, resolve=True,
+            exclude=getattr(args, "exclude", None), scope=scope,
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -407,6 +425,13 @@ def main(argv=None) -> int:
                    help="blended synonym retrieval: JSON file mapping "
                         "term -> [synonyms...]; each query token's group "
                         "scores as one term (SynonymQuery semantics)")
+    q.add_argument("--dismax", type=float, default=None, metavar="TB",
+                   help="disjunction-max scoring with tiebreak TB: per doc "
+                        "max + TB*(sum-max) over single-term contributions "
+                        "(Lucene DisjunctionMaxQuery)")
+    q.add_argument("--boosts", default=None, metavar="JSON",
+                   help="per-term query-time boost map file (term -> float); "
+                        "score = sum(boost_t * bm25_t), absent terms boost 1.0")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
     q.add_argument("--near", type=int, default=None, metavar="W",

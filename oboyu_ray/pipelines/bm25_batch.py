@@ -1611,6 +1611,176 @@ def synonym_topk(
     return out
 
 
+# ---------------------------------------------------- dismax / boosted terms
+
+def _rank_topk_frames(
+    docs_ds: "ray.data.Dataset", score_docs, k: int, id_col: str
+) -> pd.DataFrame:
+    """Shared driver merge for brute scorers emitting (query_id, id, score,
+    score_micros) per-batch local top-k rows: global (score_micros DESC,
+    id ASC) rank, first k per query."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def dismax_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: Sequence[str],
+    k: int = 10,
+    tiebreak: float = 0.3,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Disjunction-max retrieval (Lucene DisjunctionMaxQuery): per doc the
+    score is the MAX single-term BM25 contribution plus ``tiebreak`` × the
+    sum of the remaining contributions — ``max + tb·(sum − max)`` — so a doc
+    matching one strong term is not drowned out by many weak ones.  Clauses
+    are the query's DISTINCT terms (DisMax is clause-set semantics; a
+    duplicated token is the same clause).  Candidates/statistics identical
+    to ``brute_force_topk``; exact top-k by (score_micros DESC, id ASC)."""
+    tokq = {q: sorted(set(ts)) for q, ts in tokenize_queries(list(queries), cfg).items() if ts}
+    all_terms = sorted({t for ts in tokq.values() for t in ts})
+    stats, df_map = _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col, text_col)
+    n, avgdl = int(stats["N"]), float(stats["avgdl"])
+    weights = _query_weights(tokq, df_map, n) if n else {}
+    if not weights:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+             "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+        )
+    term_set = pa.array(all_terms, type=pa.string())
+    k1, b = cfg.k1, cfg.b
+    tb = float(tiebreak)
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        for qid, w in weights.items():
+            sub = pdf[pdf["term"].isin(w.keys())]
+            if sub.empty:
+                continue
+            iw = sub["term"].map(w).to_numpy(dtype=np.float64)
+            contrib = iw * bm25_term_score(
+                sub["tf"].to_numpy(dtype=np.float64),
+                sub["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
+            )
+            g = (
+                pd.DataFrame({id_col: sub[id_col].to_numpy(), "c": contrib})
+                .groupby(id_col, sort=True)["c"]
+                .agg(["max", "sum"])
+            )
+            score = g["max"].to_numpy() + tb * (g["sum"].to_numpy() - g["max"].to_numpy())
+            g = pd.DataFrame({id_col: g.index.to_numpy(), "score": score})
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score_micros": pa.array([], type=pa.int64()),
+        }
+        if not frames:
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
+
+
+def boosted_topk(
+    docs_ds: "ray.data.Dataset",
+    queries: Sequence[str],
+    boosts: Dict[str, float],
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Query-time per-term boosts (Lucene BoostQuery around each term
+    clause): score = Σ boost_t × bm25_t.  Terms absent from ``boosts``
+    keep boost 1.0; duplicate query tokens multiply (same per-occurrence
+    summing as the plain scorer, so ``boosts={}`` ≡ ``brute_force_topk``).
+    Exact top-k by (score_micros DESC, id ASC)."""
+    tokq = {q: ts for q, ts in tokenize_queries(list(queries), cfg).items() if ts}
+    all_terms = sorted({t for ts in tokq.values() for t in ts})
+    stats, df_map = _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col, text_col)
+    n, avgdl = int(stats["N"]), float(stats["avgdl"])
+    weights = _query_weights(tokq, df_map, n) if n else {}
+    # scale each term weight by its boost AFTER multiplicity folding —
+    # boost applies per clause, multiplicity already multiplied the idf
+    weights = {
+        qid: {t: wv * float(boosts.get(t, 1.0)) for t, wv in w.items()}
+        for qid, w in weights.items()
+    }
+    weights = {qid: {t: wv for t, wv in w.items() if wv != 0.0} for qid, w in weights.items()}
+    weights = {qid: w for qid, w in weights.items() if w}
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    if not weights:
+        return empty
+    term_set = pa.array(sorted({t for w in weights.values() for t in w}), type=pa.string())
+    k1, b = cfg.k1, cfg.b
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        for qid, w in weights.items():
+            sub = pdf[pdf["term"].isin(w.keys())]
+            if sub.empty:
+                continue
+            iw = sub["term"].map(w).to_numpy(dtype=np.float64)
+            contrib = iw * bm25_term_score(
+                sub["tf"].to_numpy(dtype=np.float64),
+                sub["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
+            )
+            g = (
+                pd.DataFrame({id_col: sub[id_col].to_numpy(), "c": contrib})
+                .groupby(id_col, sort=True)["c"]
+                .sum()
+                .reset_index()
+            )
+            g.columns = [id_col, "score"]
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score_micros": pa.array([], type=pa.int64()),
+        }
+        if not frames:
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
+
+
 # ------------------------------------------------------------ faceted search
 
 def facet_counts(

@@ -1040,6 +1040,88 @@ SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---------------------------------------------------- dismax / boosted terms
+
+# DisMax tiebreak: Lucene's common 0.3 — max clause dominates, others damped.
+DISMAX_TIEBREAK = 0.3
+
+# Query-time boosts over the fixed query set's tokens (terms absent from the
+# map keep 1.0).  Chosen to REORDER the plain ranking: the hot term gets
+# damped, rarer terms amplified.
+BOOSTS = {"table": 0.5, "join": 2.0, "window": 3.0, "scan": 0.25, "vector": 2.0}
+
+
+def q_dismax_topk(sf_dir: str) -> pd.DataFrame:
+    """Disjunction-max retrieval over the fixed BM25 query set: per doc
+    ``max + 0.3·(sum − max)`` of single-term BM25 contributions (the Lucene
+    DisjunctionMaxQuery shape), exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import dismax_topk
+
+    return dismax_topk(_docs(sf_dir), BM25_QUERIES, k=TOPK,
+                       tiebreak=DISMAX_TIEBREAK, cfg=CFG)
+
+
+def _sql_dismax_topk() -> str:
+    base = _sql_bm25_topk()
+    want = "scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2)"
+    assert want in base
+    return base.replace(
+        want,
+        "scores AS (SELECT query_id, doc_id,"
+        f" max(c) + {DISMAX_TIEBREAK} * (sum(c) - max(c)) AS score"
+        " FROM contrib GROUP BY 1, 2)",
+    )
+
+
+def q_boosted_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-term query-time boosts (Lucene BoostQuery): score =
+    Σ boost_t × bm25_t over the fixed query set, exact top-10."""
+    from oboyu_ray.pipelines.bm25_batch import boosted_topk
+
+    return boosted_topk(_docs(sf_dir), BM25_QUERIES, BOOSTS, k=TOPK, cfg=CFG)
+
+
+def _sql_boosted_topk() -> str:
+    queries = tokenize_queries(BM25_QUERIES, CFG)
+    rows = []
+    for qid, terms in queries.items():
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}', {float(BOOSTS.get(t, 1.0))!r})")
+    values = ", ".join(rows) if rows else "('__none__', '__none__', 1.0)"
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH {SQL_POSTINGS_CTE},
+qterms(query_id, term, boost) AS (VALUES {values}),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+           (SELECT coalesce(sum(tf), 0)::BIGINT FROM postings) AS total_dl
+),
+stats2 AS (SELECT n, total_dl::DOUBLE / n AS avgdl FROM stats),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+contrib AS (
+    SELECT q.query_id, p.doc_id,
+           q.boost * (p.tf * ({k1} + 1))
+             / (p.tf + {k1} * (1 - {b} + {b} * (p.dl / s.avgdl)))
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+    FROM qterms q
+    JOIN postings_dl p ON p.term = q.term
+    JOIN dfreq d ON d.term = q.term
+    CROSS JOIN stats2 s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+    SELECT query_id, doc_id,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micros,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id ASC
+           )::BIGINT AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def core_queries() -> dict:
     return {
         "postings": q_postings,
@@ -1060,6 +1142,8 @@ def core_queries() -> dict:
         "bm25_facets": q_bm25_facets,
         "bool_topk": q_bool_topk,
         "synonym_topk": q_synonym_topk,
+        "dismax_topk": q_dismax_topk,
+        "boosted_topk": q_boosted_topk,
     }
 
 
@@ -1083,4 +1167,6 @@ def core_oracle_sql() -> dict:
         "bm25_facets": _sql_bm25_facets(),
         "bool_topk": _sql_bool_topk(),
         "synonym_topk": _sql_synonym_topk(),
+        "dismax_topk": _sql_dismax_topk(),
+        "boosted_topk": _sql_boosted_topk(),
     }

@@ -105,6 +105,19 @@ TOOLS = [
                                    "index terms (negated clauses filter, "
                                    "positive terms score)",
                 },
+                "dismax": {
+                    "type": "number",
+                    "description": "disjunction-max scoring tiebreak: per "
+                                   "doc max + tiebreak*(sum-max) over "
+                                   "single-term contributions (Lucene "
+                                   "DisjunctionMaxQuery)",
+                },
+                "boosts": {
+                    "type": "object",
+                    "description": "per-term query-time boost map "
+                                   "(term -> float); score = "
+                                   "sum(boost_t * bm25_t), absent terms 1.0",
+                },
             },
             "required": ["query", "index_dir"],
         },
@@ -161,7 +174,8 @@ class McpServer:
         prefix: bool = False, near: Optional[int] = None,
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
         page: int = 0, regex: bool = False, wildcard: bool = False,
-        bool_query: bool = False,
+        bool_query: bool = False, dismax: Optional[float] = None,
+        boosts: Optional[Dict] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -171,11 +185,23 @@ class McpServer:
         # of silently answering page 0 (the silently-dropped-flag hazard)
         if int(page) and (phrase or prefix or near is not None
                           or fuzzy is not None or regex or wildcard
-                          or bool_query):
+                          or bool_query or dismax is not None or boosts):
             raise ValueError("page is only supported in plain search mode")
-        if sum((regex, wildcard, bool_query)) > 1:
-            raise ValueError("regex/wildcard/bool_query are mutually exclusive")
-        if bool_query:
+        if sum((regex, wildcard, bool_query, dismax is not None, bool(boosts))) > 1:
+            raise ValueError(
+                "regex/wildcard/bool_query/dismax/boosts are mutually exclusive"
+            )
+        if dismax is not None:
+            df = eng.search_dismax(
+                query, k=int(top_k), tiebreak=float(dismax), hydrate=True,
+                resolve=True, scope=sc,
+            )
+        elif boosts:
+            df = eng.search_boosted(
+                query, {str(t): float(w) for t, w in boosts.items()},
+                k=int(top_k), hydrate=True, resolve=True, scope=sc,
+            )
+        elif bool_query:
             df = eng.search_bool(query, k=int(top_k), hydrate=True, scope=sc)
         elif regex or wildcard:
             fn = eng.search_regex if regex else eng.search_wildcard

@@ -489,6 +489,17 @@ class MergeAggregator:
             ]
         ), k)
 
+    def query_dismax(self, term_weights: Dict[str, float], tiebreak: float,
+                     k: int, scope=None):
+        import ray as _ray
+
+        return _merge_topk_multi(_ray.get(
+            [
+                s.query_dismax.remote(term_weights, tiebreak, k, scope=scope)
+                for s in self.shards
+            ]
+        ), k)
+
     def explain(self, term_weights: Dict[str, float], doc_abs: int):
         import ray as _ray
 
@@ -1073,6 +1084,81 @@ class QueryEngine:
         results = self._fanout(
             lambda ts: [
                 a.query_synonym.remote(groups, weights, k, scope=scope)
+                for a in ts
+            ]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
+    def search_dismax(
+        self, query: str, k: int = 10, tiebreak: float = 0.3,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Disjunction-max retrieval (Lucene DisjunctionMaxQuery): per doc
+        ``max + tiebreak·(sum − max)`` over single-term BM25 contributions.
+        Clauses are the query's DISTINCT terms (a duplicated token is the
+        same clause) — identical scoring to ``dismax_topk``."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        terms = sorted(set(self.tokenizer.tokenize(query)))
+        weights = self.term_weights(terms)
+        if not weights:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        results = self._fanout(
+            lambda ts: [
+                a.query_dismax.remote(weights, float(tiebreak), k, scope=scope)
+                for a in ts
+            ]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k)
+        out = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        if resolve or hydrate:
+            out = self._finish(out, hydrate)
+        return out
+
+    def search_boosted(
+        self, query: str, boosts: Dict[str, float], k: int = 10,
+        exclude: "Optional[List[str]]" = None,
+        hydrate: bool = False, resolve: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Per-term query-time boosts (Lucene BoostQuery): score =
+        Σ boost_t × bm25_t.  Terms absent from ``boosts`` keep 1.0;
+        boost 0 removes the clause; ``boosts={}`` ≡ ``search_terms``.
+        Rides the ordinary WAND/dense OR path with pre-scaled weights —
+        the block-max bounds are computed FROM the passed weights, so
+        pruning stays sound for any sign combination (signed-idf rules,
+        state/shards.py block-max docstring)."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        terms = self.tokenizer.tokenize(query)
+        weights = self.term_weights(terms)
+        weights = {
+            t: w * float(boosts.get(t, 1.0)) for t, w in weights.items()
+        }
+        weights = {t: w for t, w in weights.items() if w != 0.0}
+        if not weights:
+            return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        excl = sorted(
+            t for t, d in self.vocab.df(sorted(set(exclude or []))).items() if d > 0
+        )
+        results = self._fanout(
+            lambda ts: [
+                a.query.remote(weights, k, exclude_terms=excl, scope=scope)
                 for a in ts
             ]
         )

