@@ -236,6 +236,11 @@ def run_feature_latency(files: list, num_cpus: int) -> dict:
         ),
         "synonym": lambda: engine.search_synonym(a, {a: [b]}, k=10),
         "mlt": lambda: engine.more_like_this(0, k=10),
+        # round-5 session-4 modes: disjunction-max (dense max+sum), boosted
+        # terms (pre-scaled weights through the ordinary OR path)
+        "dismax": lambda: engine.search_dismax(f"{a} {b}", k=10, tiebreak=0.3),
+        "boosted": lambda: engine.search_boosted(f"{a} {b}", {a: 2.0}, k=10),
+        "span_near3": lambda: engine.search_span_near(f"{a} {b}", window=3, k=10),
     }
     feat = {}
     for name, fn in probes.items():

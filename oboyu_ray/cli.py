@@ -119,6 +119,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         or bool(getattr(args, "synonyms", None))
         or getattr(args, "dismax", None) is not None
         or bool(getattr(args, "boosts", None))
+        or getattr(args, "span_near", None) is not None
         or getattr(args, "federate", None)
     ):
         print("query --page is only supported in plain search mode",
@@ -144,6 +145,7 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--synonyms", bool(getattr(args, "synonyms", None))),
                 ("--dismax", getattr(args, "dismax", None) is not None),
                 ("--boosts", bool(getattr(args, "boosts", None))),
+                ("--span-near", getattr(args, "span_near", None) is not None),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on
@@ -232,6 +234,11 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.search_boosted(
             args.q, boosts, k=k, hydrate=hydrate, resolve=True,
             exclude=getattr(args, "exclude", None), scope=scope,
+        )
+    elif getattr(args, "span_near", None) is not None:
+        out = engine.search_span_near(
+            args.q, window=int(args.span_near), k=k, hydrate=hydrate,
+            scope=scope,
         )
     elif getattr(args, "phrase", False):
         out = engine.search_phrase(
@@ -434,6 +441,11 @@ def main(argv=None) -> int:
                         "score = sum(boost_t * bm25_t), absent terms boost 1.0")
     q.add_argument("--exclude", default=None,
                    help="boolean NOT terms: documents containing any never rank")
+    q.add_argument("--span-near", dest="span_near", type=int, default=None,
+                   metavar="W",
+                   help="ordered span retrieval: the query's terms IN ORDER "
+                        "within a position extent of W (window m-1 = exact "
+                        "phrase; positional index required)")
     q.add_argument("--near", type=int, default=None, metavar="W",
                    help="proximity: the two terms in --q within W tokens (positional index)")
     q.add_argument("--page", type=int, default=0,

@@ -673,6 +673,118 @@ def phrase_topk(
     return out
 
 
+def span_near_topk(
+    docs_ds: "ray.data.Dataset",
+    phrases: Sequence[str],
+    window: int,
+    k: int = 10,
+    cfg: BM25Config = BM25Config(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: Dict[str, float] | None = None,
+) -> pd.DataFrame:
+    """Ordered span retrieval (Lucene SpanNearQuery, inOrder=true): rank
+    only documents whose filtered token stream contains the phrase's terms
+    IN ORDER at positions p_1 < … < p_m with extent ``p_m − p_1 <=
+    window``, scored by BM25 over the phrase terms (full-corpus
+    statistics) exactly like ``phrase_topk``.  ``window == m − 1`` is the
+    adjacent phrase (pinned by tests); larger windows admit gaps while
+    preserving order — NEAR/w is the 2-term UNORDERED counterpart.
+
+    Matching uses the shared vectorized greedy latest-predecessor kernel
+    (`functions/spanmatch.ordered_span_docs`) over packed (doc, position)
+    occurrence arrays — no per-position Python loop."""
+    from oboyu_ray.functions.spanmatch import (
+        SPAN_PK,
+        ordered_span_docs,
+        pack_token_positions,
+    )
+
+    tok = get_tokenizer(cfg)
+    queries: Dict[str, List[str]] = {p: tok.tokenize(p) for p in phrases}
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    live = {p: ts for p, ts in queries.items() if ts}
+    if not live:
+        return empty
+    stats, df_map = _resolve_stats(docs_ds, live, cfg, id_col, text_col, stats)
+    if int(stats["N"]) == 0:
+        return empty
+    live = {p: ts for p, ts in live.items() if all(df_map.get(t, 0) > 0 for t in ts)}
+    if not live:
+        return empty
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    weights = _query_weights(live, df_map, n_docs)
+    k1, b = cfg.k1, cfg.b
+    all_terms = sorted({t for ts in live.values() for t in ts})
+    term_to_id = {t: i for i, t in enumerate(all_terms)}
+    phrase_ids = {p: [term_to_id[t] for t in ts] for p, ts in live.items()}
+    win = int(window)
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(text_col).to_pylist()
+        toks = [tok.tokenize(t or "") for t in texts]
+        lens = np.array([len(ts) for ts in toks], dtype=np.int64)
+        flat: List[str] = [t for ts in toks for t in ts]
+        codes = np.fromiter(
+            (term_to_id.get(t, -1) for t in flat), dtype=np.int64, count=len(flat)
+        )
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        keys_by_tid = pack_token_positions(codes, doc_of, lens, len(all_terms))
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counters: Dict[int, Counter] = {}
+        frames = []
+        for p, pid in phrase_ids.items():
+            hit_docs = ordered_span_docs([keys_by_tid[t] for t in pid], win, SPAN_PK)
+            if len(hit_docs) == 0:
+                continue
+            w = weights[p]
+            rows_id, rows_score = [], []
+            for di in hit_docs:
+                c = counters.get(di)
+                if c is None:
+                    c = counters[di] = Counter(toks[di])
+                dl = float(lens[di])
+                s = 0.0
+                for t, iw in w.items():
+                    tf = float(c[t])
+                    s += iw * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+                rows_id.append(ids_np[di])
+                rows_score.append(s)
+            g = pd.DataFrame({id_col: rows_id, "score": rows_score})
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            g.insert(0, "query_id", p)
+            frames.append(g[["query_id", id_col, "score_micros"]])
+        if not frames:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.string()),
+                 id_col: pa.array([], type=batch.schema.field(id_col).type),
+                 "score_micros": pa.array([], type=pa.int64())}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values(
+        ["query_id", "score_micros", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
+    out = out.reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 # ------------------------------------------------------------ prefix search
 
 def _stats_and_prefix_dfs(

@@ -105,6 +105,13 @@ TOOLS = [
                                    "index terms (negated clauses filter, "
                                    "positive terms score)",
                 },
+                "span_near": {
+                    "type": "integer",
+                    "description": "ordered span retrieval: the query's "
+                                   "terms IN ORDER within a position extent "
+                                   "of this window (m-1 = exact phrase; "
+                                   "positional index required)",
+                },
                 "dismax": {
                     "type": "number",
                     "description": "disjunction-max scoring tiebreak: per "
@@ -175,7 +182,7 @@ class McpServer:
         fuzzy: Optional[int] = None, scope: Optional[list] = None,
         page: int = 0, regex: bool = False, wildcard: bool = False,
         bool_query: bool = False, dismax: Optional[float] = None,
-        boosts: Optional[Dict] = None,
+        boosts: Optional[Dict] = None, span_near: Optional[int] = None,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -185,13 +192,21 @@ class McpServer:
         # of silently answering page 0 (the silently-dropped-flag hazard)
         if int(page) and (phrase or prefix or near is not None
                           or fuzzy is not None or regex or wildcard
-                          or bool_query or dismax is not None or boosts):
+                          or bool_query or dismax is not None or boosts
+                          or span_near is not None):
             raise ValueError("page is only supported in plain search mode")
-        if sum((regex, wildcard, bool_query, dismax is not None, bool(boosts))) > 1:
+        if sum((regex, wildcard, bool_query, dismax is not None, bool(boosts),
+                span_near is not None)) > 1:
             raise ValueError(
-                "regex/wildcard/bool_query/dismax/boosts are mutually exclusive"
+                "regex/wildcard/bool_query/dismax/boosts/span_near are "
+                "mutually exclusive"
             )
-        if dismax is not None:
+        if span_near is not None:
+            df = eng.search_span_near(
+                query, window=int(span_near), k=int(top_k), hydrate=True,
+                scope=sc,
+            )
+        elif dismax is not None:
             df = eng.search_dismax(
                 query, k=int(top_k), tiebreak=float(dismax), hydrate=True,
                 resolve=True, scope=sc,

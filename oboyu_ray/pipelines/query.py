@@ -537,6 +537,19 @@ class MergeAggregator:
             ]
         ), k)
 
+    def query_span_near(self, phrase_terms: List[str], window: int,
+                        term_weights: Dict[str, float], k: int, scope=None):
+        import ray as _ray
+
+        return _merge_topk_multi(_ray.get(
+            [
+                s.query_span_near.remote(
+                    phrase_terms, window, term_weights, k, scope=scope
+                )
+                for s in self.shards
+            ]
+        ), k)
+
     def query_near(self, term_a: str, term_b: str, window: int,
                    term_weights: Dict[str, float], k: int, scope=None):
         import ray as _ray
@@ -1253,6 +1266,36 @@ class QueryEngine:
             lambda ts: [
                 x.query_near.remote(a, b, int(window), weights, k, scope=scope)
                 for x in ts
+            ]
+        )
+        top_docs, top_scores = _merge_topk_multi(results, k)
+        return self._finish(
+            pd.DataFrame({"doc_num": top_docs, "score": top_scores}), hydrate
+        )
+
+    def search_span_near(
+        self, phrase: str, window: int, k: int = 10, hydrate: bool = False,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Ordered span retrieval (Lucene SpanNearQuery, inOrder=true):
+        tokenize ``phrase`` and rank docs containing the terms IN ORDER at
+        positions spanning at most ``window`` (p_last − p_first over the
+        filtered token stream).  ``window == m − 1`` ≡ search_phrase;
+        smaller windows are unmatchable → empty.  Identical scoring to
+        ``span_near_topk``."""
+        empty = pd.DataFrame(
+            {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        terms = self.tokenizer.tokenize(phrase)
+        if not terms or int(window) < len(terms) - 1:
+            return self._finish(empty, hydrate)
+        weights = self.term_weights(terms)
+        if len(weights) < len(set(terms)):
+            return self._finish(empty, hydrate)  # df-0 term → unmatchable
+        results = self._fanout(
+            lambda ts: [
+                a.query_span_near.remote(terms, int(window), weights, k, scope=scope)
+                for a in ts
             ]
         )
         top_docs, top_scores = _merge_topk_multi(results, k)

@@ -1202,6 +1202,81 @@ class IndexShard:
                     )
         return top_docs, top_scores
 
+    def query_span_near(
+        self, phrase_terms: List[str], window: int,
+        term_weights: Dict[str, float], k: int, scope=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Ordered span top-k (Lucene SpanNearQuery, inOrder=true): docs
+        whose positional postings contain ``phrase_terms`` in order at
+        positions spanning at most ``window`` (p_last − p_first), scored
+        like query_phrase (BM25 over the distinct terms, full statistics).
+
+        The scan set is the conjunctive window intersection (an ordered
+        span match implies an AND match); matching is the shared greedy
+        latest-predecessor kernel over the whole-part positions cache —
+        one searchsorted per phrase slot, no per-candidate Python.
+        Requires an index built with ``store_positions=True``."""
+        from oboyu_ray.functions.spanmatch import SPAN_PK, ordered_span_docs
+
+        W = self.window_docs
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        m = len(phrase_terms)
+        if k <= 0 or m == 0 or int(window) < m - 1:
+            return top_docs, top_scores
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return top_docs, top_scores
+        distinct = list(dict.fromkeys(phrase_terms))
+        self.counters["queries"] += 1
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            if not part.has_positions:
+                raise ValueError(
+                    "index was built without store_positions; rebuild with "
+                    "BuildConfig(store_positions=True) to enable span queries"
+                )
+            if any(t not in part.term_slices for t in distinct):
+                continue
+            wins = None
+            for t in distinct:
+                s, e = part.term_slices[t]
+                tw = part.win[s:e]
+                wins = tw if wins is None else np.intersect1d(
+                    wins, tw, assume_unique=True
+                )
+                if not len(wins):
+                    break
+            if wins is None or not len(wins):
+                continue
+            part_base = part.win_base * W
+            keys_by_term: Dict[str, np.ndarray] = {}
+            for t in distinct:
+                s, e = part.term_slices[t]
+                idx_rep, pos = self._positions_cached(part_idx, s, e)
+                keys_by_term[t] = idx_rep * SPAN_PK + pos
+            hit_idx = ordered_span_docs(
+                [keys_by_term[t] for t in phrase_terms], int(window), SPAN_PK
+            )
+            if not len(hit_idx):
+                continue
+            scores = np.zeros(len(hit_idx), dtype=np.float64)
+            for t in distinct:
+                s, e = part.term_slices[t]
+                idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                ii = np.searchsorted(idx, hit_idx)
+                scores += term_weights[t] * tfnorm[ii]
+            docs_abs, scores = self._drop_excluded(
+                part_base + hit_idx, scores, None, scope
+            )
+            if len(docs_abs):
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs_abs, scores, k
+                )
+        return top_docs, top_scores
+
     def query_near(
         self, term_a: str, term_b: str, window: int,
         term_weights: Dict[str, float], k: int, scope=None,

@@ -779,6 +779,20 @@ def test_mcp_stdio_transport(tmp_path):
                     "arguments": {"query": "tokens", "index_dir": index_dir,
                                   "top_k": 3, "dismax": 0.3,
                                   "boosts": {"tokens": 2.0}}}},
+        # ordered span: alpha..engine sit 2 apart in alpha.md → window 2
+        # hits, window 1 (sub-adjacent for the gap) misses
+        {"jsonrpc": "2.0", "id": 45, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine", "index_dir": index_dir,
+                                  "top_k": 3, "span_near": 2}}},
+        {"jsonrpc": "2.0", "id": 46, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine", "index_dir": index_dir,
+                                  "top_k": 3, "span_near": 1}}},
+        {"jsonrpc": "2.0", "id": 47, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "engine alpha", "index_dir": index_dir,
+                                  "top_k": 3, "span_near": 5}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -800,6 +814,13 @@ def test_mcp_stdio_transport(tmp_path):
         assert abs(r["score"] + plain_by_uri[r["uri"]]) < 1e-9
     assert resps4[43]["result"]["isError"] is True
     assert "mutually exclusive" in resps4[43]["result"]["content"][0]["text"]
+    sn2 = _json.loads(resps4[45]["result"]["content"][0]["text"])
+    assert sn2["stats"]["count"] == 1 and "alpha.md" in sn2["results"][0]["uri"]
+    sn1 = _json.loads(resps4[46]["result"]["content"][0]["text"])
+    assert sn1["stats"]["count"] == 0
+    # ordered: reversed term order never matches regardless of window
+    snr = _json.loads(resps4[47]["result"]["content"][0]["text"])
+    assert snr["stats"]["count"] == 0
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):

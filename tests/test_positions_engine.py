@@ -245,6 +245,92 @@ def test_near_engine_matches_brute_force(built, engine):
     assert near_docs <= and_docs
 
 
+def test_span_near_engine_matches_brute_force(built, engine):
+    """search_span_near (shared greedy latest-predecessor kernel over the
+    whole-part positions cache) must be rank- and score-identical to the
+    brute span_near_topk; window == m − 1 equals search_phrase; too-small
+    windows and absent terms stay strict-empty; span hits ⊆ AND hits."""
+    from oboyu_ray.pipelines.bm25_batch import score_micros, span_near_topk
+
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    docs_ds = ray.data.read_parquet(docs_dir)
+    stats = json.load(open(os.path.join(built["index_dir"], "stats.json")))
+    st = {"N": stats["N"], "total_dl": stats["total_dl"], "avgdl": stats["avgdl"]}
+
+    tok = get_tokenizer(CFG)
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(docs_dir, f))
+         for f in sorted(os.listdir(docs_dir))]
+    )
+    a = b = c = None
+    for text in t.column("text").to_pylist():
+        ts = tok.tokenize(text or "")
+        if len(ts) >= 5:
+            a, b, c = ts[0], ts[2], ts[4]
+            break
+    assert a is not None
+    probes = [
+        (f"{a} {b}", 3), (f"{a} {b}", 2), (f"{a} {b} {c}", 4),
+        (f"{b} {a}", 6), (f"{a} zzznohit", 8),
+    ]
+    k = 12
+    for phrase, w in probes:
+        brute = span_near_topk(docs_ds, [phrase], w, k=k, cfg=CFG,
+                               id_col="doc_num", text_col="text", stats=st)
+        got = engine.search_span_near(phrase, window=w, k=k)
+        assert len(got) == len(brute), (phrase, w)
+        assert got["doc_num"].tolist() == brute["doc_num"].tolist(), (phrase, w)
+        if len(got):
+            np.testing.assert_array_equal(
+                score_micros(got["score"].to_numpy()),
+                brute["score_micros"].to_numpy(), err_msg=str((phrase, w)),
+            )
+    # the guaranteed-hit probe must actually hit
+    assert len(engine.search_span_near(f"{a} {b} {c}", window=4, k=k)) > 0
+    # window == m − 1 ≡ adjacent phrase
+    p2 = _phrases_from_corpus(built["index_dir"])[0]
+    sp = engine.search_span_near(p2, window=len(p2.split()) - 1, k=k)
+    ph = engine.search_phrase(p2, k=k)
+    assert sp["doc_num"].tolist() == ph["doc_num"].tolist()
+    np.testing.assert_allclose(sp["score"].to_numpy(), ph["score"].to_numpy(),
+                               rtol=0, atol=1e-9)
+    # unmatchable window → empty without touching shards
+    assert engine.search_span_near(f"{a} {b}", window=0, k=k).empty
+    # ordered span hits ⊆ conjunctive AND hits
+    span_docs = set(engine.search_span_near(f"{a} {b}", window=9, k=1000)["doc_num"])
+    and_docs = set(engine.search(f"{a} {b}", k=1000, require_all=True)["doc_num"])
+    assert span_docs <= and_docs
+    # scope composes
+    hi = max(1, int(stats["N"]) // 3)
+    s = engine.search_span_near(f"{a} {b}", window=9, k=1000, scope=(0, hi))
+    assert ((s["doc_num"] >= 0) & (s["doc_num"] < hi)).all()
+    deep = engine.search_span_near(f"{a} {b}", window=9, k=10**6)
+    expect = deep[(deep["doc_num"] >= 0) & (deep["doc_num"] < hi)]
+    assert s["doc_num"].tolist() == expect["doc_num"].tolist()
+
+
+def test_cli_span_near_mode(built, engine, capsys):
+    """`query --span-near W` drives the ordered-span path end-to-end; the
+    page guard refuses it like every non-plain mode."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_query
+
+    tok = get_tokenizer(CFG)
+    docs_dir = os.path.join(built["index_dir"], "docs")
+    t = pq.read_table(os.path.join(docs_dir, sorted(os.listdir(docs_dir))[0]))
+    ts = next(
+        tok.tokenize(x or "") for x in t.column("text").to_pylist()
+        if len(tok.tokenize(x or "")) >= 3
+    )
+    base = dict(index_dir=built["index_dir"], q=f"{ts[0]} {ts[2]}", k=5,
+                num_shards=2, hydrate=False, num_cpus=None)
+    rc = cmd_query(argparse.Namespace(**{**base, "span_near": 4}))
+    assert rc == 0 and "doc_num" in capsys.readouterr().out
+    rc = cmd_query(argparse.Namespace(**{**base, "span_near": 4, "page": 1}))
+    assert rc == 2 and "plain search mode" in capsys.readouterr().err
+
+
 def test_search_phrase_many_matches_single(built, engine):
     """Batched phrase retrieval (one df sweep + one fan-out) must equal the
     single-phrase path per phrase, including dead phrases (absent term /
