@@ -177,6 +177,31 @@ def cmd_query(args: argparse.Namespace) -> int:
     if getattr(args, "scope", None):
         lo, _, hi = args.scope.partition(":")
         scope = (int(lo), int(hi))
+    if getattr(args, "count", False) and (
+        getattr(args, "phrase", False) or getattr(args, "prefix", False)
+        or getattr(args, "near", None) is not None
+        or getattr(args, "span_near", None) is not None
+        or getattr(args, "fuzzy", None) is not None
+        or getattr(args, "regex", None) is not None
+        or getattr(args, "wildcard", None) is not None
+        or getattr(args, "more_like", None) is not None
+        or getattr(args, "bool_expr", None) is not None
+        or bool(getattr(args, "synonyms", None))
+        or getattr(args, "dismax", None) is not None
+        or bool(getattr(args, "boosts", None))
+    ):
+        print("query --count is only supported in plain search mode "
+              "(with --require-all/--exclude/--scope)", file=sys.stderr)
+        engine.close()
+        return 2
+    if getattr(args, "count", False):
+        n = engine.count_matches(
+            args.q, require_all=require_all,
+            exclude=getattr(args, "exclude", None), scope=scope,
+        )
+        print(n)
+        engine.close()
+        return 0
     if getattr(args, "near", None) is not None:
         sides = args.q.split()
         if len(sides) != 2:
@@ -258,6 +283,14 @@ def cmd_query(args: argparse.Namespace) -> int:
             exclude=getattr(args, "exclude", None),
             scope=scope,
         )
+    if getattr(args, "snippet", False):
+        # reference result shape: snippet per hit, query terms highlighted;
+        # needs text — hydrate implicitly when the mode didn't already
+        if "text" not in out.columns and len(out):
+            out = engine._hydrate(out)
+        out = engine.attach_snippets(out, args.q or "", highlight=True)
+        if "text" in out.columns:
+            out = out.drop(columns=["text"])
     print(out.to_string(index=False))
     engine.close()
     return 0
@@ -407,6 +440,13 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=None, help="top-k (default 10)")
     q.add_argument("--num-shards", type=int, default=None)
     q.add_argument("--hydrate", action="store_true", default=None)
+    q.add_argument("--count", action="store_true", default=False,
+                   help="print the total matching-document count instead of "
+                        "ranked results (composes with --require-all / "
+                        "--exclude / --scope)")
+    q.add_argument("--snippet", action="store_true", default=False,
+                   help="attach a highlighted match snippet per result "
+                        "(reference search-result shape; implies hydration)")
     q.add_argument("--phrase", action="store_true",
                    help="exact adjacency phrase retrieval (positional index)")
     q.add_argument("--prefix", action="store_true",

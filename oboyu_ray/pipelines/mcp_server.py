@@ -105,6 +105,13 @@ TOOLS = [
                                    "index terms (negated clauses filter, "
                                    "positive terms score)",
                 },
+                "snippet": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "return a highlighted match snippet as "
+                                   "each result's content instead of the "
+                                   "full document text",
+                },
                 "span_near": {
                     "type": "integer",
                     "description": "ordered span retrieval: the query's "
@@ -183,6 +190,7 @@ class McpServer:
         page: int = 0, regex: bool = False, wildcard: bool = False,
         bool_query: bool = False, dismax: Optional[float] = None,
         boosts: Optional[Dict] = None, span_near: Optional[int] = None,
+        snippet: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -250,11 +258,17 @@ class McpServer:
                 query, k=int(top_k), hydrate=True, require_all=bool(require_all),
                 scope=sc,
             )
+        if snippet:
+            # reference result shape: per-hit match snippet with the query
+            # terms highlighted (pattern modes fall back to head snippets —
+            # the matched terms are only known term-wise for term queries)
+            df = eng.attach_snippets(df, query, highlight=True)
         results = [
             {
                 "uri": str(r["doc_id"]),
                 "score": float(r["score"]),
-                "content": r.get("text", ""),
+                "content": r.get("snippet", r.get("text", ""))
+                if snippet else r.get("text", ""),
             }
             for r in df.to_dict("records")
         ]

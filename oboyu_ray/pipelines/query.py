@@ -537,6 +537,20 @@ class MergeAggregator:
             ]
         ), k)
 
+    def count_matches(self, terms: List[str], require_all: bool = False,
+                      exclude_terms: Sequence[str] = (), scope=None):
+        import ray as _ray
+
+        return sum(_ray.get(
+            [
+                s.count_matches.remote(
+                    terms, require_all=require_all,
+                    exclude_terms=exclude_terms, scope=scope,
+                )
+                for s in self.shards
+            ]
+        ))
+
     def query_span_near(self, phrase_terms: List[str], window: int,
                         term_weights: Dict[str, float], k: int, scope=None):
         import ray as _ray
@@ -1106,6 +1120,41 @@ class QueryEngine:
             out = self._finish(out, hydrate)
         return out
 
+    def count_matches(
+        self, query: str, require_all: bool = False,
+        exclude: Optional[str] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> int:
+        """Total matching-document count (Lucene IndexSearcher.count):
+        exact number of documents matching the query under OR / AND
+        semantics with optional NOT exclusions and scope — no scoring, no
+        top-k, each shard returns one integer.  Strict-AND on a corpus-
+        absent term counts zero (same semantics as search)."""
+        terms = self.tokenizer.tokenize(query)
+        dfs = self.vocab.df(sorted(set(terms)))
+        live = [t for t in terms if dfs.get(t, 0) > 0]
+        if not live:
+            return 0
+        if require_all and len(set(live)) < len(set(terms)):
+            return 0
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return 0
+        excl_terms = self.tokenizer.tokenize(exclude) if exclude else []
+        excl = sorted(
+            t for t, d in self.vocab.df(sorted(set(excl_terms))).items() if d > 0
+        )
+        return sum(self._fanout(
+            lambda ts: [
+                a.count_matches.remote(
+                    live, require_all=require_all, exclude_terms=excl,
+                    scope=scope,
+                )
+                for a in ts
+            ]
+        ))
+
     def search_dismax(
         self, query: str, k: int = 10, tiebreak: float = 0.3,
         hydrate: bool = False, resolve: bool = False,
@@ -1440,23 +1489,67 @@ class QueryEngine:
             out = self._hydrate(out)
         return out
 
+    def attach_snippets(
+        self, out: pd.DataFrame, query: str, length: int = 200,
+        context_window: int = 50, highlight: bool = False,
+    ) -> pd.DataFrame:
+        """Attach a ``snippet`` column to hydrated results — the reference
+        search-result shape (retriever/search/snippet_extractor.py:9-107:
+        center on the first query-term match, expand toward the target
+        length, cover every match, head-truncate matchless docs).  With
+        ``highlight``, query terms in the snippet are wrapped in the
+        reference's ``**…**`` format (text_highlighter.py:19-80).  Pure
+        driver-side post-processing over the ≤k result rows — no shard or
+        Dataset work; composable with every search flavor's hydrated
+        output."""
+        from oboyu_ray.functions.textproc import (
+            find_match_positions,
+            extract_snippet,
+            highlight_matches,
+        )
+
+        if not len(out):
+            return out.assign(snippet=pd.Series(dtype=object))
+        if "text" not in out.columns:
+            raise ValueError("attach_snippets needs hydrated results "
+                             "(search with hydrate=True)")
+        terms = self.tokenizer.tokenize(query)
+        snips = []
+        for t in out["text"]:
+            s = extract_snippet(
+                t or "", find_match_positions(t or "", terms),
+                length, context_window,
+            )
+            if highlight:
+                s = highlight_matches(s, terms)
+            snips.append(s)
+        return out.assign(
+            snippet=pd.Series(snips, index=out.index, dtype=object)
+        )
+
     def search(
         self, query: str, k: int = 10, hydrate: bool = False,
         require_all: bool = False, exclude: Optional[str] = None,
         scope: "Optional[Tuple[int, int]]" = None,
+        snippet: bool = False, highlight: bool = False,
     ) -> pd.DataFrame:
         """``exclude`` is a boolean-NOT term string (tokenized like the
         query): documents containing ANY excluded term never rank.
         ``scope`` = (lo, hi) restricts candidates to that doc_num interval
-        (scores keep full-corpus statistics)."""
+        (scores keep full-corpus statistics).  ``snippet`` implies hydrate
+        and attaches the reference-shaped snippet (optionally
+        ``highlight``-ed) per result."""
         terms = self.tokenizer.tokenize(query)
         excl = self.tokenizer.tokenize(exclude) if exclude else None
-        return self._finish(
+        out = self._finish(
             self.search_terms(
                 terms, k, require_all=require_all, exclude=excl, scope=scope
             ),
-            hydrate,
+            hydrate or snippet,
         )
+        if snippet:
+            out = self.attach_snippets(out, query, highlight=highlight)
+        return out
 
     def search_page(
         self, query: str, k: int = 10, page: int = 0, hydrate: bool = False,

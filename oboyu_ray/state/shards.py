@@ -515,6 +515,51 @@ class IndexShard:
                 )
         return top_docs, top_scores
 
+    def count_matches(
+        self, terms: List[str], require_all: bool = False,
+        exclude_terms: Sequence[str] = (), scope=None,
+    ) -> int:
+        """Total matching-document count (Lucene IndexSearcher.count): how
+        many docs this shard holds matching the query under OR (any term) or
+        AND (every distinct term) semantics, honoring NOT exclusions and the
+        scope interval — no scoring, no top-k.  Dense per-part presence
+        accumulation through the contribution cache (one scatter per term);
+        the returned int is the only thing that crosses the wire, so a
+        256-node count is #shards integers."""
+        W = self.window_docs
+        distinct = list(dict.fromkeys(terms))
+        if not distinct:
+            return 0
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+            if scope[0] >= scope[1]:
+                return 0
+        self.counters["queries"] += 1
+        total = 0
+        for part_idx, part in enumerate(self.parts):
+            if self._part_outside_scope(part, scope):
+                continue
+            present_terms = [t for t in distinct if t in part.term_slices]
+            if not present_terms or (require_all and len(present_terms) < len(distinct)):
+                continue
+            span = part.n_windows * W
+            base = part.win_base * W
+            nseen = np.zeros(span, dtype=np.int32)
+            for t in present_terms:
+                idx, _ = self._contrib_cached(part_idx, *part.term_slices[t])
+                nseen[idx] += 1
+            cand = np.flatnonzero(
+                nseen >= (len(distinct) if require_all else 1)
+            )
+            if not len(cand):
+                continue
+            excl_abs = self._excluded_abs(part_idx, part, exclude_terms or ())
+            docs_abs, _ = self._drop_excluded(
+                base + cand, np.empty(len(cand)), excl_abs, scope
+            )
+            total += len(docs_abs)
+        return total
+
     def _excluded_abs(self, part_idx: int, part: _PartIndex, exclude_terms):
         """Sorted absolute doc_nums in this part containing ANY excluded
         term (boolean NOT support) — decoded through the shared contribution

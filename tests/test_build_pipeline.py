@@ -1476,6 +1476,91 @@ def test_synonym_engine_matches_brute_force(built, engine):
                                rtol=0, atol=1e-9)
 
 
+def test_count_matches(built, engine):
+    """count_matches (per-shard dense presence counting, one int per shard)
+    must equal the deep-search result size for every semantics combination;
+    absent/stopword-only queries count zero; strict-AND on a corpus-absent
+    term counts zero even when other terms match."""
+    deep = 10**6
+    for q, kw in [
+        ("token python", {}),
+        ("token python", {"require_all": True}),
+        ("token", {"exclude": "python"}),
+        ("token python", {"scope": (0, 250)}),
+        ("token python", {"require_all": True, "scope": (0, 250)}),
+    ]:
+        n = engine.count_matches(q, **kw)
+        want = len(engine.search(q, k=deep, **kw))
+        assert n == want, (q, kw)
+        assert n > 0, (q, kw)  # probes must be non-trivial
+    assert engine.count_matches("zzznohit") == 0
+    assert engine.count_matches("token zzznohit", require_all=True) == 0
+    assert engine.count_matches("token zzznohit") == engine.count_matches("token")
+    assert engine.count_matches("です") == 0  # stopword-only tokenizes away
+    assert engine.count_matches("token", scope=(5, 5)) == 0
+
+
+def test_cli_count_mode(built, capsys):
+    """`query --count` prints the bare integer; combining with a non-plain
+    mode is refused (never silently count a different query)."""
+    import argparse
+
+    from oboyu_ray.cli import cmd_query
+
+    base = dict(index_dir=built["index_dir"], q="token python", k=5,
+                num_shards=2, hydrate=False, num_cpus=None, count=True)
+    rc = cmd_query(argparse.Namespace(**base))
+    out = capsys.readouterr().out.strip()
+    assert rc == 0 and out.isdigit() and int(out) > 0
+    rc = cmd_query(argparse.Namespace(**{**base, "phrase": True}))
+    assert rc == 2 and "plain search mode" in capsys.readouterr().err
+
+
+def test_search_snippets(built, engine):
+    """search(snippet=True) returns the reference-shaped snippet column:
+    hydration implied, every matched doc's snippet contains a query term,
+    highlight wraps terms in the reference ** format, snippets are windows
+    of the source text, and no-hit results carry an empty snippet column.
+    attach_snippets refuses unhydrated frames."""
+    q = "token python"
+    out = engine.search(q, k=6, snippet=True, highlight=True)
+    assert len(out) > 0 and "snippet" in out.columns and "text" in out.columns
+    from oboyu_ray.functions.textproc import remove_highlights
+
+    import re as _re
+
+    terms = engine.tokenizer.tokenize(q)
+    hit_any = 0
+    for _, r in out.iterrows():
+        plain = remove_highlights(r["snippet"])
+        assert plain in (r["text"] or ""), "snippet must be a text window"
+        if any(t in plain.lower() for t in terms):
+            hit_any += 1
+        # highlighting is word-boundary faithful (reference
+        # text_highlighter semantics): a term flanked by \w (incl. CJK)
+        # stays un-highlighted; boundary-isolated occurrences MUST wrap
+        if any(
+            _re.search(r"\b" + _re.escape(t) + r"\b", plain, _re.IGNORECASE)
+            for t in terms
+        ):
+            assert "**" in r["snippet"], "boundary match must be highlighted"
+    assert hit_any > 0
+    # snippet without explicit hydrate=True still hydrates
+    out2 = engine.search(q, k=3, snippet=True)
+    assert "snippet" in out2.columns and len(out2) == 3
+    # empty result keeps the snippet column
+    empty = engine.search("zzznohit", k=5, snippet=True)
+    assert len(empty) == 0 and "snippet" in empty.columns
+    # unhydrated frames are refused loudly
+    bare = engine.search(q, k=3)
+    with pytest.raises(ValueError, match="hydrated"):
+        engine.attach_snippets(bare, q)
+    # composable with other flavors' hydrated output
+    ph = engine.search_synonym(q, {}, k=3, hydrate=True)
+    sn = engine.attach_snippets(ph, q)
+    assert "snippet" in sn.columns and len(sn) == 3
+
+
 def test_dismax_engine_matches_brute_force(built, engine):
     """search_dismax (dense max+sum accumulation through the shards) must
     be rank- and score-identical to the Dataset brute force dismax_topk:

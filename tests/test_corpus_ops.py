@@ -793,6 +793,10 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "engine alpha", "index_dir": index_dir,
                                   "top_k": 3, "span_near": 5}}},
+        {"jsonrpc": "2.0", "id": 48, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha search", "index_dir": index_dir,
+                                  "top_k": 3, "snippet": True}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -821,6 +825,10 @@ def test_mcp_stdio_transport(tmp_path):
     # ordered: reversed term order never matches regardless of window
     snr = _json.loads(resps4[47]["result"]["content"][0]["text"])
     assert snr["stats"]["count"] == 0
+    # snippet mode: content is the highlighted match window, not full text
+    sni = _json.loads(resps4[48]["result"]["content"][0]["text"])
+    assert sni["stats"]["count"] > 0
+    assert "**alpha**" in sni["results"][0]["content"]
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
