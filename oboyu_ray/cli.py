@@ -126,6 +126,28 @@ def cmd_query(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
 
+    # ONE retrieval mode per invocation — the elif dispatch below would
+    # otherwise silently answer whichever mode wins precedence
+    mode_flags = [
+        ("--phrase", bool(getattr(args, "phrase", False))),
+        ("--prefix", bool(getattr(args, "prefix", False))),
+        ("--near", getattr(args, "near", None) is not None),
+        ("--span-near", getattr(args, "span_near", None) is not None),
+        ("--fuzzy", getattr(args, "fuzzy", None) is not None),
+        ("--regex", getattr(args, "regex", None) is not None),
+        ("--wildcard", getattr(args, "wildcard", None) is not None),
+        ("--more-like", getattr(args, "more_like", None) is not None),
+        ("--bool", getattr(args, "bool_expr", None) is not None),
+        ("--synonyms", bool(getattr(args, "synonyms", None))),
+        ("--dismax", getattr(args, "dismax", None) is not None),
+        ("--boosts", bool(getattr(args, "boosts", None))),
+    ]
+    on_modes = [f for f, v in mode_flags if v]
+    if len(on_modes) > 1:
+        print("query: " + ", ".join(on_modes) + " are mutually exclusive",
+              file=sys.stderr)
+        return 2
+
     if getattr(args, "federate", None):
         from oboyu_ray.pipelines.federated import FederatedEngine
 
@@ -146,6 +168,8 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--dismax", getattr(args, "dismax", None) is not None),
                 ("--boosts", bool(getattr(args, "boosts", None))),
                 ("--span-near", getattr(args, "span_near", None) is not None),
+                ("--count", bool(getattr(args, "count", False))),
+                ("--snippet", bool(getattr(args, "snippet", False))),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
             ) if on

@@ -771,18 +771,7 @@ def span_near_topk(
         out = pd.concat(frames, ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    pdf = docs_ds.map_batches(score_docs, batch_format="pyarrow").to_pandas()
-    if pdf.empty:
-        return empty
-    pdf = pdf.sort_values(
-        ["query_id", "score_micros", id_col], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
-    out = pdf[pdf["rank"] <= k][["query_id", id_col, "score_micros", "rank"]]
-    out = out.reset_index(drop=True)
-    out["rank"] = out["rank"].astype(np.int64)
-    return out
+    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
 
 
 # ------------------------------------------------------------ prefix search
@@ -1749,6 +1738,66 @@ def _rank_topk_frames(
     return out
 
 
+def _weighted_topk(
+    docs_ds: "ray.data.Dataset",
+    weights: Dict[str, Dict[str, float]],
+    avgdl: float,
+    cfg: BM25Config,
+    k: int,
+    id_col: str,
+    text_col: str,
+    combine,
+) -> pd.DataFrame:
+    """Shared scaffold for weighted-contribution brute scorers (dismax /
+    boosted): per batch, filter postings to the query terms, compute
+    weighted single-term contributions, fold them per doc with ``combine``
+    (a callable (ids, contribs) → DataFrame[id_col, score]), emit local
+    top-k in the global total order, driver-merge via
+    ``_rank_topk_frames``."""
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
+         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+    )
+    if not weights:
+        return empty
+    term_set = pa.array(
+        sorted({t for w in weights.values() for t in w}), type=pa.string()
+    )
+    k1, b = cfg.k1, cfg.b
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
+        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
+        frames = []
+        for qid, w in weights.items():
+            sub = pdf[pdf["term"].isin(w.keys())]
+            if sub.empty:
+                continue
+            iw = sub["term"].map(w).to_numpy(dtype=np.float64)
+            contrib = iw * bm25_term_score(
+                sub["tf"].to_numpy(dtype=np.float64),
+                sub["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
+            )
+            g = combine(sub[id_col].to_numpy(), contrib)
+            g["score_micros"] = score_micros(g["score"].to_numpy())
+            g = g.sort_values(
+                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            g.insert(0, "query_id", qid)
+            frames.append(g)
+        cols = {
+            "query_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            "score_micros": pa.array([], type=pa.int64()),
+        }
+        if not frames:
+            return pa.table(cols)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+
+    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
+
+
 def dismax_topk(
     docs_ds: "ray.data.Dataset",
     queries: Sequence[str],
@@ -1770,52 +1819,18 @@ def dismax_topk(
     stats, df_map = _stats_and_term_dfs(docs_ds, all_terms, cfg, id_col, text_col)
     n, avgdl = int(stats["N"]), float(stats["avgdl"])
     weights = _query_weights(tokq, df_map, n) if n else {}
-    if not weights:
-        return pd.DataFrame(
-            {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
-             "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
-        )
-    term_set = pa.array(all_terms, type=pa.string())
-    k1, b = cfg.k1, cfg.b
     tb = float(tiebreak)
 
-    def score_docs(batch: pa.Table) -> pa.Table:
-        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
-        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
-        frames = []
-        for qid, w in weights.items():
-            sub = pdf[pdf["term"].isin(w.keys())]
-            if sub.empty:
-                continue
-            iw = sub["term"].map(w).to_numpy(dtype=np.float64)
-            contrib = iw * bm25_term_score(
-                sub["tf"].to_numpy(dtype=np.float64),
-                sub["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
-            )
-            g = (
-                pd.DataFrame({id_col: sub[id_col].to_numpy(), "c": contrib})
-                .groupby(id_col, sort=True)["c"]
-                .agg(["max", "sum"])
-            )
-            score = g["max"].to_numpy() + tb * (g["sum"].to_numpy() - g["max"].to_numpy())
-            g = pd.DataFrame({id_col: g.index.to_numpy(), "score": score})
-            g["score_micros"] = score_micros(g["score"].to_numpy())
-            g = g.sort_values(
-                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
-            ).head(k)
-            g.insert(0, "query_id", qid)
-            frames.append(g)
-        cols = {
-            "query_id": pa.array([], type=pa.string()),
-            id_col: pa.array([], type=batch.schema.field(id_col).type),
-            "score_micros": pa.array([], type=pa.int64()),
-        }
-        if not frames:
-            return pa.table(cols)
-        out = pd.concat(frames, ignore_index=True)
-        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+    def combine(ids: np.ndarray, contrib: np.ndarray) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({id_col: ids, "c": contrib})
+            .groupby(id_col, sort=True)["c"]
+            .agg(["max", "sum"])
+        )
+        score = g["max"].to_numpy() + tb * (g["sum"].to_numpy() - g["max"].to_numpy())
+        return pd.DataFrame({id_col: g.index.to_numpy(), "score": score})
 
-    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
+    return _weighted_topk(docs_ds, weights, avgdl, cfg, k, id_col, text_col, combine)
 
 
 def boosted_topk(
@@ -1845,52 +1860,18 @@ def boosted_topk(
     }
     weights = {qid: {t: wv for t, wv in w.items() if wv != 0.0} for qid, w in weights.items()}
     weights = {qid: w for qid, w in weights.items() if w}
-    empty = pd.DataFrame(
-        {"query_id": pd.Series(dtype=object), id_col: pd.Series(dtype=np.int64),
-         "score_micros": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
-    )
-    if not weights:
-        return empty
-    term_set = pa.array(sorted({t for w in weights.values() for t in w}), type=pa.string())
-    k1, b = cfg.k1, cfg.b
 
-    def score_docs(batch: pa.Table) -> pa.Table:
-        p = postings_batch(batch, cfg, id_col=id_col, text_col=text_col)
-        pdf = p.filter(pc.is_in(p.column("term"), value_set=term_set)).to_pandas()
-        frames = []
-        for qid, w in weights.items():
-            sub = pdf[pdf["term"].isin(w.keys())]
-            if sub.empty:
-                continue
-            iw = sub["term"].map(w).to_numpy(dtype=np.float64)
-            contrib = iw * bm25_term_score(
-                sub["tf"].to_numpy(dtype=np.float64),
-                sub["dl"].to_numpy(dtype=np.float64), 1.0, avgdl, k1, b,
-            )
-            g = (
-                pd.DataFrame({id_col: sub[id_col].to_numpy(), "c": contrib})
-                .groupby(id_col, sort=True)["c"]
-                .sum()
-                .reset_index()
-            )
-            g.columns = [id_col, "score"]
-            g["score_micros"] = score_micros(g["score"].to_numpy())
-            g = g.sort_values(
-                ["score_micros", id_col], ascending=[False, True], kind="mergesort"
-            ).head(k)
-            g.insert(0, "query_id", qid)
-            frames.append(g)
-        cols = {
-            "query_id": pa.array([], type=pa.string()),
-            id_col: pa.array([], type=batch.schema.field(id_col).type),
-            "score_micros": pa.array([], type=pa.int64()),
-        }
-        if not frames:
-            return pa.table(cols)
-        out = pd.concat(frames, ignore_index=True)
-        return pa.Table.from_pandas(out[list(cols)], preserve_index=False)
+    def combine(ids: np.ndarray, contrib: np.ndarray) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({id_col: ids, "c": contrib})
+            .groupby(id_col, sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        g.columns = [id_col, "score"]
+        return g
 
-    return _rank_topk_frames(docs_ds, score_docs, k, id_col)
+    return _weighted_topk(docs_ds, weights, avgdl, cfg, k, id_col, text_col, combine)
 
 
 # ------------------------------------------------------------ faceted search

@@ -203,11 +203,17 @@ class McpServer:
                           or bool_query or dismax is not None or boosts
                           or span_near is not None):
             raise ValueError("page is only supported in plain search mode")
-        if sum((regex, wildcard, bool_query, dismax is not None, bool(boosts),
-                span_near is not None)) > 1:
+        # ONE retrieval mode per call: the elif chain below would otherwise
+        # silently answer whichever mode wins precedence (the
+        # silently-answered-different-query hazard)
+        modes = (bool(phrase), bool(prefix), near is not None,
+                 fuzzy is not None, bool(regex), bool(wildcard),
+                 bool(bool_query), dismax is not None, bool(boosts),
+                 span_near is not None)
+        if sum(modes) > 1:
             raise ValueError(
-                "regex/wildcard/bool_query/dismax/boosts/span_near are "
-                "mutually exclusive"
+                "phrase/prefix/near/fuzzy/regex/wildcard/bool_query/dismax/"
+                "boosts/span_near are mutually exclusive"
             )
         if span_near is not None:
             df = eng.search_span_near(

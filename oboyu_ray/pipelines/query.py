@@ -1189,17 +1189,19 @@ class QueryEngine:
 
     def search_boosted(
         self, query: str, boosts: Dict[str, float], k: int = 10,
-        exclude: "Optional[List[str]]" = None,
+        exclude: "Optional[str]" = None,
         hydrate: bool = False, resolve: bool = False,
         scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Per-term query-time boosts (Lucene BoostQuery): score =
         Σ boost_t × bm25_t.  Terms absent from ``boosts`` keep 1.0;
         boost 0 removes the clause; ``boosts={}`` ≡ ``search_terms``.
-        Rides the ordinary WAND/dense OR path with pre-scaled weights —
-        the block-max bounds are computed FROM the passed weights, so
-        pruning stays sound for any sign combination (signed-idf rules,
-        state/shards.py block-max docstring)."""
+        ``exclude`` is a boolean-NOT term STRING tokenized like the query
+        (same contract as ``search``).  Rides the ordinary WAND/dense OR
+        path with pre-scaled weights — the block-max bounds are computed
+        FROM the passed weights, so pruning stays sound for any sign
+        combination (signed-idf rules, state/shards.py block-max
+        docstring)."""
         empty = pd.DataFrame(
             {"doc_num": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
@@ -1215,8 +1217,9 @@ class QueryEngine:
             scope = (int(scope[0]), int(scope[1]))
             if scope[0] >= scope[1]:
                 return self._finish(empty, hydrate) if (resolve or hydrate) else empty
+        excl_terms = self.tokenizer.tokenize(exclude) if exclude else []
         excl = sorted(
-            t for t, d in self.vocab.df(sorted(set(exclude or []))).items() if d > 0
+            t for t, d in self.vocab.df(sorted(set(excl_terms))).items() if d > 0
         )
         results = self._fanout(
             lambda ts: [
@@ -1502,11 +1505,7 @@ class QueryEngine:
         driver-side post-processing over the ≤k result rows — no shard or
         Dataset work; composable with every search flavor's hydrated
         output."""
-        from oboyu_ray.functions.textproc import (
-            find_match_positions,
-            extract_snippet,
-            highlight_matches,
-        )
+        from oboyu_ray.functions.textproc import highlight_matches, snippet_for_terms
 
         if not len(out):
             return out.assign(snippet=pd.Series(dtype=object))
@@ -1516,10 +1515,7 @@ class QueryEngine:
         terms = self.tokenizer.tokenize(query)
         snips = []
         for t in out["text"]:
-            s = extract_snippet(
-                t or "", find_match_positions(t or "", terms),
-                length, context_window,
-            )
+            s = snippet_for_terms(t or "", terms, length, context_window)
             if highlight:
                 s = highlight_matches(s, terms)
             snips.append(s)

@@ -499,7 +499,10 @@ class IndexShard:
                 idx, tfnorm = self._contrib_cached(part_idx, *se)
                 c = w * tfnorm
                 sum_acc[idx] += c
-                np.maximum.at(max_acc, idx, c)
+                # idx is unique per term (one posting per doc), so the
+                # vectorized gather/compare/scatter replaces the ~10x
+                # slower unbuffered np.maximum.at
+                max_acc[idx] = np.maximum(max_acc[idx], c)
                 present[idx] = True
             if sum_acc is None:
                 continue

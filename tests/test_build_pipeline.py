@@ -404,6 +404,14 @@ def test_cli_regex_wildcard_modes(built, engine, capsys):
     assert rc == 2 and "plain search mode" in capsys.readouterr().err
     rc = cmd_query(argparse.Namespace(**{**base, "q": "token", "dismax": 0.3, "page": 1}))
     assert rc == 2 and "plain search mode" in capsys.readouterr().err
+    # one retrieval mode per invocation — combined modes are refused
+    # instead of silently answering whichever wins elif precedence
+    rc = cmd_query(argparse.Namespace(
+        **{**base, "q": "token", "dismax": 0.3, "prefix": True}))
+    assert rc == 2 and "mutually exclusive" in capsys.readouterr().err
+    rc = cmd_query(argparse.Namespace(
+        **{**base, "q": "token python", "phrase": True, "span_near": 3}))
+    assert rc == 2 and "mutually exclusive" in capsys.readouterr().err
 
 
 def test_hot_term_skew_balance(tmp_path):
@@ -1636,6 +1644,14 @@ def test_boosted_engine_matches_brute_force(built, engine):
     c = engine.search_boosted("token python", {"python": 0.0}, k=k)
     d = engine.search("token", k=k)
     assert c["doc_num"].tolist() == d["doc_num"].tolist()
+    # exclude is a term STRING tokenized like the query (the review-pass
+    # regression: a raw string iterated as characters silently dropped
+    # the exclusion) — neutral boosts + exclude ≡ plain search + exclude
+    e1 = engine.search_boosted("token model", {}, k=k, exclude="python")
+    e2 = engine.search("token model", k=k, exclude="python")
+    assert e1["doc_num"].tolist() == e2["doc_num"].tolist()
+    excluded = set(engine.search("python", k=10**6)["doc_num"])
+    assert not (set(e1["doc_num"]) & excluded)
 
 
 def test_mlt_engine_matches_brute_force(built, engine):

@@ -797,6 +797,11 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "alpha search", "index_dir": index_dir,
                                   "top_k": 3, "snippet": True}}},
+        # combined retrieval modes are refused, not precedence-resolved
+        {"jsonrpc": "2.0", "id": 49, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "alpha engine", "index_dir": index_dir,
+                                  "top_k": 3, "phrase": True, "span_near": 3}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -829,6 +834,8 @@ def test_mcp_stdio_transport(tmp_path):
     sni = _json.loads(resps4[48]["result"]["content"][0]["text"])
     assert sni["stats"]["count"] > 0
     assert "**alpha**" in sni["results"][0]["content"]
+    assert resps4[49]["result"]["isError"] is True
+    assert "mutually exclusive" in resps4[49]["result"]["content"][0]["text"]
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
