@@ -168,7 +168,6 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ("--dismax", getattr(args, "dismax", None) is not None),
                 ("--boosts", bool(getattr(args, "boosts", None))),
                 ("--span-near", getattr(args, "span_near", None) is not None),
-                ("--count", bool(getattr(args, "count", False))),
                 ("--snippet", bool(getattr(args, "snippet", False))),
                 ("--hydrate-for-fuzzy",
                  hydrate and getattr(args, "fuzzy", None) is not None),
@@ -183,7 +182,18 @@ def cmd_query(args: argparse.Namespace) -> int:
         members = [args.index_dir] + [
             d for d in args.federate.split(",") if d
         ]
+        if getattr(args, "count", False) and getattr(args, "fuzzy", None) is not None:
+            print("query --count is only supported in plain search mode "
+                  "(with --require-all/--exclude)", file=sys.stderr)
+            return 2
         engine = FederatedEngine(members, num_shards_each=num_shards)
+        if getattr(args, "count", False):
+            print(engine.count_matches(
+                args.q, require_all=require_all,
+                exclude=getattr(args, "exclude", None),
+            ))
+            engine.close()
+            return 0
         if getattr(args, "fuzzy", None) is not None:
             out = engine.search_fuzzy(args.q, max_edits=args.fuzzy, k=k)
         else:

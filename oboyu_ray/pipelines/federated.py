@@ -243,6 +243,19 @@ class FederatedEngine:
             )
         return out
 
+    def count_matches(
+        self, query: str, require_all: bool = False,
+        exclude: Optional[str] = None,
+    ) -> int:
+        """Federated total-hit count: Σ per-member counts — counts are
+        score-free, so unlike ranked search no statistic merge or bound
+        rescale is involved; members answer independently and the driver
+        sums #members integers."""
+        return sum(
+            e.count_matches(query, require_all=require_all, exclude=exclude)
+            for e in self.engines
+        )
+
     def close(self) -> None:
         for e in self.engines:
             e.close()

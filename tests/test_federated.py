@@ -114,6 +114,25 @@ def test_federated_and_not_paths(setup):
             )
 
 
+def test_federated_count_matches_monolith(setup):
+    """Federated count_matches = Σ member counts must equal the monolithic
+    count for OR / AND / NOT shapes (counts are score-free, so no statistic
+    merge is involved — disjoint members partition the doc set)."""
+    mono, fed = setup["mono"], setup["fed"]
+    nonzero = 0
+    for q, kwargs in [
+        ("python model", {}),
+        ("python model", dict(require_all=True)),
+        ("検索 インデックス", {}),
+        ("python", dict(exclude="model")),
+        ("zzznohit", {}),
+    ]:
+        a, b = mono.count_matches(q, **kwargs), fed.count_matches(q, **kwargs)
+        assert a == b, (q, kwargs, a, b)
+        nonzero += a > 0
+    assert nonzero >= 3
+
+
 def test_federated_fuzzy_matches_monolith(setup):
     """Federated fuzzy: member expansions merge by summing df — the union
     of member vocabularies IS the monolith vocabulary, so scores equal the

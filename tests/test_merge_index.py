@@ -165,6 +165,10 @@ def test_merged_phrase_near_prefix_fuzzy_match_monolith(setup):
         ("prefix", lambda e: e.search_prefix("tok", k=k, max_terms=100000)),
         ("fuzzy", lambda e: e.search_fuzzy("tokn", max_edits=1, k=k,
                                            max_terms=100000)),
+        ("span_near", lambda e: e.search_span_near(phrase, window=3, k=k)),
+        ("dismax", lambda e: e.search_dismax(phrase, k=k, tiebreak=0.3)),
+        ("boosted", lambda e: e.search_boosted(
+            phrase, {toks[0]: 2.0}, k=k)),
     ]
     hits = 0
     for name, fn in pairs:
@@ -180,6 +184,11 @@ def test_merged_phrase_near_prefix_fuzzy_match_monolith(setup):
             cb, tb = merged.resolver.resolve(b["doc_num"].to_numpy())
             assert list(zip(ca, ta.tolist())) == list(zip(cb, tb.tolist())), name
     assert hits >= 3
+    # total-hit counts agree too (one int per shard, merged-index doc
+    # numbering has window-multiple gaps — counts must not see them)
+    for ra in (False, True):
+        assert mono.count_matches(phrase, require_all=ra) == \
+            merged.count_matches(phrase, require_all=ra), ra
 
 
 def test_merged_df_equals_monolith(setup):
