@@ -459,16 +459,24 @@ class IndexShard:
 
     def query_dismax(
         self, term_weights: Dict[str, float], tiebreak: float, k: int,
-        scope=None,
+        scope=None, force: str | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Disjunction-max top-k (Lucene DisjunctionMaxQuery): per doc the
         score is ``max_t(c_t) + tiebreak · (Σ_t c_t − max_t)`` over the
-        weighted single-term contributions c_t = w_t · tfnorm.  Dense
-        part-span accumulation through the contribution cache — per term one
-        scatter into the sum array and one ``np.maximum.at`` into the max
-        array (initialised to −inf so negative-idf contributions max
-        correctly), no per-doc Python.  Same candidate semantics as
-        query(): any doc containing ≥1 query term."""
+        weighted single-term contributions c_t = w_t · tfnorm.  Same
+        candidate semantics as query(): any doc containing ≥1 query term.
+
+        Adaptive execution: rewriting the score as
+        ``(1−tb)·max + tb·sum`` gives a sound per-window bound
+        ``(1−tb)·ub_max + tb·ub_sum`` for tb ∈ [0, 1] (both coefficients
+        non-negative; ub_max/ub_sum from ``_window_bounds``), so the
+        block-max window walk prunes exactly like query()'s WAND pass —
+        this is what keeps a hot-term dismax from decoding the whole
+        part.  Per-doc scoring keeps the ``m + tb·(sum − m)`` expression,
+        bit-identical to the dense path and the brute force (the bound
+        form is used only for pruning).  Wide queries (≥ WIDE_OR_TERMS)
+        and tb outside [0, 1] fall back to the dense whole-part
+        accumulation; ``force`` pins "dense"/"pruned" for tests."""
         W = self.window_docs
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -479,43 +487,107 @@ class IndexShard:
             if scope[0] >= scope[1]:
                 return top_docs, top_scores
         tb = float(tiebreak)
+        theta = NEG_INF
         self.counters["queries"] += 1
         for part_idx, part in enumerate(self.parts):
             if self._part_outside_scope(part, scope):
                 continue
+            hits = [
+                (w, *part.term_slices[t])
+                for t, w in term_weights.items()
+                if t in part.term_slices
+            ]
+            if not hits:
+                continue
+            uniq_wins = ub_sum = ub_max = bound = None
+            if force is not None:
+                dense = force == "dense"
+            elif len(hits) >= WIDE_OR_TERMS or not (0.0 <= tb <= 1.0):
+                dense = True
+            else:
+                # adaptive execution (mirrors query()): when the bound
+                # cannot drop most windows — hot terms, unfilled heap —
+                # the per-window decode loop loses to one dense pass
+                uniq_wins, ub_sum, ub_max = self._window_bounds(
+                    part, hits, want_max=True
+                )
+                bound = (1.0 - tb) * ub_max + tb * ub_sum
+                if len(top_docs) >= k:
+                    n_surviving = int((bound >= theta).sum())
+                else:
+                    n_surviving = len(uniq_wins)
+                dense = n_surviving * 2 > len(uniq_wins)
             span = part.n_windows * W
             base = part.win_base * W
-            sum_acc = None
-            max_acc = None
-            present = None
-            for t, w in term_weights.items():
-                se = part.term_slices.get(t)
-                if not se:
+            if dense:
+                sum_acc = np.zeros(span, dtype=np.float64)
+                max_acc = np.full(span, -np.inf, dtype=np.float64)
+                present = np.zeros(span, dtype=bool)
+                for w, s, e in hits:
+                    idx, tfnorm = self._contrib_cached(part_idx, s, e)
+                    c = w * tfnorm
+                    sum_acc[idx] += c
+                    # idx is unique per term (one posting per doc), so the
+                    # vectorized gather/compare/scatter replaces the ~10x
+                    # slower unbuffered np.maximum.at
+                    max_acc[idx] = np.maximum(max_acc[idx], c)
+                    present[idx] = True
+                cand = np.flatnonzero(present)
+                if not len(cand):
                     continue
-                if sum_acc is None:
-                    sum_acc = np.zeros(span, dtype=np.float64)
-                    max_acc = np.full(span, -np.inf, dtype=np.float64)
-                    present = np.zeros(span, dtype=bool)
-                idx, tfnorm = self._contrib_cached(part_idx, *se)
-                c = w * tfnorm
-                sum_acc[idx] += c
-                # idx is unique per term (one posting per doc), so the
-                # vectorized gather/compare/scatter replaces the ~10x
-                # slower unbuffered np.maximum.at
-                max_acc[idx] = np.maximum(max_acc[idx], c)
-                present[idx] = True
-            if sum_acc is None:
+                m = max_acc[cand]
+                sc = m + tb * (sum_acc[cand] - m)
+                docs_abs, sc = self._drop_excluded(base + cand, sc, None, scope)
+                if len(docs_abs):
+                    top_docs, top_scores = _merge_topk(
+                        top_docs, top_scores, docs_abs, sc, k
+                    )
+                    if len(top_docs) >= k:
+                        theta = top_scores[-1]
                 continue
-            cand = np.flatnonzero(present)
-            if not len(cand):
-                continue
-            m = max_acc[cand]
-            sc = m + tb * (sum_acc[cand] - m)
-            docs_abs, sc = self._drop_excluded(base + cand, sc, None, scope)
-            if len(docs_abs):
+            if bound is None:  # force="pruned" skipped the adaptive block
+                uniq_wins, ub_sum, ub_max = self._window_bounds(
+                    part, hits, want_max=True
+                )
+                bound = (1.0 - tb) * ub_max + tb * ub_sum
+            order = np.argsort(-bound, kind="stable")
+            for n_done, oi in enumerate(order):
+                if len(top_docs) >= k and bound[oi] < theta:
+                    self.counters["windows_pruned"] += len(order) - n_done
+                    break
+                win_abs = int(uniq_wins[oi])
+                if scope is not None and (
+                    (win_abs + 1) * W <= scope[0] or win_abs * W >= scope[1]
+                ):
+                    continue
+                self.counters["windows_scanned"] += 1
+                wbase = win_abs * W
+                acc = np.zeros(W, dtype=np.float64)
+                mx = np.full(W, -np.inf, dtype=np.float64)
+                present = np.zeros(W, dtype=bool)
+                for w, s, e in hits:
+                    bi = s + int(np.searchsorted(part.win[s:e], win_abs))
+                    if bi >= e or part.win[bi] != win_abs:
+                        continue
+                    docs_abs, tf, dl = part.decode_range(bi, bi + 1)
+                    local = docs_abs - wbase
+                    c = w * self._tfnorm(tf, dl)
+                    acc[local] += c
+                    mx[local] = np.maximum(mx[local], c)
+                    present[local] = True
+                idx = np.flatnonzero(present)
+                if not len(idx):
+                    continue
+                m = mx[idx]
+                sc = m + tb * (acc[idx] - m)
+                docs_abs, sc = self._drop_excluded(wbase + idx, sc, None, scope)
+                if not len(docs_abs):
+                    continue
                 top_docs, top_scores = _merge_topk(
                     top_docs, top_scores, docs_abs, sc, k
                 )
+                if len(top_docs) >= k:
+                    theta = top_scores[-1]
         return top_docs, top_scores
 
     def count_matches(
@@ -608,6 +680,52 @@ class IndexShard:
         hi = lo + part.n_windows * self.window_docs
         return hi <= scope[0] or lo >= scope[1]
 
+    def _window_bounds(self, part, hits, want_max: bool = False):
+        """Per unique window of ``hits`` = [(w, s, e), …]: sound upper
+        bounds for (a) the OR-SUM of weighted contributions (``ub_sum`` —
+        the WAND bound, signed-idf rules: positive terms add
+        w·hi·max_tfnorm; a NEGATIVE term adds w·lo·min_tfnorm only when its
+        block is SATURATED, because an unsaturated negative term's largest
+        per-doc contribution is 0 — see the soundness comment in query())
+        and (b), when ``want_max``, the single largest weighted
+        contribution of any PRESENT term (``ub_max`` — the DisMax clause
+        bound: per term the best a doc HAVING it can get, w·hi·max_tfnorm
+        for w>0 / w·lo·min_tfnorm for w<0 regardless of saturation; every
+        candidate doc has ≥1 present term, so max over the window's term
+        bounds dominates max over any doc's present terms)."""
+        all_wins = np.concatenate([part.win[s:e] for _, s, e in hits])
+        uniq_wins, inv = np.unique(all_wins, return_inverse=True)
+        ub = np.zeros(len(uniq_wins), dtype=np.float64)
+        ubm = np.full(len(uniq_wins), NEG_INF, dtype=np.float64) if want_max else None
+        pos = 0
+        for w, s, e in hits:
+            m = e - s
+            if w > 0:
+                hi = (w * self._bscale_hi) * part.max_tfnorm[s:e]
+                np.add.at(ub, inv[pos : pos + m], hi)
+                if want_max:
+                    np.maximum.at(ubm, inv[pos : pos + m], hi)
+            elif w < 0:
+                best_neg = (w * self._bscale_lo) * part.min_tfnorm[s:e]
+                if want_max:
+                    np.maximum.at(ubm, inv[pos : pos + m], best_neg)
+                if len(part.window_doc_counts):
+                    widx = part.win[s:e] - part.wdc_base
+                    clipped = np.clip(widx, 0, len(part.window_doc_counts) - 1)
+                    counts = np.where(
+                        (widx >= 0) & (widx < len(part.window_doc_counts)),
+                        part.window_doc_counts[clipped],
+                        -1,
+                    )
+                    sat = part.n[s:e] == counts
+                    if sat.any():
+                        np.add.at(
+                            ub, inv[pos : pos + m],
+                            np.where(sat, best_neg, 0.0),
+                        )
+            pos += m
+        return uniq_wins, ub, ubm
+
     def query(
         self, term_weights: Dict[str, float], k: int, theta0: float = NEG_INF,
         exclude_terms: "Sequence[str]" = (), scope=None,
@@ -687,36 +805,7 @@ class IndexShard:
             # w·min_tfnorm would under-state the bound and prune true top-k
             # docs that lack the hot term — regression-tested in
             # test_negative_idf_pruning_soundness.
-            all_wins = np.concatenate([part.win[s:e] for _, s, e in hits])
-            uniq_wins, inv = np.unique(all_wins, return_inverse=True)
-            ub = np.zeros(len(uniq_wins), dtype=np.float64)
-            pos = 0
-            for w, s, e in hits:
-                m = e - s
-                if w > 0:
-                    np.add.at(
-                        ub, inv[pos : pos + m],
-                        (w * self._bscale_hi) * part.max_tfnorm[s:e],
-                    )
-                elif w < 0 and len(part.window_doc_counts):
-                    widx = part.win[s:e] - part.wdc_base
-                    clipped = np.clip(widx, 0, len(part.window_doc_counts) - 1)
-                    counts = np.where(
-                        (widx >= 0) & (widx < len(part.window_doc_counts)),
-                        part.window_doc_counts[clipped],
-                        -1,
-                    )
-                    sat = part.n[s:e] == counts
-                    if sat.any():
-                        np.add.at(
-                            ub, inv[pos : pos + m],
-                            np.where(
-                                sat,
-                                (w * self._bscale_lo) * part.min_tfnorm[s:e],
-                                0.0,
-                            ),
-                        )
-                pos += m
+            uniq_wins, ub, _ = self._window_bounds(part, hits)
             # adaptive execution: when pruning cannot drop most windows
             # (common terms / unfilled heap), run the vectorized MaxScore
             # pass over the whole part (essential/non-essential term split

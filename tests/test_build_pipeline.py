@@ -1608,6 +1608,46 @@ def test_dismax_engine_matches_brute_force(built, engine):
     assert ((s["doc_num"] >= 0) & (s["doc_num"] < 200)).all()
 
 
+def test_dismax_pruned_and_dense_paths_identical(built, engine):
+    """The block-max pruned window walk (bound = (1−tb)·ub_max + tb·ub_sum)
+    and the dense whole-part accumulation must return identical (doc,
+    score) dismax results — including hot+rare mixes (the pruning shape)
+    and duplicate-free negative-idf terms, at several tiebreaks and ks."""
+    import json as _json
+    import os as _os
+
+    from oboyu_ray.state.shards import IndexShard
+
+    blocks = sorted(_os.listdir(_os.path.join(built["index_dir"], "blocks")))
+    part_ids = [int(f.split("-")[1].split(".")[0]) for f in blocks]
+    shard = IndexShard(built["index_dir"], part_ids, built["cfg"].window_docs)
+    stats = _json.load(open(_os.path.join(built["index_dir"], "stats.json")))
+    shard.configure(1.2, 0.75, float(stats["avgdl"]))
+
+    probes = ["token python", "token model", "検索 token", "python 圧縮"]
+    n_hits = 0
+    for q in probes:
+        terms = sorted(set(engine.tokenizer.tokenize(q)))
+        w = engine.term_weights(terms)
+        if not w:
+            continue
+        for tb in (0.0, 0.3, 1.0):
+            for k in (3, 10, 50):
+                d = shard.query_dismax(w, tb, k, force="dense")
+                p = shard.query_dismax(w, tb, k, force="pruned")
+                a = shard.query_dismax(w, tb, k)  # adaptive
+                np.testing.assert_array_equal(d[0], p[0], err_msg=f"{q} tb={tb} k={k}")
+                np.testing.assert_allclose(d[1], p[1], rtol=0, atol=0,
+                                           err_msg=f"{q} tb={tb} k={k}")
+                np.testing.assert_array_equal(a[0], d[0], err_msg=f"{q} tb={tb} k={k}")
+                n_hits += len(d[0]) > 0
+    assert n_hits >= 9
+    # scope composes on the pruned path too
+    d = shard.query_dismax(engine.term_weights(["token"]), 0.3, 10,
+                           scope=(0, 200), force="pruned")
+    assert ((d[0] >= 0) & (d[0] < 200)).all()
+
+
 def test_boosted_engine_matches_brute_force(built, engine):
     """search_boosted (pre-scaled weights through the ordinary WAND/dense
     OR path) must be rank- and score-identical to the Dataset brute force
