@@ -601,6 +601,16 @@ class MergeAggregator:
             for j in range(len(weight_dicts))
         ]
 
+    def count_many(self, term_lists, require_all: bool = False):
+        import ray as _ray
+
+        per_shard = _ray.get(
+            [s.count_many.remote(term_lists, require_all) for s in self.shards]
+        )
+        return [
+            sum(sr[j] for sr in per_shard) for j in range(len(term_lists))
+        ]
+
 
 class QueryEngine:
     """Facade over the shard actor pool.  Create once, query many times."""
@@ -1405,6 +1415,38 @@ class QueryEngine:
                 [sr[j] for sr in results], k
             )
             out[i] = pd.DataFrame({"doc_num": top_docs, "score": top_scores})
+        return out
+
+    def count_many(
+        self, queries: List[str], require_all: bool = False
+    ) -> List[int]:
+        """Batched total-hit counts: ONE vocab df sweep for the union of
+        all queries' terms, ONE fan-out round (per-shard count_many), then
+        per-query integer sums — the counting counterpart of search_many.
+        Semantics per query match count_matches (df-0 terms drop; strict
+        AND on a corpus-absent term counts zero)."""
+        token_lists = [self.tokenizer.tokenize(q) for q in queries]
+        dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
+        live_lists: List[List[str]] = []
+        idx_of: List[int] = []
+        out = [0] * len(queries)
+        for i, ts in enumerate(token_lists):
+            live = [t for t in ts if dfs.get(t, 0) > 0]
+            if not live:
+                continue
+            if require_all and len(set(live)) < len(set(ts)):
+                continue
+            idx_of.append(i)
+            live_lists.append(live)
+        if not live_lists:
+            return out
+        results = self._fanout(
+            lambda targets: [
+                a.count_many.remote(live_lists, require_all) for a in targets
+            ]
+        )
+        for j, i in enumerate(idx_of):
+            out[i] = sum(r[j] for r in results)
         return out
 
     def search_many(

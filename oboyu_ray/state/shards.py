@@ -1644,6 +1644,14 @@ class IndexShard:
         run = self.query_all if require_all else self.query
         return [run(w, k) for w in weight_dicts]
 
+    def count_many(self, term_lists, require_all: bool = False):
+        """Batched total-hit counts — one actor round-trip for N queries
+        (the count_matches counterpart of query_many); consecutive queries
+        share the contribution cache."""
+        return [
+            self.count_matches(ts, require_all=require_all) for ts in term_lists
+        ]
+
     def query_phrase_many(self, phrase_lists, weights_list, k: int):
         """Batched phrase queries — one round-trip; consecutive phrases
         share the positions/contribution caches, so a batch touching the

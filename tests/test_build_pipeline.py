@@ -1508,6 +1508,17 @@ def test_count_matches(built, engine):
     assert engine.count_matches("token", scope=(5, 5)) == 0
 
 
+def test_count_many_matches_single(built, engine):
+    """Batched counts (one df sweep + one fan-out) must equal the
+    single-query count_matches per query, including dead queries."""
+    queries = ["token python", "token", "zzznohit", "検索 token", "です"]
+    for ra in (False, True):
+        batched = engine.count_many(queries, require_all=ra)
+        singles = [engine.count_matches(q, require_all=ra) for q in queries]
+        assert batched == singles, ra
+    assert sum(engine.count_many(queries)) > 0
+
+
 def test_cli_count_mode(built, capsys):
     """`query --count` prints the bare integer; combining with a non-plain
     mode is refused (never silently count a different query)."""
