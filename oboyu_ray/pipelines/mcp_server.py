@@ -105,6 +105,13 @@ TOOLS = [
                                    "index terms (negated clauses filter, "
                                    "positive terms score)",
                 },
+                "count_only": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "return only the total matching-document "
+                                   "count (no ranked results; plain search "
+                                   "semantics with require_all)",
+                },
                 "snippet": {
                     "type": "boolean",
                     "default": False,
@@ -190,7 +197,7 @@ class McpServer:
         page: int = 0, regex: bool = False, wildcard: bool = False,
         bool_query: bool = False, dismax: Optional[float] = None,
         boosts: Optional[Dict] = None, span_near: Optional[int] = None,
-        snippet: bool = False,
+        snippet: bool = False, count_only: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -215,6 +222,13 @@ class McpServer:
                 "phrase/prefix/near/fuzzy/regex/wildcard/bool_query/dismax/"
                 "boosts/span_near are mutually exclusive"
             )
+        if count_only:
+            if any(modes) or int(page):
+                raise ValueError(
+                    "count_only is only supported in plain search mode"
+                )
+            n = eng.count_matches(query, require_all=bool(require_all), scope=sc)
+            return {"count": int(n), "stats": {"query": query}}
         if span_near is not None:
             df = eng.search_span_near(
                 query, window=int(span_near), k=int(top_k), hydrate=True,

@@ -145,15 +145,18 @@ def _merge_one_part(
     src_blocks = os.path.join(member_dir, "blocks", f"blocks-{src:05d}.parquet")
     src_dls = os.path.join(member_dir, "dls", f"dls-{src:05d}.parquet")
     src_docs = os.path.join(member_dir, "docs", f"docs-{src:05d}.parquet")
+    src_post = os.path.join(member_dir, "postings", f"postings-{src:05d}.parquet")
     out_blocks = os.path.join(out_dir, "blocks", f"blocks-{dst:05d}.parquet")
     out_dls = os.path.join(out_dir, "dls", f"dls-{dst:05d}.parquet")
     out_docs = os.path.join(out_dir, "docs", f"docs-{dst:05d}.parquet")
+    out_post = os.path.join(out_dir, "postings", f"postings-{dst:05d}.parquet")
 
     man = Manifest(out_dir, "merge_parts")
     lineage = {
         "blocks": {src_blocks: file_sig(src_blocks)},
         "dls": {src_dls: file_sig(src_dls)},
         "docs": {src_docs: file_sig(src_docs)},
+        "postings": {src_post: file_sig(src_post)},
         "doc_offset": off,
         "avgdl": merged_avgdl,
         "k1": k1,
@@ -186,6 +189,18 @@ def _merge_one_part(
     )
     atomic_write_table(out_docs, out_docs_t)
 
+    # ---- raw postings: shift doc_num (the checker's blocks≡postings deep
+    # verify and any postings-reading pipeline need the merged index to be
+    # a FULL build artifact, not blocks-only)
+    pt = pq.read_table(src_post)
+    out_post_t = pt.set_column(
+        pt.schema.get_field_index("doc_num"),
+        "doc_num",
+        pa.array(pt.column("doc_num").to_numpy().astype(np.int64) + off,
+                 type=pa.int64()),
+    )
+    atomic_write_table(out_post, out_post_t)
+
     # ---- blocks: shift win; re-bake tf-norm bounds at the merged avgdl
     bt = pq.read_table(src_blocks)
     n_rows = bt.num_rows
@@ -198,7 +213,7 @@ def _merge_one_part(
             "doc_max": int(doc_nums_local.max() + off) if len(doc_nums_local) else off - 1,
             "merge_sec": round(time.time() - t0, 3),
         }
-        man.commit(dst, [out_blocks, out_dls, out_docs], lineage, metrics)
+        man.commit(dst, [out_blocks, out_dls, out_docs, out_post], lineage, metrics)
         return pa.table({k: [v] for k, v in metrics.items()})
 
     win = bt.column("win").to_numpy().astype(np.int64)
@@ -257,7 +272,7 @@ def _merge_one_part(
         "doc_max": int(doc_nums_local.max() + off) if len(doc_nums_local) else off - 1,
         "merge_sec": round(time.time() - t0, 3),
     }
-    man.commit(dst, [out_blocks, out_dls, out_docs], lineage, metrics)
+    man.commit(dst, [out_blocks, out_dls, out_docs, out_post], lineage, metrics)
     return pa.table({k: [v] for k, v in metrics.items()})
 
 
@@ -394,6 +409,7 @@ def _gc_stale_merge_parts(out_dir: str, n_parts: int) -> None:
 
     for sub, pat in (("docs", r"docs-(\d{5})\.parquet$"),
                      ("dls", r"dls-(\d{5})\.parquet$"),
+                     ("postings", r"postings-(\d{5})\.parquet$"),
                      ("blocks", r"blocks-(\d{5})\.parquet$")):
         d = os.path.join(out_dir, sub)
         if not os.path.isdir(d):
@@ -469,7 +485,7 @@ def merge_indexes(
     total_dl = sum(int(m["stats"]["total_dl"]) for m in metas)
     merged_avgdl = (total_dl / n_docs) if n_docs else 0.0
 
-    for name in ("docs", "dls", "blocks", "conv_map", "vocab", "vocab_partials"):
+    for name in ("docs", "dls", "postings", "blocks", "conv_map", "vocab", "vocab_partials"):
         os.makedirs(os.path.join(out_dir, name), exist_ok=True)
     t0 = time.time()
 

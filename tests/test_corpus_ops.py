@@ -802,6 +802,15 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "alpha engine", "index_dir": index_dir,
                                   "top_k": 3, "phrase": True, "span_near": 3}}},
+        # count_only: bare total, matches the unscoped result count
+        {"jsonrpc": "2.0", "id": 50, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "count_only": True}}},
+        {"jsonrpc": "2.0", "id": 51, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "count_only": True, "phrase": True}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -836,6 +845,10 @@ def test_mcp_stdio_transport(tmp_path):
     assert "**alpha**" in sni["results"][0]["content"]
     assert resps4[49]["result"]["isError"] is True
     assert "mutually exclusive" in resps4[49]["result"]["content"][0]["text"]
+    cnt = _json.loads(resps4[50]["result"]["content"][0]["text"])
+    assert cnt["count"] == 2  # "tokens" is in both docs
+    assert resps4[51]["result"]["isError"] is True
+    assert "plain search mode" in resps4[51]["result"]["content"][0]["text"]
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):

@@ -233,6 +233,16 @@ def test_cli_merge_smoke(setup, capsys):
     assert out["n_terms"] == setup["report1"]["n_terms"]
 
 
+def test_merged_index_passes_integrity_check(setup):
+    """The CheckIndex analog must pass a MERGED index clean — merged doc
+    numbering has window-multiple gaps between members and a rebuilt fuzzy
+    sidecar, both shapes the checker has to accept as consistent."""
+    from oboyu_ray.pipelines.check_index import check_index
+
+    report = check_index(str(setup["base"] / "idx_m"), sample_terms=16)
+    assert report["ok"], report
+
+
 def test_merge_validation_raises(setup):
     base = setup["base"]
     # overlapping conversation ranges (idx_all contains idx_a's convs)
