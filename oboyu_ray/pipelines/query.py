@@ -432,6 +432,21 @@ class ConvResolver:
 MERGE_FANOUT = 64
 
 
+def _read_doc_texts_local(path: str, wanted: list):
+    """One part's hydration point-read: (doc_nums, texts) for the wanted
+    ids — row-group predicate pushdown keeps it metadata-scale."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["doc_num", "text"],
+                       filters=[("doc_num", "in", wanted)])
+    return t.column("doc_num").to_pylist(), t.column("text").to_pylist()
+
+
+# num_cpus=0: hydration reads must schedule while shard actors hold every
+# CPU (same rule as the fuzzy bucket sweeps)
+_read_doc_texts = ray.remote(num_cpus=0)(_read_doc_texts_local)
+
+
 class MergeAggregator:
     """Intermediate merge tier: owns a group of shard actors, fans a query
     to them, merges their exact top-ks, returns one top-k — same query /
@@ -1616,18 +1631,32 @@ class QueryEngine:
 
     def _hydrate(self, out: pd.DataFrame) -> pd.DataFrame:
         """Attach turn text via point lookups on the partitioned docs parquet
-        (only the top-k ids are read — row-group predicate pushdown)."""
+        (only the top-k ids are read — row-group predicate pushdown).  A
+        top-k usually spreads across several parts; the per-part filtered
+        reads fan out as num_cpus=0 Ray tasks (zero-CPU so they schedule
+        under a full-width actor pool — see the fuzzy-sweep precedent) and
+        run concurrently instead of serially on the driver — at 1000 parts
+        the serial version paid k sequential parquet opens per query."""
         texts: Dict[int, str] = {}
         doc_nums = out["doc_num"].tolist()
+        jobs = []
         for s in self.report.get("part_summaries", []):
             lo, hi = s["doc_min"], s["doc_max"]
             wanted = [d for d in doc_nums if lo <= d <= hi]
-            if not wanted:
-                continue
-            path = os.path.join(self.index_dir, "docs", f"docs-{int(s['part_id']):05d}.parquet")
-            t = pq.read_table(path, columns=["doc_num", "text"],
-                              filters=[("doc_num", "in", wanted)])
-            texts.update(zip(t.column("doc_num").to_pylist(), t.column("text").to_pylist()))
+            if wanted:
+                jobs.append((
+                    os.path.join(self.index_dir, "docs",
+                                 f"docs-{int(s['part_id']):05d}.parquet"),
+                    wanted,
+                ))
+        if len(jobs) > 1:
+            for nums, txts in ray.get(
+                [_read_doc_texts.remote(p, w) for p, w in jobs]
+            ):
+                texts.update(zip(nums, txts))
+        elif jobs:
+            nums, txts = _read_doc_texts_local(*jobs[0])
+            texts.update(zip(nums, txts))
         out = out.assign(text=[texts.get(d) for d in doc_nums])
         return out
 
