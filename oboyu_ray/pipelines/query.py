@@ -605,11 +605,18 @@ class MergeAggregator:
             for j in range(len(phrase_lists))
         ]
 
-    def query_many(self, weight_dicts, k: int, require_all: bool = False):
+    def query_many(self, weight_dicts, k: int, require_all: bool = False,
+                   exclude_terms=(), scope=None):
         import ray as _ray
 
         per_shard = _ray.get(
-            [s.query_many.remote(weight_dicts, k, require_all) for s in self.shards]
+            [
+                s.query_many.remote(
+                    weight_dicts, k, require_all,
+                    exclude_terms=exclude_terms, scope=scope,
+                )
+                for s in self.shards
+            ]
         )
         return [
             _merge_topk_multi([sr[j] for sr in per_shard], k)
@@ -1465,20 +1472,28 @@ class QueryEngine:
         return out
 
     def search_many(
-        self, queries: List[str], k: int = 10, require_all: bool = False
+        self, queries: List[str], k: int = 10, require_all: bool = False,
+        exclude: Optional[str] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
     ) -> List[pd.DataFrame]:
         """Batched search: ONE vocab df pass for the union of all queries'
         terms (a single grouped point-lookup sweep instead of one per
         query), ONE fan-out round for all queries (per-shard query_many),
         then per-query exact merges — the throughput-serving path
         (single-query latency is search()).  ``require_all`` applies
-        strict conjunctive semantics per query."""
+        strict conjunctive semantics per query; ``exclude`` (a term string
+        tokenized like the queries) and ``scope`` apply UNIFORMLY to the
+        whole batch — the one-tenant / one-conversation-range serving
+        shape."""
         return self.search_many_result(
-            self.search_many_submit(queries, k, require_all)
+            self.search_many_submit(queries, k, require_all,
+                                    exclude=exclude, scope=scope)
         )
 
     def search_many_submit(self, queries: List[str], k: int = 10,
-                           require_all: bool = False) -> dict:
+                           require_all: bool = False,
+                           exclude: Optional[str] = None,
+                           scope: "Optional[Tuple[int, int]]" = None) -> dict:
         """Issue a batched search WITHOUT waiting: tokenize + one vocab df
         sweep + one fan-out, returning an opaque in-flight handle for
         ``search_many_result``.  A serving loop that keeps one batch in
@@ -1491,20 +1506,29 @@ class QueryEngine:
         handle, so out-of-order collection is correct too, just pointless).
         """
         token_lists = [self.tokenizer.tokenize(q) for q in queries]
-        dfs = self.vocab.df(sorted({t for ts in token_lists for t in ts}))
+        excl_terms = self.tokenizer.tokenize(exclude) if exclude else []
+        if scope is not None:
+            scope = (int(scope[0]), int(scope[1]))
+        dfs = self.vocab.df(
+            sorted({t for ts in token_lists for t in ts} | set(excl_terms))
+        )
+        excl = sorted(t for t in set(excl_terms) if dfs.get(t, 0) > 0)
         n = int(self.stats["N"])
         weight_list = [self._weights_from_dfs(ts, dfs, n) for ts in token_lists]
+        dead_scope = scope is not None and scope[0] >= scope[1]
         live = [
             (i, w)
             for i, w in enumerate(weight_list)
-            if w and not (require_all and len(w) < len(set(token_lists[i])))
+            if w and not dead_scope
+            and not (require_all and len(w) < len(set(token_lists[i])))
         ]
         handle = {"n": len(queries), "k": k, "live": live, "refs": None,
                   "submit": None}
         if not live:
             return handle
         submit = lambda ts: [  # noqa: E731 — re-issued verbatim on respawn
-            a.query_many.remote([w for _, w in live], k, require_all)
+            a.query_many.remote([w for _, w in live], k, require_all,
+                                exclude_terms=excl, scope=scope)
             for a in ts
         ]
         handle["submit"] = submit

@@ -1637,12 +1637,18 @@ class IndexShard:
             return out
         return out
 
-    def query_many(self, weight_dicts, k: int, require_all: bool = False):
+    def query_many(self, weight_dicts, k: int, require_all: bool = False,
+                   exclude_terms: Sequence[str] = (), scope=None):
         """Batched queries — one actor round-trip for N queries (amortizes
         the per-call RPC + serialization overhead for throughput serving).
-        ``require_all`` routes every query through the conjunctive path."""
+        ``require_all`` routes every query through the conjunctive path;
+        ``exclude_terms``/``scope`` apply UNIFORMLY to the whole batch (the
+        serving shape: one tenant / conversation range per batch)."""
         run = self.query_all if require_all else self.query
-        return [run(w, k) for w in weight_dicts]
+        return [
+            run(w, k, exclude_terms=exclude_terms, scope=scope)
+            for w in weight_dicts
+        ]
 
     def count_many(self, term_lists, require_all: bool = False):
         """Batched total-hit counts — one actor round-trip for N queries

@@ -1508,6 +1508,27 @@ def test_count_matches(built, engine):
     assert engine.count_matches("token", scope=(5, 5)) == 0
 
 
+def test_search_many_scope_exclude_matches_single(built, engine):
+    """Batched search with uniform scope/exclude must equal per-query
+    single search with the same kwargs (the one-tenant serving shape),
+    on both the blocking and pipelined paths."""
+    queries = ["token python", "token", "検索 token", "zzznohit"]
+    for kw in (dict(scope=(0, 250)), dict(exclude="python"),
+               dict(scope=(50, 400), exclude="model")):
+        batched = engine.search_many(queries, k=8, **kw)
+        for q, got in zip(queries, batched):
+            single = engine.search(q, k=8, **kw)
+            assert got["doc_num"].tolist() == single["doc_num"].tolist(), (q, kw)
+            np.testing.assert_allclose(
+                got["score"].to_numpy(), single["score"].to_numpy(),
+                rtol=0, atol=1e-12,
+            )
+    assert sum(len(r) for r in engine.search_many(queries, k=8, scope=(0, 250))) > 0
+    # empty scope interval → all-empty without any fan-out
+    empty = engine.search_many(queries, k=8, scope=(7, 7))
+    assert all(r.empty for r in empty)
+
+
 def test_count_many_matches_single(built, engine):
     """Batched counts (one df sweep + one fan-out) must equal the
     single-query count_matches per query, including dead queries."""
