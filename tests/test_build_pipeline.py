@@ -1529,6 +1529,40 @@ def test_search_many_scope_exclude_matches_single(built, engine):
     assert all(r.empty for r in empty)
 
 
+def test_cross_mode_consistency_randomized(built, engine):
+    """Seeded randomized consistency net across the retrieval modes — the
+    algebraic identities that must hold for ANY query: dismax(tb=1) ≡
+    plain OR over distinct terms; boosted({}) ≡ plain; count ≡ deep-search
+    size; scoped results ⊆ unscoped deep results ∩ scope; AND ⊆ OR."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = ["token", "python", "model", "検索", "圧縮", "インデックス",
+             "zzznohit", "データ"]
+    deep = 10**6
+    checked = 0
+    for _ in range(12):
+        n_terms = int(rng.integers(1, 4))
+        q = " ".join(rng.choice(vocab, size=n_terms, replace=False))
+        plain_distinct = engine.search(" ".join(sorted(set(q.split()))), k=25)
+        dm = engine.search_dismax(q, k=25, tiebreak=1.0)
+        assert dm["doc_num"].tolist() == plain_distinct["doc_num"].tolist(), q
+        plain = engine.search(q, k=25)
+        bo = engine.search_boosted(q, {}, k=25)
+        assert bo["doc_num"].tolist() == plain["doc_num"].tolist(), q
+        assert engine.count_matches(q) == len(engine.search(q, k=deep)), q
+        lo, hi = sorted(rng.integers(0, 500, size=2).tolist())
+        if lo < hi:
+            scoped = set(engine.search(q, k=deep, scope=(lo, hi))["doc_num"])
+            full = set(engine.search(q, k=deep)["doc_num"])
+            assert scoped == {d for d in full if lo <= d < hi}, (q, lo, hi)
+        and_docs = set(engine.search(q, k=deep, require_all=True)["doc_num"])
+        or_docs = set(engine.search(q, k=deep)["doc_num"])
+        assert and_docs <= or_docs, q
+        checked += len(plain) > 0
+    assert checked >= 6
+
+
 def test_count_many_matches_single(built, engine):
     """Batched counts (one df sweep + one fan-out) must equal the
     single-query count_matches per query, including dead queries."""
