@@ -182,9 +182,14 @@ def cmd_query(args: argparse.Namespace) -> int:
         members = [args.index_dir] + [
             d for d in args.federate.split(",") if d
         ]
-        if getattr(args, "count", False) and getattr(args, "fuzzy", None) is not None:
+        if getattr(args, "count", False) and (
+            getattr(args, "fuzzy", None) is not None
+            or bool(getattr(args, "snippet", False))
+            or page or hydrate
+        ):
             print("query --count is only supported in plain search mode "
-                  "(with --require-all/--exclude)", file=sys.stderr)
+                  "(with --require-all/--exclude; no "
+                  "--snippet/--page/--hydrate)", file=sys.stderr)
             return 2
         engine = FederatedEngine(members, num_shards_each=num_shards)
         if getattr(args, "count", False):
@@ -223,9 +228,15 @@ def cmd_query(args: argparse.Namespace) -> int:
         or bool(getattr(args, "synonyms", None))
         or getattr(args, "dismax", None) is not None
         or bool(getattr(args, "boosts", None))
+        # results-shaping flags are meaningless on a bare count — refuse,
+        # never silently drop (the silently-dropped-flag hazard)
+        or bool(getattr(args, "snippet", False))
+        or page
+        or hydrate
     ):
         print("query --count is only supported in plain search mode "
-              "(with --require-all/--exclude/--scope)", file=sys.stderr)
+              "(with --require-all/--exclude/--scope; no "
+              "--snippet/--page/--hydrate)", file=sys.stderr)
         engine.close()
         return 2
     if getattr(args, "count", False):

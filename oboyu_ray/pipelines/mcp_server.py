@@ -223,7 +223,7 @@ class McpServer:
                 "boosts/span_near are mutually exclusive"
             )
         if count_only:
-            if any(modes) or int(page):
+            if any(modes) or int(page) or snippet:
                 raise ValueError(
                     "count_only is only supported in plain search mode"
                 )

@@ -463,6 +463,21 @@ def merge_indexes(
                 "or use FederatedEngine"
             )
 
+    # every member must be a FULL build artifact — in particular carry its
+    # raw postings files (pre-fix merged indexes were blocks-only; failing
+    # HERE with a named member beats a FileNotFoundError mid-merge after
+    # some parts were already written)
+    for m in metas:
+        for p in m["report"]["parts"]:
+            fp = os.path.join(m["dir"], "postings", f"postings-{int(p):05d}.parquet")
+            if not os.path.exists(fp):
+                raise ValueError(
+                    f"merge member {m['dir']} is missing raw postings file "
+                    f"{fp}; members must be full build artifacts (a merged "
+                    "index produced before postings carry-over must be "
+                    "re-merged from its original members)"
+                )
+
     cfg0 = metas[0]["report"]["config"]
     W = int(cfg0.get("window_docs", 8192))
     k1 = float(cfg0["bm25"]["k1"])

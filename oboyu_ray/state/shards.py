@@ -700,15 +700,19 @@ class IndexShard:
         pos = 0
         for w, s, e in hits:
             m = e - s
+            # within one term's hit, part.win[s:e] is sorted-unique, so the
+            # inv slice is unique → gather/compare/scatter replaces the
+            # ~10x slower unbuffered ufunc.at (same fix as the dense path)
+            iv = inv[pos : pos + m]
             if w > 0:
                 hi = (w * self._bscale_hi) * part.max_tfnorm[s:e]
-                np.add.at(ub, inv[pos : pos + m], hi)
+                ub[iv] += hi
                 if want_max:
-                    np.maximum.at(ubm, inv[pos : pos + m], hi)
+                    ubm[iv] = np.maximum(ubm[iv], hi)
             elif w < 0:
                 best_neg = (w * self._bscale_lo) * part.min_tfnorm[s:e]
                 if want_max:
-                    np.maximum.at(ubm, inv[pos : pos + m], best_neg)
+                    ubm[iv] = np.maximum(ubm[iv], best_neg)
                 if len(part.window_doc_counts):
                     widx = part.win[s:e] - part.wdc_base
                     clipped = np.clip(widx, 0, len(part.window_doc_counts) - 1)
@@ -719,10 +723,14 @@ class IndexShard:
                     )
                     sat = part.n[s:e] == counts
                     if sat.any():
-                        np.add.at(
-                            ub, inv[pos : pos + m],
-                            np.where(sat, best_neg, 0.0),
-                        )
+                        ub[iv] += np.where(sat, best_neg, 0.0)
+            elif want_max:
+                # w == 0 (idf crosses zero exactly at df == N/2): the
+                # term's contribution is exactly 0 — ub_sum adds nothing,
+                # but ub_max must see 0.0 or a window covered only by this
+                # term keeps −inf and gets pruned unsoundly (and tb·(−inf)
+                # at tb=1 is NaN)
+                ubm[iv] = np.maximum(ubm[iv], 0.0)
             pos += m
         return uniq_wins, ub, ubm
 

@@ -1588,6 +1588,10 @@ def test_cli_count_mode(built, capsys):
     assert rc == 0 and out.isdigit() and int(out) > 0
     rc = cmd_query(argparse.Namespace(**{**base, "phrase": True}))
     assert rc == 2 and "plain search mode" in capsys.readouterr().err
+    # results-shaping flags are refused too, never silently dropped
+    for extra in ({"snippet": True}, {"page": 2}, {"hydrate": True}):
+        rc = cmd_query(argparse.Namespace(**{**base, **extra}))
+        assert rc == 2 and "plain search mode" in capsys.readouterr().err, extra
 
 
 def test_search_snippets(built, engine):
@@ -1712,6 +1716,23 @@ def test_dismax_pruned_and_dense_paths_identical(built, engine):
     d = shard.query_dismax(engine.term_weights(["token"]), 0.3, 10,
                            scope=(0, 200), force="pruned")
     assert ((d[0] >= 0) & (d[0] < 200)).all()
+    # ZERO-weight clause (idf crosses 0 exactly at df == N/2): its
+    # contribution is exactly 0, so the pruned bound must treat windows
+    # covered only by it as ub_max == 0, not −inf (review-pass regression:
+    # −inf bounds pruned true top-k docs; tb=1 gave NaN bounds).  The
+    # negative-weight partner fills the heap with negative θ so the zero
+    # windows actually face pruning.
+    wz = dict(engine.term_weights(["検索"]))  # 検索 is negative-idf here
+    assert next(iter(wz.values())) < 0
+    wz["token"] = 0.0
+    for tb in (0.3, 1.0):
+        dz = shard.query_dismax(wz, tb, 25, force="dense")
+        pz = shard.query_dismax(wz, tb, 25, force="pruned")
+        az = shard.query_dismax(wz, tb, 25)
+        np.testing.assert_array_equal(dz[0], pz[0], err_msg=f"zero-w tb={tb}")
+        np.testing.assert_allclose(dz[1], pz[1], rtol=0, atol=0)
+        np.testing.assert_array_equal(az[0], dz[0], err_msg=f"zero-w tb={tb}")
+        assert not np.isnan(pz[1]).any()
 
 
 def test_boosted_engine_matches_brute_force(built, engine):

@@ -811,6 +811,10 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "tokens", "index_dir": index_dir,
                                   "count_only": True, "phrase": True}}},
+        {"jsonrpc": "2.0", "id": 52, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "count_only": True, "snippet": True}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -849,6 +853,7 @@ def test_mcp_stdio_transport(tmp_path):
     assert cnt["count"] == 2  # "tokens" is in both docs
     assert resps4[51]["result"]["isError"] is True
     assert "plain search mode" in resps4[51]["result"]["content"][0]["text"]
+    assert resps4[52]["result"]["isError"] is True  # count_only + snippet
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):

@@ -253,6 +253,17 @@ def test_merge_validation_raises(setup):
     # out_dir must not be a member
     with pytest.raises(ValueError, match="out_dir"):
         merge_indexes([str(base / "idx_a")], str(base / "idx_a"))
+    # a blocks-only member (missing raw postings) is refused BY NAME before
+    # any output is written — not a FileNotFoundError mid-merge
+    import shutil as _shutil
+
+    degraded = str(base / "idx_nopost")
+    _shutil.copytree(str(base / "idx_b"), degraded)
+    _shutil.rmtree(os.path.join(degraded, "postings"))
+    with pytest.raises(ValueError, match="missing raw postings"):
+        merge_indexes([str(base / "idx_a"), degraded], str(base / "idx_bad3"))
+    # refusal happened before any part output was written
+    assert not os.path.isdir(os.path.join(base, "idx_bad3", "blocks"))
     # config disagreement (window_docs) detected before any output
     with pytest.raises(ValueError, match="window_docs"):
         fake = str(base / "idx_cfg")
