@@ -126,6 +126,23 @@ def cmd_query(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
 
+    if getattr(args, "collapse", False) and (
+        pattern_mode
+        or getattr(args, "phrase", False) or getattr(args, "prefix", False)
+        or getattr(args, "near", None) is not None
+        or getattr(args, "span_near", None) is not None
+        or getattr(args, "fuzzy", None) is not None
+        or bool(getattr(args, "synonyms", None))
+        or getattr(args, "dismax", None) is not None
+        or bool(getattr(args, "boosts", None))
+        or page or getattr(args, "count", False)
+        or getattr(args, "federate", None)
+    ):
+        print("query --collapse is only supported in plain search mode "
+              "(with --require-all/--exclude/--scope/--hydrate)",
+              file=sys.stderr)
+        return 2
+
     # ONE retrieval mode per invocation — the elif dispatch below would
     # otherwise silently answer whichever mode wins precedence
     mode_flags = [
@@ -314,6 +331,13 @@ def cmd_query(args: argparse.Namespace) -> int:
         out = engine.search_phrase(
             args.q, k=k, hydrate=hydrate, scope=scope
         )
+    elif getattr(args, "collapse", False):
+        out = engine.search_collapse(
+            args.q, k=k, hydrate=hydrate,
+            require_all=require_all,
+            exclude=getattr(args, "exclude", None),
+            scope=scope,
+        )
     elif page:
         out = engine.search_page(
             args.q, k=k, page=page, hydrate=hydrate,
@@ -485,6 +509,10 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=None, help="top-k (default 10)")
     q.add_argument("--num-shards", type=int, default=None)
     q.add_argument("--hydrate", action="store_true", default=None)
+    q.add_argument("--collapse", action="store_true", default=False,
+                   help="collapse results by conversation: top-k "
+                        "CONVERSATIONS ranked by their best turn, one row "
+                        "each (Solr field-collapse shape)")
     q.add_argument("--count", action="store_true", default=False,
                    help="print the total matching-document count instead of "
                         "ranked results (composes with --require-all / "

@@ -1152,6 +1152,51 @@ class QueryEngine:
             out = self._finish(out, hydrate)
         return out
 
+    def search_collapse(
+        self, query: str, k: int = 10, hydrate: bool = False,
+        require_all: bool = False, exclude: Optional[str] = None,
+        scope: "Optional[Tuple[int, int]]" = None,
+    ) -> pd.DataFrame:
+        """Collapsed retrieval (the Lucene/Solr field-collapse shape,
+        CollapsingTopDocsCollector): the top-k CONVERSATIONS ranked by
+        their best-scoring turn, one row per conversation — the natural
+        transcript-search result ("which conversations match", not "which
+        turns").
+
+        EXACT via iterative deepening: ``search(k=d)`` returns the exact
+        PREFIX of the global (score DESC, doc ASC) total order, and a
+        conversation's collapsed rank is the rank of its FIRST occurrence
+        in that order — any conversation absent from the top-d has its
+        best turn strictly after position d and cannot precede the k-th
+        seen group.  So the first k distinct conversations of a deep-d
+        result ARE the exact top-k groups; quadruple d until k distinct
+        conversations appear or the matches are exhausted.  Depth stays
+        driver-side only — shards always run top-d heaps, never full
+        materialization."""
+        empty = pd.DataFrame(
+            {"conv_id": pd.Series(dtype=object),
+             "doc_num": pd.Series(dtype=np.int64),
+             "turn_idx": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+        depth = max(4 * k, 32)
+        while True:
+            deep = self.search(query, k=depth, require_all=require_all,
+                               exclude=exclude, scope=scope)
+            if not len(deep):
+                return empty.assign(doc_id=pd.Series(dtype=object))
+            # deep is (score DESC, doc ASC); first row per conversation IS
+            # its best turn under the global total order
+            best = deep.drop_duplicates(subset=["conv_id"], keep="first")
+            exhausted = len(deep) < depth
+            if exhausted or len(best) >= k:
+                out = best.head(k).reset_index(drop=True)
+                out = out[["conv_id", "doc_num", "turn_idx", "score", "doc_id"]]
+                if hydrate:
+                    out = self._hydrate(out)
+                return out
+            depth *= 4
+
     def count_matches(
         self, query: str, require_all: bool = False,
         exclude: Optional[str] = None,

@@ -1529,6 +1529,52 @@ def test_search_many_scope_exclude_matches_single(built, engine):
     assert all(r.empty for r in empty)
 
 
+def test_search_collapse_matches_groupby(built, engine):
+    """Collapsed retrieval (one best turn per conversation) must equal the
+    pandas groupby-first over an exhaustive deep search, for several ks and
+    semantics combos; ranks by (best score DESC, best doc ASC); composes
+    with scope/exclude/require_all; no-hit stays empty."""
+    deep_k = 10**6
+    for q, kw in [
+        ("token python", {}),
+        ("token", {"exclude": "python"}),
+        ("token python", {"require_all": True}),
+        ("token python", {"scope": (0, 300)}),
+    ]:
+        deep = engine.search(q, k=deep_k, **kw)
+        expect_full = deep.drop_duplicates(subset=["conv_id"], keep="first")
+        for k in (3, 10, 200):
+            got = engine.search_collapse(q, k=k, **kw)
+            expect = expect_full.head(k)
+            assert got["conv_id"].tolist() == expect["conv_id"].tolist(), (q, kw, k)
+            assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (q, kw, k)
+            np.testing.assert_allclose(
+                got["score"].to_numpy(), expect["score"].to_numpy(),
+                rtol=0, atol=1e-12,
+            )
+            # one row per conversation, scores non-increasing
+            assert got["conv_id"].is_unique
+            assert (np.diff(got["score"].to_numpy()) <= 1e-12).all()
+    assert engine.search_collapse("zzznohit", k=5).empty
+    h = engine.search_collapse("token python", k=3, hydrate=True)
+    assert "text" in h.columns and len(h) == 3
+
+
+def test_cli_collapse_mode(built, capsys):
+    import argparse
+
+    from oboyu_ray.cli import cmd_query
+
+    base = dict(index_dir=built["index_dir"], q="token python", k=5,
+                num_shards=2, hydrate=False, num_cpus=None, collapse=True)
+    rc = cmd_query(argparse.Namespace(**base))
+    assert rc == 0 and "conv_id" in capsys.readouterr().out
+    rc = cmd_query(argparse.Namespace(**{**base, "phrase": True}))
+    assert rc == 2 and "plain search mode" in capsys.readouterr().err
+    rc = cmd_query(argparse.Namespace(**{**base, "count": True}))
+    assert rc == 2
+
+
 def test_cross_mode_consistency_randomized(built, engine):
     """Seeded randomized consistency net across the retrieval modes — the
     algebraic identities that must hold for ANY query: dismax(tb=1) ≡
