@@ -105,6 +105,14 @@ TOOLS = [
                                    "index terms (negated clauses filter, "
                                    "positive terms score)",
                 },
+                "collapse": {
+                    "type": "boolean",
+                    "default": False,
+                    "description": "collapse results by conversation: top-k "
+                                   "conversations ranked by their best "
+                                   "turn, one result each (plain search "
+                                   "semantics)",
+                },
                 "count_only": {
                     "type": "boolean",
                     "default": False,
@@ -198,6 +206,7 @@ class McpServer:
         bool_query: bool = False, dismax: Optional[float] = None,
         boosts: Optional[Dict] = None, span_near: Optional[int] = None,
         snippet: bool = False, count_only: bool = False,
+        collapse: bool = False,
     ) -> Dict:
         eng = self._engine(index_dir)
         # scope composes with every mode (the engine methods all take it) —
@@ -223,13 +232,22 @@ class McpServer:
                 "boosts/span_near are mutually exclusive"
             )
         if count_only:
-            if any(modes) or int(page) or snippet:
+            if any(modes) or int(page) or snippet or collapse:
                 raise ValueError(
                     "count_only is only supported in plain search mode"
                 )
             n = eng.count_matches(query, require_all=bool(require_all), scope=sc)
             return {"count": int(n), "stats": {"query": query}}
-        if span_near is not None:
+        if collapse:
+            if any(modes) or int(page):
+                raise ValueError(
+                    "collapse is only supported in plain search mode"
+                )
+            df = eng.search_collapse(
+                query, k=int(top_k), hydrate=True,
+                require_all=bool(require_all), scope=sc,
+            )
+        elif span_near is not None:
             df = eng.search_span_near(
                 query, window=int(span_near), k=int(top_k), hydrate=True,
                 scope=sc,

@@ -815,6 +815,15 @@ def test_mcp_stdio_transport(tmp_path):
          "params": {"name": "search",
                     "arguments": {"query": "tokens", "index_dir": index_dir,
                                   "count_only": True, "snippet": True}}},
+        # collapse: both docs are single-"conversation" files → 2 groups
+        {"jsonrpc": "2.0", "id": 53, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "top_k": 5, "collapse": True}}},
+        {"jsonrpc": "2.0", "id": 54, "method": "tools/call",
+         "params": {"name": "search",
+                    "arguments": {"query": "tokens", "index_dir": index_dir,
+                                  "collapse": True, "phrase": True}}},
     ]
     inp4 = io.StringIO("\n".join(_json.dumps(r) for r in reqs4) + "\n")
     out4 = io.StringIO()
@@ -854,6 +863,9 @@ def test_mcp_stdio_transport(tmp_path):
     assert resps4[51]["result"]["isError"] is True
     assert "plain search mode" in resps4[51]["result"]["content"][0]["text"]
     assert resps4[52]["result"]["isError"] is True  # count_only + snippet
+    col = _json.loads(resps4[53]["result"]["content"][0]["text"])
+    assert col["stats"]["count"] == 2  # one collapsed row per file-conv
+    assert resps4[54]["result"]["isError"] is True  # collapse + phrase
 
 
 def test_title_generation_fallbacks_and_pdf_gate(tmp_path):
