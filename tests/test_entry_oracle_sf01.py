@@ -40,6 +40,8 @@ TABLES = (
 # sampling margins, sketch deficit tracking, distributed prefix scan,
 # cogroup window scans, witness-merge aggregates, and the skyline fold.
 HEAVY_QUERIES = [
+    "dismax_topk",
+    "boosted_topk",
     "price_quantiles",
     "price_percentiles_cont",
     "price_robust_dispersion",
