@@ -1153,45 +1153,65 @@ class QueryEngine:
         return out
 
     def search_collapse(
-        self, query: str, k: int = 10, hydrate: bool = False,
+        self, query: str, k: int = 10, per_conv: int = 1,
+        hydrate: bool = False,
         require_all: bool = False, exclude: Optional[str] = None,
         scope: "Optional[Tuple[int, int]]" = None,
     ) -> pd.DataFrame:
         """Collapsed retrieval (the Lucene/Solr field-collapse shape,
         CollapsingTopDocsCollector): the top-k CONVERSATIONS ranked by
-        their best-scoring turn, one row per conversation — the natural
-        transcript-search result ("which conversations match", not "which
-        turns").
+        their best-scoring turn — the natural transcript-search result
+        ("which conversations match", not "which turns").  ``per_conv``
+        > 1 additionally returns each group's top matching turns (the
+        Elasticsearch collapse ``inner_hits`` shape) — rows stay in group
+        order, ``group_rank`` numbers the conversations.
 
         EXACT via iterative deepening: ``search(k=d)`` returns the exact
         PREFIX of the global (score DESC, doc ASC) total order, and a
         conversation's collapsed rank is the rank of its FIRST occurrence
         in that order — any conversation absent from the top-d has its
         best turn strictly after position d and cannot precede the k-th
-        seen group.  So the first k distinct conversations of a deep-d
-        result ARE the exact top-k groups; quadruple d until k distinct
-        conversations appear or the matches are exhausted.  Depth stays
+        seen group; likewise a group's members within the prefix are its
+        exact top members.  Quadruple d until k distinct conversations
+        appear AND each carries ``per_conv`` members (or the matches are
+        exhausted — a group with fewer matching turns than ``per_conv``
+        is only provably complete at exhaustion).  Depth stays
         driver-side only — shards always run top-d heaps, never full
         materialization."""
         empty = pd.DataFrame(
             {"conv_id": pd.Series(dtype=object),
              "doc_num": pd.Series(dtype=np.int64),
              "turn_idx": pd.Series(dtype=np.int64),
-             "score": pd.Series(dtype=np.float64)}
+             "score": pd.Series(dtype=np.float64),
+             "doc_id": pd.Series(dtype=object),
+             "group_rank": pd.Series(dtype=np.int64)}
         )
-        depth = max(4 * k, 32)
+        per_conv = max(1, int(per_conv))
+        depth = max(4 * k * per_conv, 32)
         while True:
             deep = self.search(query, k=depth, require_all=require_all,
                                exclude=exclude, scope=scope)
             if not len(deep):
-                return empty.assign(doc_id=pd.Series(dtype=object))
+                return empty
             # deep is (score DESC, doc ASC); first row per conversation IS
             # its best turn under the global total order
             best = deep.drop_duplicates(subset=["conv_id"], keep="first")
             exhausted = len(deep) < depth
-            if exhausted or len(best) >= k:
-                out = best.head(k).reset_index(drop=True)
-                out = out[["conv_id", "doc_num", "turn_idx", "score", "doc_id"]]
+            done = exhausted or len(best) >= k
+            if done and per_conv > 1 and not exhausted:
+                top_convs = best["conv_id"].head(k)
+                counts = deep["conv_id"].value_counts()
+                done = bool((counts.reindex(top_convs).fillna(0) >= per_conv).all())
+            if done:
+                top_convs = best["conv_id"].head(k).tolist()
+                rank_of = {c: i + 1 for i, c in enumerate(top_convs)}
+                sel = deep[deep["conv_id"].isin(rank_of)].copy()
+                sel["group_rank"] = sel["conv_id"].map(rank_of)
+                sel["__m"] = sel.groupby("conv_id").cumcount()
+                sel = sel[sel["__m"] < per_conv]
+                sel = sel.sort_values(["group_rank", "__m"], kind="mergesort")
+                out = sel[["conv_id", "doc_num", "turn_idx", "score",
+                           "doc_id", "group_rank"]].reset_index(drop=True)
                 if hydrate:
                     out = self._hydrate(out)
                 return out

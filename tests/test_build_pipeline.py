@@ -1558,6 +1558,23 @@ def test_search_collapse_matches_groupby(built, engine):
     assert engine.search_collapse("zzznohit", k=5).empty
     h = engine.search_collapse("token python", k=3, hydrate=True)
     assert "text" in h.columns and len(h) == 3
+    # inner hits (per_conv > 1): each group's top members in global order,
+    # == pandas groupby-head over the exhaustive search
+    deep = engine.search("token python", k=deep_k)
+    for k, pc in ((5, 2), (10, 3)):
+        got = engine.search_collapse("token python", k=k, per_conv=pc)
+        top_convs = deep.drop_duplicates(
+            subset=["conv_id"], keep="first")["conv_id"].head(k).tolist()
+        expect = (
+            deep[deep["conv_id"].isin(top_convs)]
+            .groupby("conv_id", sort=False).head(pc)
+        )
+        order = {c: i for i, c in enumerate(top_convs)}
+        expect = expect.assign(_g=expect["conv_id"].map(order)).sort_values(
+            ["_g"], kind="mergesort")
+        assert got["doc_num"].tolist() == expect["doc_num"].tolist(), (k, pc)
+        assert got["group_rank"].max() <= k
+        assert (got.groupby("conv_id").size() <= pc).all()
 
 
 def test_cli_collapse_mode(built, capsys):
