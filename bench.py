@@ -241,6 +241,9 @@ def run_feature_latency(files: list, num_cpus: int) -> dict:
         "dismax": lambda: engine.search_dismax(f"{a} {b}", k=10, tiebreak=0.3),
         "boosted": lambda: engine.search_boosted(f"{a} {b}", {a: 2.0}, k=10),
         "span_near3": lambda: engine.search_span_near(f"{a} {b}", window=3, k=10),
+        # collapsed retrieval (top conversations by best turn) + counting
+        "collapse": lambda: engine.search_collapse(f"{a} {b}", k=10),
+        "count": lambda: engine.count_matches(f"{a} {b}"),
     }
     feat = {}
     for name, fn in probes.items():
